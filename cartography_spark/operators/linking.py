@@ -1,0 +1,179 @@
+"""Matcher joins — the relationship-building layer.
+
+Every relationship in the reference is created by matching freshly-loaded
+rows against target nodes already in the graph
+(``cartography/graph/querybuilder.py:256-322``; WHERE-clause variants at
+``querybuilder.py:127-172``). Each variant maps to a DataFrame join:
+
+- exact          -> equi-join                       (``querybuilder.py:137,164-170``)
+- ignore_case    -> join on ``lower(a)==lower(b)``  (``querybuilder.py:138,148-154``)
+- fuzzy contains -> theta-join ``instr(lower(t), lower(i)) > 0``
+                                                    (``querybuilder.py:139-141,155-158``)
+- one_to_many    -> ``explode(list)`` then equi-join (``querybuilder.py:142-143,159-163``)
+
+Scale notes:
+- exact / ignore_case / one_to_many are shuffle-joinable (hash on the key);
+  `explode` (not ``array_contains``) keeps one_to_many an equi-join so
+  Catalyst can pick SMJ/SHJ and AQE can split skewed keys.
+- the fuzzy contains join is a theta-join (nested-loop): only valid with a
+  broadcastable side. At web scale it must be *blocked* first — see
+  :func:`lsh_blocked_join` which replaces the quadratic scan with
+  MinHash-LSH candidate generation (this is where the entity-linking
+  blocking of the north-star lives).
+- missing targets drop out of the inner join, which is exactly the
+  reference's CALL{}-subquery null-tolerance (``querybuilder.py:325-336``):
+  each rel is computed as its own join and unioned, so one unmatched rel
+  never suppresses the others.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.schema.common import PropertyRef
+
+
+def _norm(col: Column, ref: PropertyRef) -> Column:
+    return F.lower(col) if (ref.ignore_case or ref.fuzzy_and_ignore_case) else col
+
+
+def matcher_join(
+    items: DataFrame,
+    targets: DataFrame,
+    keys: dict[str, PropertyRef],
+    params: dict | None = None,
+    target_key_col=None,
+) -> DataFrame:
+    """Inner-join ``items`` to ``targets`` per a TargetNodeMatcher key map.
+
+    ``keys``: target-property-name -> PropertyRef on the item row.
+    ``target_key_col``: fn(name) -> Column on targets (defaults to
+    ``F.col(name)``); the graph store passes an accessor that reads
+    promoted columns or the props map.
+
+    Returns items ⋈ targets with both sides' columns (targets' columns
+    prefixed ``__t_``).
+    """
+    if target_key_col is None:
+        target_key_col = F.col
+
+    t = targets.select(
+        *[target_key_col(k).alias(f"__t_key_{k}") for k in keys],
+        *[F.col(c).alias(f"__t_{c}") for c in targets.columns],
+    )
+
+    conds = []
+    it = items
+    for k, ref in keys.items():
+        tcol = F.col(f"__t_key_{k}")
+        if ref.one_to_many:
+            # item field is an array of target ids: explode -> equi-join
+            it = it.withColumn(f"__i_key_{k}", F.explode(ref.to_column(params)))
+            conds.append(F.col(f"__i_key_{k}") == tcol)
+        elif ref.fuzzy_and_ignore_case:
+            # target key CONTAINS item value, case-insensitive (theta-join;
+            # requires a broadcastable side — use lsh_blocked_join at scale)
+            conds.append(F.instr(F.lower(tcol), F.lower(ref.to_column(params))) > 0)
+        else:
+            icol = _norm(ref.to_column(params), ref)
+            it = it.withColumn(f"__i_key_{k}", icol)
+            conds.append(F.col(f"__i_key_{k}") == _norm(tcol, ref))
+
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond & c
+    joined = it.join(t, cond, "inner")
+    return joined.drop(*[c for c in joined.columns if c.startswith("__i_key_") or c.startswith("__t_key_")])
+
+
+def ngram_shingles(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingle array of a (lowercased) string — JVM-side.
+
+    sequence + transform + substring, so it stays inside codegen (no
+    Python); used by LSH blocking and the n-gram Jaccard dedup.
+    """
+    s = F.lower(F.col(col) if isinstance(col, str) else col)
+    length = F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), length), lambda i: F.substring(s, i, F.lit(n)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """Array of ``num_hashes`` minhash values over a shingle array.
+
+    minhash_i = min over shingles of xxhash64(i, shingle) — a classic
+    (public-domain) MinHash construction using Spark's builtin xxhash64
+    as the hash family, entirely JVM-side.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda sh: F.xxhash64(F.lit(i), sh)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_blocked_join(
+    items: DataFrame,
+    targets: DataFrame,
+    item_text: str,
+    target_text: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate join between two string columns.
+
+    Replaces the quadratic fuzzy theta-join at scale: each side computes a
+    minhash signature, signatures are split into ``bands`` bands of
+    ``num_hashes/bands`` rows, and rows sharing any band hash become
+    candidates via an equi-join on (band_idx, band_hash) — a plain
+    shuffle join, no cross product.
+
+    If ``jaccard_threshold`` is given, candidates are verified with the
+    exact token-set Jaccard of the two strings' shingles.
+
+    Returns candidate pairs with all columns of both inputs (targets
+    prefixed ``__t_``).
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+
+    def with_bands(df: DataFrame, text: str, prefix: str) -> DataFrame:
+        sh = ngram_shingles(text, shingle_n)
+        sig = minhash_signature(sh, num_hashes)
+        out = df.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
+            sh.alias(f"{prefix}__shingles"),
+            sig.alias("__sig"),
+        )
+        bands_col = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return out.withColumn("__band", F.explode(bands_col)).drop("__sig")
+
+    left = with_bands(items, item_text, "")
+    right = with_bands(targets, target_text, "__t_")
+    cand = (
+        left.join(
+            right,
+            (left["__band.band"] == right["__band.band"]) & (left["__band.bh"] == right["__band.bh"]),
+            "inner",
+        )
+        .drop("__band")
+        .dropDuplicates([item_text, f"__t_{target_text}"])
+    )
+    if jaccard_threshold is not None:
+        inter = F.size(F.array_intersect(F.col("__shingles"), F.col(f"__t___shingles")))
+        union = F.size(F.array_union(F.col("__shingles"), F.col(f"__t___shingles")))
+        cand = cand.where((inter / union) >= jaccard_threshold)
+    return cand.drop("__shingles", "__t___shingles")

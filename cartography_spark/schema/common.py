@@ -1,0 +1,52 @@
+"""PropertyRef — binding layer between input rows and graph properties.
+
+Re-expression of the reference's ``cartography/models/core/common.py:1-109``:
+a property value comes either from the input row (``F.col(name)``) or from a
+run-level keyword parameter bound at plan-build time (``F.lit(params[name])``,
+the reference's ``set_in_kwargs=True`` / ``$param`` form,
+``common.py:94-109``).
+
+Match-time modifiers mirror the reference exactly:
+- ``ignore_case``     -> join on ``lower(col)``            (``common.py:33-43``)
+- ``fuzzy_and_ignore_case`` -> substring containment join  (``common.py:44-47``)
+- ``one_to_many``     -> the row field is a *list* of target ids; the plan
+  explodes it and equi-joins (``common.py:48-66``)
+- ``extra_index``     -> layout hint (sort/Z-order key), no Spark index exists
+  (``common.py:26-32``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Mapping
+
+from pyspark.sql import Column, functions as F
+
+
+@dataclass(frozen=True)
+class PropertyRef:
+    name: str
+    set_in_kwargs: bool = False
+    ignore_case: bool = False
+    fuzzy_and_ignore_case: bool = False
+    one_to_many: bool = False
+    extra_index: bool = False
+
+    def __post_init__(self) -> None:
+        # Mirror the reference's invalid-combination guards
+        # (models/core/common.py:68-92).
+        if self.one_to_many and self.set_in_kwargs:
+            raise ValueError("one_to_many cannot be set_in_kwargs")
+        if self.fuzzy_and_ignore_case and self.one_to_many:
+            raise ValueError("fuzzy_and_ignore_case cannot combine with one_to_many")
+
+    def to_column(self, params: Mapping[str, Any] | None = None) -> Column:
+        """Resolve to a Column: input field, or run-param literal."""
+        if self.set_in_kwargs:
+            if params is None or self.name not in params:
+                raise KeyError(
+                    f"PropertyRef({self.name!r}) is set_in_kwargs but no "
+                    f"run parameter {self.name!r} was supplied"
+                )
+            return F.lit(params[self.name])
+        return F.col(self.name)

@@ -1,0 +1,141 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table.
+
+Shape per the engine contract: ``(url string, warc_ts timestamp,
+html binary, text string, lang string)``. ``text`` is the golden
+extraction output — the html wraps it in boilerplate (nav/footer) that
+the extractor must strip byte-identically.
+
+Reference analog: the static fixture dicts under the reference's
+``tests/data/**`` that its integration tests feed through real sync
+(e.g. ``tests/integration/cartography/intel/lastpass/test_users.py``);
+here the fixtures are generated distributively so the same recipe
+scales from 1k rows (unit tests) to tens of millions (bench).
+
+Determinism: every field of row ``i`` is a pure function of ``(seed, i)``
+via splitmix64-style integer mixing — no RNG object, no partition-order
+dependence, fully vectorized in numpy inside ``mapInPandas``. The same
+(seed, n) always yields the same table regardless of parallelism, which
+is what makes the two-cluster-size scaling runs comparable.
+
+Skew (deliberate, per the web-scale contract): domains and entities are
+Zipf-distributed — the top-2 domains carry >=40% of pages and the hot
+entities produce hot join keys downstream, exercising AQE skew-join and
+salting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+# Single-token entities (no escaping needed in the html template).
+ENTITIES = [
+    "Spark", "Hadoop", "Iceberg", "Parquet", "Arrow", "Kafka", "Flink",
+    "Trino", "DuckDB", "Neo4j", "Cassandra", "Redis", "Postgres", "MySQL",
+    "Airflow", "Dagster", "Beam", "Samza", "Hive", "Presto", "Impala",
+    "Druid", "Pinot", "Clickhouse", "Snowflake", "Redshift", "Bigquery",
+    "Databricks", "Delta", "Hudi", "Zookeeper", "Etcd", "Consul", "Vault",
+    "Terraform", "Ansible", "Kubernetes", "Docker", "Podman", "Nomad",
+]
+PREDICATES = [
+    "depends on", "integrates with", "replaces", "extends",
+    "queries", "stores", "reads from", "writes to",
+]
+DOMAINS = [f"site{d:02d}.example.org" for d in range(20)]
+LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "en", "de", "fr"]
+
+_MASK = (1 << 64) - 1
+
+
+def _mix(x: np.ndarray, k: int) -> np.ndarray:
+    """splitmix64-style mixer, vectorized; uniform uint64 per (x, k)."""
+    z = (x.astype(np.uint64) + np.uint64(k * 0x9E3779B97F4A7C15 & _MASK)) & np.uint64(_MASK)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9) & np.uint64(_MASK)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB) & np.uint64(_MASK)
+    return z ^ (z >> np.uint64(31))
+
+
+def _zipf_cdf(n: int, s: float = 1.0) -> np.ndarray:
+    w = 1.0 / np.arange(1, n + 1) ** s
+    return np.cumsum(w / w.sum())
+
+
+_DOMAIN_CDF = _zipf_cdf(len(DOMAINS), 1.2)  # top-2 domains ~ 44% of pages
+_ENTITY_CDF = _zipf_cdf(len(ENTITIES), 1.1)
+
+
+def _pick(u64: np.ndarray, cdf: np.ndarray) -> np.ndarray:
+    u = u64.astype(np.float64) / float(_MASK)
+    return np.searchsorted(cdf, u, side="left").clip(0, len(cdf) - 1)
+
+
+def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
+    key = _mix(ids, seed)
+    dom_idx = _pick(_mix(key, 1), _DOMAIN_CDF)
+    n_sent = (3 + (_mix(key, 2) % np.uint64(10))).astype(np.int64)
+    lang_idx = (_mix(key, 3) % np.uint64(len(LANGS))).astype(np.int64)
+    ts_off = (_mix(key, 4) % np.uint64(86400 * 30)).astype(np.int64)
+    # Two crawl batches (for incremental / sweep tests): even ids crawl A.
+    crawl_base = np.where(ids % 2 == 0, 1735689600, 1738368000)  # 2025-01-01 / 2025-02-01
+
+    urls, texts, htmls = [], [], []
+    n_ent, n_pred = len(ENTITIES), len(PREDICATES)
+    for j in range(len(ids)):
+        rid, k = int(ids[j]), key[j : j + 1]
+        sents = []
+        for si in range(int(n_sent[j])):
+            sk = _mix(k + np.uint64(si + 1), 7)
+            s_i = int(_pick(_mix(sk, 1), _ENTITY_CDF)[0])
+            o_i = int(_pick(_mix(sk, 2), _ENTITY_CDF)[0])
+            if o_i == s_i:
+                o_i = (o_i + 1) % n_ent
+            # int() before %: numpy uint64 % python-int promotes to float64.
+            p_i = int(_mix(sk, 3)[0]) % n_pred
+            sents.append(f"{ENTITIES[s_i]} {PREDICATES[p_i]} {ENTITIES[o_i]}.")
+        text = " ".join(sents)
+        domain = DOMAINS[int(dom_idx[j])]
+        url = f"https://{domain}/page/{rid}"
+        paras = "".join(f"<p>{s}</p>" for s in sents)
+        html = (
+            f"<html><head><title>{domain} page {rid}</title>"
+            f"<script>var x={rid};</script></head><body>"
+            f"<nav><a href='/'>home</a> | <a href='/about'>about</a></nav>"
+            f"<div class=\"content\">{paras}</div>"
+            f"<footer>&copy; 2025 {domain}</footer></body></html>"
+        )
+        urls.append(url)
+        texts.append(text)
+        htmls.append(html.encode("utf-8"))
+
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.to_datetime(crawl_base + ts_off, unit="s"),
+            "html": htmls,
+            "text": texts,
+            "lang": [LANGS[i] for i in lang_idx],
+        }
+    )
+
+
+def synthesize_pages(
+    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic pages table: ``spark.range`` -> mapInPandas.
+
+    The generator runs on executors (no driver-side loop); row content
+    depends only on (seed, id), so output is identical at any
+    parallelism — required for the N vs 4N scaling comparison.
+    """
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n, 1, partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            yield _page_batch(pdf["id"].to_numpy(), seed)
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -1,0 +1,86 @@
+"""Schema dataclass validation — mirrors the reference's contract errors
+(``models/core/nodes.py:33-38``, ``relationships.py:64-69``,
+``models/core/common.py`` invalid-combination guards)."""
+
+import pytest
+
+from cartography_spark.schema import (
+    LinkDirection,
+    MatchLinkSchema,
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    TargetNodeMatcher,
+)
+
+
+def test_node_schema_requires_id():
+    with pytest.raises(TypeError, match="'id'"):
+        NodeSchema(label="X", properties={"name": PropertyRef("name")})
+
+
+def test_node_schema_rejects_reserved_props():
+    for bad in ("firstseen", "lastupdated"):
+        with pytest.raises(TypeError, match="engine-managed"):
+            NodeSchema(label="X", properties={"id": PropertyRef("id"), bad: PropertyRef(bad)})
+
+
+def test_rel_schema_rejects_reserved_props():
+    with pytest.raises(TypeError, match="engine-managed"):
+        RelSchema(
+            rel_label="R",
+            target_node_label="T",
+            target_node_matcher=TargetNodeMatcher({"id": PropertyRef("tid")}),
+            properties={"firstseen": PropertyRef("x")},
+        )
+
+
+def test_matcher_requires_keys():
+    with pytest.raises(ValueError):
+        TargetNodeMatcher({})
+
+
+def test_propertyref_invalid_combinations():
+    with pytest.raises(ValueError):
+        PropertyRef("x", one_to_many=True, set_in_kwargs=True)
+    with pytest.raises(ValueError):
+        PropertyRef("x", one_to_many=True, fuzzy_and_ignore_case=True)
+
+
+def test_propertyref_kwarg_binding_requires_param():
+    ref = PropertyRef("tag", set_in_kwargs=True)
+    with pytest.raises(KeyError):
+        ref.to_column({})
+
+
+def test_all_relationships_ordering():
+    sub = RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="Tenant",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}),
+        direction=LinkDirection.INWARD,
+    )
+    other = RelSchema(
+        rel_label="KNOWS",
+        target_node_label="X",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("xid")}),
+    )
+    s = NodeSchema(
+        label="N",
+        properties={"id": PropertyRef("id")},
+        sub_resource_relationship=sub,
+        other_relationships=(other,),
+    )
+    assert s.all_relationships == (sub, other)
+
+
+def test_matchlink_schema_validates():
+    with pytest.raises(TypeError, match="engine-managed"):
+        MatchLinkSchema(
+            rel_label="L",
+            source_node_label="A",
+            source_node_matcher=TargetNodeMatcher({"id": PropertyRef("a")}),
+            target_node_label="B",
+            target_node_matcher=TargetNodeMatcher({"id": PropertyRef("b")}),
+            properties={"lastupdated": PropertyRef("x")},
+        )
