@@ -1,0 +1,137 @@
+"""Text analysis for a large-scale training-data pipeline.
+
+Language-ID (stopword-marker heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting, and document
+fingerprinting (min-hash of word shingles — a portable rolling-window
+fingerprint).
+
+Everything here is pure ``pyspark.sql.functions`` — no Python UDFs, so
+the whole stage stays inside WholeStageCodegen and the expressions are
+reproducible in ANSI SQL for the DuckDB oracle (md5 is the only hash
+used in oracle-checked paths; it is byte-identical across engines).
+
+Reference analog: the per-row normalization layer
+(``cartography/util.py:332-357``) — the reference has no text-analytics
+of its own; this module is the training-data extension mandated by the
+build contract.
+
+Scale: all narrow, embarrassingly parallel column expressions evaluated
+in the scan stage; nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker sets (public knowledge). Order of
+# LANGS is the deterministic tie-break priority for langid.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that", "it", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "con", "por", "que"),
+    "fr": ("le", "la", "les", "est", "une", "des", "dans", "pour", "pas", "avec"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"),
+}
+LANGS = tuple(LANG_MARKERS)
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("was", "for", "on", "as", "are", "at", "be")
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (single-space split — oracle-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword count: words + digit runs + punctuation marks, each
+    long word costing ceil(len/4) units (the classic chars/4 rule)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), "\\s+")
+    word_units = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return (word_units + punct).alias("bpe_tokens")
+
+
+def _count_in(toks: Column, vocab: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*vocab)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features: n_chars, n_tokens, avg_token_len,
+    punct_ratio, stopword_ratio, quality_score (all rounded doubles so
+    the DuckDB oracle hashes identically)."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), PUNCT_CLASS, ""))
+    stop = _count_in(toks, ENGLISH_STOPWORDS)
+    avg_tok = F.round((n_chars - (n_tokens - 1)) / n_tokens, 4)
+    punct_ratio = F.round(punct / n_chars, 4)
+    stop_ratio = F.round(stop / n_tokens, 4)
+    # Heuristic quality: enough text, some stopwords, not punctuation soup.
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.1),
+        4,
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("avg_token_len", avg_tok.cast("double"))
+        .withColumn("punct_ratio", punct_ratio.cast("double"))
+        .withColumn("stopword_ratio", stop_ratio.cast("double"))
+        .withColumn("quality_score", score.cast("double"))
+    )
+
+
+def langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-break (LANGS
+    declaration order). Append ``out_col`` plus per-language marker
+    counts ``lid_<lang>``."""
+    toks = tokens(text_col)
+    out = df
+    for lang in LANGS:
+        out = out.withColumn(f"lid_{lang}", _count_in(toks, LANG_MARKERS[lang]).cast("long"))
+    # argmax with first-wins tie-break in declaration order
+    best = F.lit(LANGS[-1])
+    best_score = F.col(f"lid_{LANGS[-1]}")
+    for lang in reversed(LANGS[:-1]):
+        c = F.col(f"lid_{lang}")
+        best = F.when(c >= best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(c >= best_score, c).otherwise(best_score)
+    return out.withColumn(out_col, best)
+
+
+def word_shingles(col: Column | str, n: int = 5) -> Column:
+    """Word n-gram shingle strings (space-joined windows)."""
+    toks = tokens(col)
+    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def doc_fingerprint(col: Column | str, n: int = 5) -> Column:
+    """Rolling-window document fingerprint: min md5 over word n-gram
+    shingles. Two documents sharing any minimal window collide — the
+    1-hash special case of MinHash, portable to the SQL oracle."""
+    return F.array_min(F.transform(word_shingles(col, n), F.md5))
+
+
+def kmin_fingerprints(col: Column | str, n: int = 5, k: int = 4) -> Column:
+    """k smallest shingle hashes (bottom-k sketch) — a compact signature
+    whose overlap estimates containment."""
+    return F.slice(F.array_sort(F.array_distinct(F.transform(word_shingles(col, n), F.md5))), 1, k)

@@ -1,0 +1,123 @@
+"""Connected components over an edge DataFrame — the canonicalization
+primitive for entity linking.
+
+Alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public algorithm): each
+node repeatedly points to the minimum id in its neighborhood; converges
+in O(log n) rounds on real graphs and is expressible entirely as
+groupBy/join DataFrame ops.
+
+Reference analog: variable-length-path reachability (J8,
+``cartography/client/aws/ecr.py:23-45``) and the cross-source identity
+link job (N2, ``cartography/data/jobs/analysis/gsuite_human_link.json``)
+— canonical ids generalize the reference's email-equality identity
+linking to transitive closure.
+
+Scale notes:
+- ``localCheckpoint`` every iteration truncates the logical plan (an
+  iterative join otherwise compounds lineage exponentially);
+- convergence check is a cheap count of changed labels;
+- giant-component skew: the min-id label becomes a hot key; the
+  groupBy(min) is a partial aggregation (map-side combine) so the hot
+  key reduces to one row per partition before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return (id, component) with component = min node id reachable.
+
+    ``edges`` is undirected input (each edge counted both ways
+    internally). Isolated nodes need no rows here — every node present
+    in edges gets a label.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # label(v) = current component candidate, init = min(v, min neighbor)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
+        .select(F.col("a").alias("id"), F.least(F.col("comp"), F.col("a")).alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # propagate: new label = min over (own label, labels of neighbors)
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    # pointer-jump to the root label so components are globally minimal
+    for _ in range(max_iter):
+        jumped = (
+            labels.alias("x")
+            .join(
+                labels.select(F.col("id").alias("comp"), F.col("comp").alias("root")).alias("y"),
+                "comp",
+                "left",
+            )
+            .select("id", F.least(F.col("comp"), F.coalesce(F.col("root"), F.col("comp"))).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def canonicalize(
+    nodes: DataFrame,
+    equiv_edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Attach ``canonical_id`` to every node: the component min-id from
+    the equivalence edge set; nodes absent from any edge map to
+    themselves. This is the entity-linking canonicalization step —
+    candidate pairs (from LSH blocking / exact matchers) in,
+    stable canonical ids out."""
+    comp = connected_components(equiv_edges, src, dst)
+    return nodes.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn(
+        "canonical_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")

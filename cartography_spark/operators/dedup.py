@@ -1,0 +1,305 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash (Hamming-blocked), n-gram Jaccard, and
+embedding-cosine near-dup — each returning either surviving rows or
+confirmed duplicate pairs.
+
+Two hash families:
+- ``family="md5"`` — md5 hex strings, byte-identical in DuckDB, used
+  wherever the driver's SQL oracle must reproduce the result;
+- ``family="xxhash64"`` — Spark's JVM xxhash64, ~6x faster (no hex
+  materialization), the production path.
+
+Reference analog: A2 dedup-by-key (``cartography/intel/github/
+users.py:132-185``) and the fuzzy matcher J4 (``cartography/graph/
+querybuilder.py:139-141``) — LSH is the scale replacement for the
+quadratic CONTAINS theta-join.
+
+Scale notes:
+- every pair-generating join is an equi-join on a band/bucket key —
+  shuffle-partitionable, AQE-splittable; no cross product anywhere;
+- band-key skew (a hot shingle pattern) is bounded by ``max_bucket``:
+  buckets larger than it are dropped (standard LSH practice — a
+  bucket with B rows yields B² candidates; the same pairs are found
+  by their other bands w.h.p.);
+- candidate pairs are deduped on (id_a, id_b) BEFORE the Jaccard
+  verify so each pair is verified once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------- shingling ----------------
+
+
+def char_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased string (JVM-only;
+    oracle-portable: DuckDB list comprehension + substr)."""
+    s = F.lower(F.col(col) if isinstance(col, str) else col)
+    length = F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), length), lambda i: F.substring(s, i, F.lit(n)))
+    )
+
+
+def word_token_set(col: Column | str) -> Column:
+    return F.array_distinct(F.split(F.col(col) if isinstance(col, str) else col, " "))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+# ---------------- exact dedup ----------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (min) id and the group size. Partial aggregation makes
+    this a single map-side-combined shuffle on the 32-hex digest, never
+    on the full text bytes."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivors of exact dedup (min id per text hash wins)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------- MinHash + LSH ----------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int, family: str = "xxhash64") -> Column:
+    """minhash_i = min over shingles of h_i(shingle); h_i = seeded
+    xxhash64 (prod) or md5 of "i:shingle" (oracle-portable strings)."""
+    if family == "xxhash64":
+        return F.array(
+            *[
+                F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+                for i in range(num_hashes)
+            ]
+        )
+    if family == "md5":
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    raise ValueError(f"unknown hash family {family!r}")
+
+
+def _band_hashes(sig: Column, bands: int, rows_per_band: int, family: str) -> Column:
+    """Array of per-band bucket keys (band index encoded in the key)."""
+    def band_key(b: int) -> Column:
+        parts = [sig[b * rows_per_band + r] for r in range(rows_per_band)]
+        if family == "xxhash64":
+            return F.concat_ws("|", F.lit(str(b)), *[p.cast("string") for p in parts])
+        return F.md5(F.concat_ws("|", F.lit(str(b)), *parts))
+    return F.array(*[band_key(b) for b in range(bands)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    family: str = "xxhash64",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Confirmed near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    shingle → minhash → band → self-equi-join on band key → pair dedup
+    → exact-Jaccard verify. Columns: id_a, id_b, jaccard (double,
+    rounded 4dp for oracle hashing).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    sh = char_shingles(text_col, shingle_n)
+    sig = minhash_signature(sh, num_hashes, family)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        sh.alias("shingles"),
+        F.explode(_band_hashes(sig, bands, rpb, family)).alias("band_key"),
+    )
+    # bound bucket blowup from hot band keys (see module docstring)
+    sized = base.withColumn("__bs", F.count("*").over(Window.partitionBy("band_key")))
+    bounded = sized.where(F.col("__bs") <= max_bucket).drop("__bs")
+
+    a = bounded.alias("a")
+    b = bounded.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shingles").alias("shingles_b"),
+        F.col("band_key"),
+    ).alias("b")
+    pairs = (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("doc_id_b"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("shingles_b").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within a blocking key (e.g. same
+    source/domain). The block join is an equi-join; use when a natural
+    block exists and recall must be exact inside it. Columns: id_a,
+    id_b, jaccard."""
+    sh = char_shingles(text_col, shingle_n)
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("doc_id"),
+        sh.alias("shingles"),
+    )
+    b = base.select(
+        F.col("block"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shingles").alias("shingles_b"),
+    )
+    return (
+        base.join(b, "block")
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .withColumn("jaccard", F.round(jaccard(F.col("shingles"), F.col("shingles_b")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.col("jaccard"),
+        )
+    )
+
+
+# ---------------- SimHash ----------------
+
+
+def simhash(col: Column | str, shingle_n: int = 3, bits: int = 64) -> Column:
+    """SimHash fingerprint: per-bit majority vote of shingle xxhash64
+    bits, packed into a bigint. Pure JVM (aggregate over bit indices)."""
+    sh = char_shingles(col, shingle_n)
+    n = F.size(sh)
+    def bit_term(b: int) -> Column:
+        ones = F.size(F.filter(sh, lambda s: F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1))
+        return F.when(ones * 2 >= n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    out = bit_term(0)
+    for b in range(1, bits):
+        out = out + bit_term(b)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking by pigeonhole: split the 64-bit fingerprint into
+    ``max_hamming+1`` chunks — any pair within the distance budget
+    agrees on at least one chunk, so candidates come from equi-joins on
+    (chunk_idx, chunk_value). Columns: id_a, id_b, hamming."""
+    chunks = max_hamming + 1
+    width = -(-64 // chunks)  # ceil: every bit must be covered by a chunk
+    fp = simhash(text_col, shingle_n)
+    base = df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    mask = (1 << width) - 1
+    chunked = base.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright(F.col("fp"), c * width).bitwiseAND(F.lit(mask)).alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk"),
+    ).select("doc_id", "fp", F.col("chunk.ci").alias("ci"), F.col("chunk.cv").alias("cv"))
+    b = chunked.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("fp").alias("fp_b"), "ci", "cv"
+    )
+    return (
+        chunked.join(b, ["ci", "cv"])
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------- embedding cosine near-dup ----------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold. With ``block_col``
+    (e.g. an LSH/IVF bucket from operators.similarity) the join is an
+    equi-join on the block; without it, a full cross self-join — only
+    for small/broadcastable inputs. Columns: id_a, id_b, cosine."""
+    from cartography_spark.operators.similarity import cosine
+
+    base = df.select(
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+    )
+    b = base.select(
+        *( [F.col("block")] if block_col else [] ),
+        F.col("vid").alias("vid_b"),
+        F.col("vec").alias("vec_b"),
+    )
+    joined = base.join(b, "block") if block_col else base.crossJoin(b)
+    return (
+        joined.where(F.col("vid") < F.col("vid_b"))
+        .withColumn("cosine", F.round(cosine(F.col("vec"), F.col("vec_b")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

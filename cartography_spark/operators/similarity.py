@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`brute_force_topk` — exact cosine top-k, queries broadcast
+  against the corpus (the correctness baseline);
+- :func:`hyperplane_lsh_topk` — random-hyperplane LSH buckets: sign-bit
+  signatures, equi-join on bucket prefix, rank within bucket (the scale
+  path: candidate set ~ corpus/2^bits per query);
+- :func:`ivf_topk` — IVF-style: deterministic seed centroids, corpus
+  partitioned by nearest centroid, queries probe the ``nprobe`` nearest
+  lists.
+
+All vector math is ``F.zip_with`` / ``F.aggregate`` on JVM-side arrays
+cast to double — no Python in the hot path. Planes/centroids are tiny
+and broadcast.
+
+Scale: the corpus side never replicates; queries (small) broadcast. The
+bucket/centroid joins are shuffle equi-joins; AQE splits skewed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, neighbor_id, rank, score).
+
+    Queries are broadcast; the corpus streams through once (narrow map +
+    per-query top-k aggregation). Self-matches are excluded.
+    Deterministic tie-break: (-score, neighbor_id).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    score = cosine(F.col("qvec"), F.col("cvec"))
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score")
+    )
+
+
+def _planes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side numpy, broadcast as
+    literals — a few KB)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def _sign_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket key: concatenated sign bits of plane projections."""
+    bits = []
+    for p in planes:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    Equi-join on the bucket key (shuffle join, corpus never
+    replicated). Recall < 1 by construction; raise recall by lowering
+    ``bits`` or unioning multiple plane sets (multiprobe).
+    """
+    planes = _planes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _sign_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _sign_bits(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score")
+    )
+
+
+def assign_ivf_buckets(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    out_col: str = "ivf_bucket",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each row to its ``nprobe`` nearest centroids (one output
+    row per probe). Centroid list is tiny → pure broadcast literals."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+                    / norm(F.col(vec_col))
+                ).alias("negs"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    ranked = F.slice(F.array_sort(scored), 1, nprobe)
+    return df.withColumn(out_col, F.explode(F.transform(ranked, lambda s: s["cid"])))
+
+
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the n lowest-id vectors (a cheap,
+    reproducible stand-in for k-means training; at real scale run
+    pyspark.ml KMeans and persist the centers)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus in 1 list each, queries probe
+    ``nprobe`` lists; equi-join on list id."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    c = assign_ivf_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "cvec", cents, nprobe=1,
+    )
+    q = F.broadcast(
+        assign_ivf_buckets(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+            "qvec", cents, nprobe=nprobe,
+        )
+    )
+    scored = (
+        c.join(q, "ivf_bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "score")
+    )

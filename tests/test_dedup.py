@@ -1,0 +1,128 @@
+"""Dedup operator semantics on small fixtures, with brute-force oracles
+computed in Python (the reference's exact-set-equality test style,
+``tests/integration/util.py:11-72``)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.dedup import (
+    char_shingles,
+    drop_exact_duplicates,
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dog", "a"),  # near dup of 1
+    (4, "completely different content about spark sql engines", "b"),
+    (5, "completely different content about spark sql engines!", "b"),  # near dup of 4
+    (6, "unrelated text with no overlap whatsoever here", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(s):
+        s = s.lower()
+        return {s[i : i + n] for i in range(max(len(s) - n + 1, 1))}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_exact_dedup(docs):
+    groups = {r["canonical_id"]: r["group_size"] for r in exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert groups[1] == 2  # doc 2 collapses into 1
+    assert sum(groups.values()) == 6
+    survivors = {r["doc_id"] for r in drop_exact_duplicates(docs, "doc_id", "text").collect()}
+    assert survivors == {1, 3, 4, 5, 6}
+
+
+@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+def test_minhash_lsh_finds_near_dups(docs, family):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.6, family=family
+        ).collect()
+    }
+    # expected: all pairs with true char-3-gram jaccard >= 0.6
+    expected = {
+        (a, b)
+        for (a, ta, _), (b, tb, _) in itertools.combinations(DOCS, 2)
+        if _py_jaccard(ta, tb) >= 0.6
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (4, 5) in pairs
+    # LSH must not hallucinate pairs below threshold (verify step) and with
+    # 8 bands of 2 rows recall on these high-sim pairs is certain for dups.
+    assert pairs <= expected
+    assert expected - pairs == set()
+
+
+def test_lsh_jaccard_matches_bruteforce(docs):
+    rows = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.6).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    for (a, b), j in by_pair.items():
+        truth = _py_jaccard(DOCS[a - 1][1], DOCS[b - 1][1])
+        assert abs(j - truth) < 1e-3
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.6).collect()
+    }
+    # blocking by source: (1,2),(1,3),(2,3) in block a; (4,5) in block b
+    assert pairs == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_simhash_pairs(docs):
+    from cartography_spark.operators.dedup import simhash
+
+    budget = 12
+    # oracle: pairwise hamming of the actual fingerprints
+    fps = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", simhash("text").alias("fp")).collect()}
+    expected = {
+        (a, b): bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") <= budget
+    }
+    rows = simhash_pairs(docs, "doc_id", "text", max_hamming=budget).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    # pigeonhole blocking guarantees every within-budget pair is found
+    assert pairs == expected
+    assert pairs[(1, 2)] == 0  # identical text -> identical fingerprint
+    assert (1, 6) not in pairs and (4, 6) not in pairs
+
+
+def test_char_shingles_deterministic(spark):
+    df = spark.createDataFrame([("Hello",)], "s string")
+    got = df.select(char_shingles("s", 3).alias("sh")).collect()[0]["sh"]
+    assert sorted(got) == ["ell", "hel", "llo"]
+
+
+def test_embedding_near_dup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.99, 0.1]),     # near dup of 3
+    ]
+    df = spark.createDataFrame(vecs, "vid long, vec array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, "vid", "vec", threshold=0.98).collect()
+    }
+    assert pairs == {(1, 2), (3, 4)}

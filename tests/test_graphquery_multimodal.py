@@ -1,0 +1,112 @@
+"""Graph-pattern queries (expand / fixpoint reachability / 2-hop match),
+drift detection, analysis jobs, and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.functions.multimodal import (
+    decode_media,
+    frame_sample,
+    synthesize_media,
+)
+from cartography_spark.operators.drift import state_diff
+from cartography_spark.operators.graphquery import expand, match_path_2hop, reach_fixpoint
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # a -> b -> c -> d, plus x -> y, rel labels alternate
+    rows = [
+        ("a", "b", "R1"), ("b", "c", "R2"), ("c", "d", "R1"), ("x", "y", "R1"),
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, rel_label string")
+
+
+def test_expand_bounded(spark, edges):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"] for r in expand(seeds, edges, min_hops=1, max_hops=2).collect()}
+    assert got == {"b", "c"}
+    got3 = {r["node"] for r in expand(seeds, edges, min_hops=1, max_hops=3).collect()}
+    assert got3 == {"b", "c", "d"}
+
+
+def test_expand_rel_filter(spark, edges):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"] for r in expand(seeds, edges, 1, 3, rel_labels=["R1"]).collect()}
+    assert got == {"b"}  # R1 only: a->b, then b has no outgoing R1
+
+
+def test_reach_fixpoint(spark, edges):
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"] for r in reach_fixpoint(seeds, edges).collect()}
+    assert got == {"b", "c", "d"}
+
+
+def test_reach_fixpoint_cycle_terminates(spark):
+    cyc = spark.createDataFrame(
+        [("a", "b", "R"), ("b", "c", "R"), ("c", "a", "R")],
+        "src string, dst string, rel_label string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"] for r in reach_fixpoint(seeds, cyc).collect()}
+    assert got == {"b", "c"}
+
+
+def test_match_path_2hop(spark, edges):
+    nodes = spark.createDataFrame(
+        [("a", "L1"), ("b", "L2"), ("c", "L3"), ("d", "L1"), ("x", "L1"), ("y", "L2")],
+        "id string, label string",
+    )
+    got = match_path_2hop(nodes, edges, "R1", "R2", start_label="L1", end_label="L3").collect()
+    assert [(r["a"], r["b"], r["c"]) for r in got] == [("a", "b", "c")]
+
+
+def test_state_diff(spark):
+    s1 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], "id long, v string")
+    s2 = spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string")
+    new, missing = state_diff(s1, s2)
+    assert {tuple(r) for r in new.collect()} == {(3, "c")}
+    # exceptAll is duplicate-sensitive: one (2,b) survives in missing
+    assert sorted(tuple(r) for r in missing.collect()) == [(1, "a"), (2, "b")]
+
+
+# ---------------- multimodal ----------------
+
+
+def test_media_decode_deterministic(spark):
+    media = synthesize_media(spark, 30, seed=5)
+    a = {r["media_id"]: (r["digest"], r["width"], r["duration_ms"])
+         for r in decode_media(media).collect()}
+    b = {r["media_id"]: (r["digest"], r["width"], r["duration_ms"])
+         for r in decode_media(synthesize_media(spark, 30, seed=5).repartition(7)).collect()}
+    assert a == b  # partition-count independent
+    assert len(a) == 30
+
+
+def test_media_kinds_metadata(spark):
+    media = synthesize_media(spark, 9, seed=1)
+    rows = decode_media(media).collect()
+    for r in rows:
+        if r["kind"] == "image":
+            assert r["width"] >= 64 and r["duration_ms"] == 0
+        elif r["kind"] == "audio":
+            assert r["width"] == 0 and r["duration_ms"] >= 500
+        elif r["kind"] == "video":
+            assert r["width"] >= 64 and r["duration_ms"] >= 500
+        assert r["byte_len"] > 0
+
+
+def test_media_real_codec_is_stubbed(spark):
+    media = synthesize_media(spark, 3, seed=1)
+    with pytest.raises(Exception, match="NotImplementedError|not present"):
+        decode_media(media, codec="real").collect()
+
+
+def test_frame_sample_fanout(spark):
+    media = synthesize_media(spark, 6, seed=2).where(F.col("kind") == "video")
+    n_media = media.count()
+    frames = frame_sample(media, n_frames=4).collect()
+    assert len(frames) == 4 * n_media
+    assert {r["frame_idx"] for r in frames} == {0, 1, 2, 3}

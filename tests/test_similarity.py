@@ -1,0 +1,86 @@
+"""Similarity-search semantics: brute-force oracle in numpy, ANN
+variants checked for top-1 agreement / recall on clustered vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cartography_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+    ivf_topk,
+)
+
+DIM = 16
+N = 80
+
+
+def _vectors():
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, DIM)) * 3
+    rows = []
+    for i in range(N):
+        v = centers[i % 4] + rng.standard_normal(DIM) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_vectors(), "vec_id long, embedding array<float>").cache()
+
+
+def _np_topk(rows, qid, k):
+    M = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    q = M[list(ids).index(qid)]
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        [(float(-round(s, 4)), int(i)) for s, i in zip(sims, ids) if i != qid]
+    )
+    return [i for _, i in order[:k]]
+
+
+def test_brute_force_matches_numpy(spark, corpus):
+    rows = _vectors()
+    queries = corpus.where("vec_id < 3")
+    got = brute_force_topk(corpus, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in (0, 1, 2):
+        assert by_q[q] == _np_topk(rows, q, 5)
+
+
+def test_lsh_topk_subset_of_bucket_and_ranked(spark, corpus):
+    queries = corpus.where("vec_id < 3")
+    got = hyperplane_lsh_topk(corpus, queries, k=5, bits=4, dim=DIM)
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+    # clustered data + 4 bits: the true top-1 (same cluster) should be
+    # found for most queries
+    rows_all = _vectors()
+    hits = 0
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q, neigh in by_q.items():
+        if neigh and neigh[0] == _np_topk(rows_all, q, 1)[0]:
+            hits += 1
+    assert hits >= max(1, len(by_q) - 1)
+
+
+def test_ivf_topk_recall(spark, corpus):
+    queries = corpus.where("vec_id < 4")
+    got = ivf_topk(corpus, queries, k=3, n_centroids=8, nprobe=4)
+    rows_all = _vectors()
+    by_q = {}
+    for r in sorted(got.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3}
+    # top-1 recall with 4/8 lists probed on well-separated clusters
+    hits = sum(1 for q, n in by_q.items() if n[0] == _np_topk(rows_all, q, 1)[0])
+    assert hits >= 3
