@@ -1,38 +1,42 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction flow on sf0.001;
+``queries``/``oracle_sql`` expose the operator catalog (one entry per
+implemented operator family from SURVEY.md §2) with DuckDB oracle SQL
+twins — see ``cartography_spark/queries/``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: documents -> mention triples -> entity-link
+    to a vocabulary -> aggregated KG edge weights per (source, term)."""
+    from cartography_spark.functions.triples import extract_mentions
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    return (
+        mentions.join(docs.select("doc_id", "source"), mentions["subj_id"] == F.col("doc_id"))
+        .groupBy("source", "obj")
+        .agg(F.sum("n_mentions").alias("weight"), F.count("*").alias("n_docs"))
+        .orderBy(F.col("weight").desc(), "source", "obj")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cartography_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cartography_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,593 @@
+"""Query catalog: one entry per implemented operator family from
+SURVEY.md §2, each with a DuckDB-oracle ANSI SQL twin.
+
+Every callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column NAMES and VALUES match the oracle SQL exactly (the driver sorts
+columns by name and value-hashes order-insensitively). Conventions for
+cross-engine determinism:
+
+- aggregates of doubles are ``round(x, d)`` in BOTH engines;
+- timestamps are formatted to strings (session TZ is UTC; DuckDB is
+  TZ-naive — same wall-clock text);
+- hashes are md5 (byte-identical hex in both engines) — never
+  xxhash64 in oracle-checked paths;
+- deterministic tie-breaks on every window/rank.
+
+Operator coverage map (SURVEY §2 row -> query):
+  U1 MERGE upsert        -> kg_node_merge_u1
+  C1 staleness anti-join -> kg_cleanup_stale_c1
+  J2 equi rel-join       -> kg_link_exact_j2
+  J3 ignore_case join    -> kg_link_ignorecase_j3
+  J4 fuzzy contains      -> kg_link_fuzzy_j4
+  J5 one_to_many         -> kg_link_one_to_many_j5
+  J7 matchlink           -> kg_matchlink_j7
+  J8 multi-hop/var-len   -> join_multihop_j8, kg_var_length_path_j8
+  A1 group aggregate     -> agg_events_a1, agg_pricing_summary
+  A2 dedup last-wins     -> agg_dedup_lastwins_a2
+  O1 order/top-k         -> agg_window_topk_o1
+  X1 union               -> set_union_x1
+  X2 drift set-diff      -> set_drift_x2
+  S2 incremental window  -> incremental_watermark_s2
+  N1 exposure analysis   -> kg_exposure_analysis_n1
+  N2/CC canonicalization -> kg_cc_canonical
+  T2 fan-out extraction  -> kg_bigram_triples, kg_mention_triples
+  Training-data ops      -> dedup_*, text_*, sim_*
+  (rows-only, non-SQL)   -> kg_flagship_pipeline, multimodal_features
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# KG core semantics
+# ---------------------------------------------------------------------------
+
+
+def kg_node_merge_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 MERGE: old graph = customers with bal<=800 loaded at tag 1000;
+    run 2000 re-loads customers with bal>500 (bal+100). firstseen
+    preserved on update, set on create; lastupdated stamped on touch."""
+    from cartography_spark.store.graphstore import NODES_SCHEMA, merge_frames
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    cust = _t(spark, sf_dir, "customer")
+    old = cust.where(F.col("c_acctbal") <= 800).select(
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("id"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("string").alias("scope_id"),
+        F.to_timestamp(F.from_unixtime(F.lit(1000))).alias("firstseen"),
+        F.lit(1000).cast("long").alias("lastupdated"),
+        F.create_map(F.lit("bal"), F.col("c_acctbal").cast("string")).alias("props"),
+    )
+    new = cust.where(F.col("c_acctbal") > 500).select(
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("id"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(None).cast("string").alias("scope_id"),
+        F.create_map(F.lit("bal"), (F.col("c_acctbal") + 100).cast("string")).alias("props"),
+    )
+    cols = [f.name for f in NODES_SCHEMA.fields]
+    merged = merge_frames(old, new, ["label", "id"], cols, 2000)
+    return merged.select(
+        F.col("id"),
+        F.col("lastupdated"),
+        F.unix_timestamp("firstseen").alias("firstseen_epoch"),
+        F.round(F.element_at("props", "bal").cast("double"), 2).alias("bal"),
+    )
+
+
+def kg_cleanup_stale_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 staleness sweep: nodes = all customers; the new run touches only
+    customers having orders. The anti-join yields the doomed (stale) set
+    per nation — the distributed replacement for the LIMIT-100 delete
+    loop."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    touched = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select("o_custkey").distinct()
+    stale = cust.join(touched, cust["c_custkey"] == touched["o_custkey"], "left_anti")
+    return (
+        stale.join(F.broadcast(nation), stale["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_stale"))
+    )
+
+
+def kg_link_exact_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 equi rel-join: event actors attach to Customer target nodes by
+    key; unmatched actors drop (inner = the reference's CALL{} null
+    tolerance)."""
+    events = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        events.select("user_id").distinct()
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .select(
+            F.concat(F.lit("U"), F.col("user_id")).alias("src"),
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("dst"),
+            F.lit("ACTS_AS").alias("rel_label"),
+        )
+    )
+
+
+def kg_link_ignorecase_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 case-insensitive matcher join (matcher_join with
+    ignore_case=True PropertyRef)."""
+    from cartography_spark.operators.linking import matcher_join
+    from cartography_spark.schema.common import PropertyRef
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = spark.createDataFrame(
+        [("Building",), ("mACHINERY",), ("AutoMobile",)], "seg string"
+    )
+    joined = matcher_join(
+        cust.withColumnRenamed("c_mktsegment", "segment"),
+        dim,
+        {"seg": PropertyRef("segment", ignore_case=True)},
+    )
+    return joined.select(
+        F.col("c_custkey").alias("c_custkey"), F.col("__t_seg").alias("seg")
+    )
+
+
+def kg_link_fuzzy_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 fuzzy CONTAINS theta-join (broadcast small side)."""
+    from cartography_spark.operators.linking import matcher_join
+    from cartography_spark.schema.common import PropertyRef
+
+    part = _t(spark, sf_dir, "part")
+    dim = spark.createDataFrame([("econ",), ("Stand",), ("LARG",), ("med",)], "frag string")
+    joined = matcher_join(
+        F.broadcast(dim), part.select("p_partkey", "p_type"),
+        {"p_type": PropertyRef("frag", fuzzy_and_ignore_case=True)},
+    )
+    return joined.select(F.col("__t_p_partkey").alias("p_partkey"), F.col("frag"))
+
+
+def kg_link_one_to_many_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 one_to_many: the item field is a LIST (words of the doc);
+    explode + equi-join to the target vocab nodes."""
+    from cartography_spark.operators.linking import matcher_join
+    from cartography_spark.schema.common import PropertyRef
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    vocab = spark.createDataFrame(
+        [("spark", 1), ("join", 2), ("merge", 3)], "word string, word_id int"
+    )
+    joined = matcher_join(docs, vocab, {"word": PropertyRef("words", one_to_many=True)})
+    return joined.select(
+        "doc_id", F.col("__t_word").alias("word"), F.col("__t_word_id").alias("word_id")
+    )
+
+
+def kg_matchlink_j7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 MatchLink: lineitem rows are edge candidates between two
+    already-loaded node sets (Supplier, Part); rows missing either
+    endpoint drop via the two inner joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("rel_label", F.lit("SUPPLIES"))
+    )
+
+
+def kg_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization: nations are equivalent when
+    they share a region; canonical id = component min (runs the real
+    large-star/small-star loop)."""
+    from cartography_spark.operators.components import canonicalize, connected_components
+
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rk"))
+    b = nation.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rk"))
+    edges = a.join(b, "rk").where(F.col("src") < F.col("dst")).select("src", "dst")
+    nodes = nation.select(F.col("n_nationkey").cast("long").alias("id"))
+    out = canonicalize(nodes, edges.select(F.col("src").cast("long"), F.col("dst").cast("long")))
+    return out.select(F.col("id"), F.col("canonical_id").alias("component"))
+
+
+def kg_var_length_path_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 bounded var-length path [*1..2]: customer -> nation -> region
+    over a unified string-id edge set, using the real expand() loop."""
+    from cartography_spark.operators.graphquery import expand
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    e1 = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+        F.lit("IN").alias("rel_label"),
+    )
+    e2 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+        F.lit("IN").alias("rel_label"),
+    )
+    edges = e1.unionByName(e2)
+    seeds = cust.where(F.col("c_custkey") < 10).select(
+        F.concat(F.lit("C"), F.col("c_custkey")).alias("node")
+    )
+    return expand(seeds, edges, min_hops=1, max_hops=2)
+
+
+def kg_exposure_analysis_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 exposure propagation: seed EUROPE region, propagate 2 hops
+    (region->nation->customer) with provenance path, via the real
+    analysis-job operator."""
+    from cartography_spark.pipeline.analysis import exposure_propagation
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    empty_props = F.expr("map()").cast("map<string,string>")
+    nodes = (
+        region.select(F.lit("Region").alias("label"), F.concat(F.lit("R"), "r_regionkey").alias("id"), F.col("r_name").alias("name"))
+        .unionByName(nation.select(F.lit("Nation").alias("label"), F.concat(F.lit("N"), "n_nationkey").alias("id"), F.col("n_name").alias("name")))
+        .unionByName(cust.select(F.lit("Customer").alias("label"), F.concat(F.lit("C"), "c_custkey").alias("id"), F.col("c_name").alias("name")))
+        .withColumn("props", empty_props)
+    )
+    edges = (
+        nation.select(F.concat(F.lit("R"), "n_regionkey").alias("src"), F.concat(F.lit("N"), "n_nationkey").alias("dst"), F.lit("HAS_NATION").alias("rel_label"))
+        .unionByName(cust.select(F.concat(F.lit("N"), "c_nationkey").alias("src"), F.concat(F.lit("C"), "c_custkey").alias("dst"), F.lit("HAS_CUSTOMER").alias("rel_label")))
+    )
+    seed = (F.col("label") == "Region") & (F.col("name") == "EUROPE")
+    out = exposure_propagation(
+        nodes.select("label", "id", "props", "name"), edges, seed,
+        ["HAS_NATION", "HAS_CUSTOMER"], hops=2,
+    )
+    return out.where(F.element_at("props", "exposed") == "true").select(
+        "id", F.element_at("props", "exposed_via").alias("via")
+    )
+
+
+def kg_mention_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/UDTF fan-out: JVM-only mention-triple extraction over the
+    documents corpus (split -> explode -> vocab filter -> count)."""
+    from cartography_spark.functions.triples import extract_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash"]
+    return extract_mentions(docs, "doc_id", "text", vocab).withColumnRenamed(
+        "subj_id", "doc_id"
+    )
+
+
+def kg_bigram_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 fan-out triple extraction: corpus-wide (subj, precedes, obj)
+    bigram triples with counts — the aggregated KG edge-weight shape."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    vocab = ["spark", "join", "merge", "filter"]
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("subj"),
+                    F.element_at(toks, i + 1).alias("obj"),
+                ),
+            )
+        ).alias("p")
+    ).where(F.size(F.split("text", " ")) >= 2)
+    return (
+        pairs.select(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
+        .where(F.col("subj").isin(vocab))
+        .groupBy("subj", "obj")
+        .agg(F.count("*").alias("n"))
+        .withColumn("pred", F.lit("precedes"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows / set ops / incremental
+# ---------------------------------------------------------------------------
+
+
+def agg_events_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per (user, event_type): times_used / first_seen / last_used —
+    the cloudtrail principal-pair aggregation shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("times_used"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_used"),
+    )
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 wide aggregate (TPC-H q1 shape) with map-side partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def agg_dedup_lastwins_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 dedup-by-key last-wins: the latest event per user wins."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+def agg_window_topk_o1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 ordered top-k per group (rank window, deterministic ties)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+def join_multihop_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 chained equi-joins: revenue per nation through
+    lineitem->orders->customer->nation (broadcast the small dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (cleanup's core op) as a standalone query: customers
+    with no orders, counted per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+
+
+def set_union_x1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 UNION of subquery branches (distinct union)."""
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    a = cust.where(F.col("c_acctbal") > 900).select(
+        F.concat(F.lit("C"), "c_custkey").alias("entity")
+    )
+    b = ev.where(F.col("event_type") == "signup").select(
+        F.concat(F.lit("C"), "user_id").alias("entity")
+    )
+    return a.union(b).distinct()
+
+
+def set_drift_x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 drift detection: duplicate-sensitive set difference both ways
+    between two query states, via the real state_diff operator."""
+    from cartography_spark.operators.drift import state_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    start = orders.where(F.col("o_orderdate") < F.lit("1998-01-01")).select("o_orderkey")
+    end = orders.where(F.col("o_totalprice") > 50).select("o_orderkey")
+    new, missing = state_diff(start, end)
+    return new.withColumn("change", F.lit("added")).unionByName(
+        missing.withColumn("change", F.lit("removed"))
+    )
+
+
+def incremental_watermark_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 incremental window: high-water mark from the last 'signup'
+    before Jan 15, then read only newer events of that user cohort."""
+    ev = _t(spark, sf_dir, "events")
+    hwm = ev.where(
+        (F.col("event_type") == "signup") & (F.col("ts") < F.lit("2024-01-15"))
+    ).agg(F.max("ts").alias("hwm"))
+    return (
+        ev.join(F.broadcast(hwm))
+        .where((F.col("ts") > F.col("hwm")) & (F.col("event_type") == "signup"))
+        .select("event_id", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.dedup import exact_dedup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=8, bands=4, threshold=0.6,
+        family="md5", max_bucket=100000,
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", "lang", shingle_n=3, threshold=0.6)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.textstats import langid
+
+    docs = _t(spark, sf_dir, "documents")
+    return langid(docs).select("doc_id", "lid_en", "lid_de", "lid_es", "lid_fr", "lid_zh", "lang_pred")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.textstats import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text", n=5).alias("fingerprint"))
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.functions.textstats import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cartography_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (non-SQL-expressible: full pipeline / media)
+# ---------------------------------------------------------------------------
+
+
+def kg_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end KG build on a synthesized pages batch: html -> text
+    (byte-identical extraction) -> (s,p,o) triples -> aggregated edge
+    weights. No SQL oracle: input is the deterministic generator, not a
+    registered view."""
+    from cartography_spark.functions.textextract import extract_text
+    from cartography_spark.functions.triples import extract_triples
+    from cartography_spark.sources.pages import synthesize_pages
+
+    n = 2000 if "0.1" in sf_dir else 500
+    pages = synthesize_pages(spark, n, seed=42)
+    text = extract_text(pages.drop("text"), "html", "text")
+    triples = extract_triples(text)
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "subj", "pred", "obj")
+        .limit(100)
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media decode plumbing (stubbed codec): per-kind feature stats.
+    No SQL oracle: binary payloads live only in the generator."""
+    from cartography_spark.functions.multimodal import decode_media, synthesize_media
+
+    media = synthesize_media(spark, 300, seed=42)
+    feats = decode_media(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.min("digest").alias("min_digest"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_node_merge_u1": kg_node_merge_u1,
+    "kg_cleanup_stale_c1": kg_cleanup_stale_c1,
+    "kg_link_exact_j2": kg_link_exact_j2,
+    "kg_link_ignorecase_j3": kg_link_ignorecase_j3,
+    "kg_link_fuzzy_j4": kg_link_fuzzy_j4,
+    "kg_link_one_to_many_j5": kg_link_one_to_many_j5,
+    "kg_matchlink_j7": kg_matchlink_j7,
+    "kg_cc_canonical": kg_cc_canonical,
+    "kg_var_length_path_j8": kg_var_length_path_j8,
+    "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
+    "kg_mention_triples": kg_mention_triples,
+    "kg_bigram_triples": kg_bigram_triples,
+    "agg_events_a1": agg_events_a1,
+    "agg_pricing_summary": agg_pricing_summary,
+    "agg_dedup_lastwins_a2": agg_dedup_lastwins_a2,
+    "agg_window_topk_o1": agg_window_topk_o1,
+    "join_multihop_j8": join_multihop_j8,
+    "join_semi_anti": join_semi_anti,
+    "set_union_x1": set_union_x1,
+    "set_drift_x2": set_drift_x2,
+    "incremental_watermark_s2": incremental_watermark_s2,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_token_count": text_token_count,
+    "sim_topk_brute": sim_topk_brute,
+    "sim_embedding_near_dup": sim_embedding_near_dup,
+    "kg_flagship_pipeline": kg_flagship_pipeline,
+    "multimodal_features": multimodal_features,
+}

@@ -1,0 +1,330 @@
+"""DuckDB oracle SQL twins for the query catalog.
+
+Each string is ANSI-ish SQL the driver runs in DuckDB over the same
+parquet tables (pre-registered views). Column names/aliases match the
+Spark plans in catalog.py exactly; doubles are rounded identically;
+hashes are md5 (hex-identical across engines).
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["kg_node_merge_u1"] = """
+SELECT CAST(c_custkey AS VARCHAR) AS id,
+       CAST(CASE WHEN c_acctbal > 500 THEN 2000 ELSE 1000 END AS BIGINT) AS lastupdated,
+       CAST(CASE WHEN c_acctbal <= 800 THEN 1000 ELSE 2000 END AS BIGINT) AS firstseen_epoch,
+       ROUND(CASE WHEN c_acctbal > 500 THEN c_acctbal + 100 ELSE c_acctbal END, 2)::DOUBLE AS bal
+FROM customer
+WHERE c_acctbal <= 800 OR c_acctbal > 500
+"""
+
+ORACLES["kg_cleanup_stale_c1"] = """
+SELECT n.n_name AS n_name, COUNT(*) AS n_stale
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name
+"""
+
+ORACLES["kg_link_exact_j2"] = """
+SELECT 'U' || CAST(u.user_id AS VARCHAR) AS src,
+       'C' || CAST(c.c_custkey AS VARCHAR) AS dst,
+       'ACTS_AS' AS rel_label
+FROM (SELECT DISTINCT user_id FROM events) u
+JOIN customer c ON u.user_id = c.c_custkey
+"""
+
+ORACLES["kg_link_ignorecase_j3"] = """
+WITH dim(seg) AS (VALUES ('Building'), ('mACHINERY'), ('AutoMobile'))
+SELECT c.c_custkey AS c_custkey, d.seg AS seg
+FROM customer c JOIN dim d ON lower(c.c_mktsegment) = lower(d.seg)
+"""
+
+ORACLES["kg_link_fuzzy_j4"] = """
+WITH dim(frag) AS (VALUES ('econ'), ('Stand'), ('LARG'), ('med'))
+SELECT p.p_partkey AS p_partkey, d.frag AS frag
+FROM part p JOIN dim d ON strpos(lower(p.p_type), lower(d.frag)) > 0
+"""
+
+ORACLES["kg_link_one_to_many_j5"] = """
+WITH vocab(word, word_id) AS (VALUES ('spark', 1), ('join', 2), ('merge', 3)),
+w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT w.doc_id AS doc_id, v.word AS word, v.word_id AS word_id
+FROM w JOIN vocab v ON w.word = v.word
+"""
+
+ORACLES["kg_matchlink_j7"] = """
+SELECT 'S' || CAST(s.s_suppkey AS VARCHAR) AS src,
+       'P' || CAST(p.p_partkey AS VARCHAR) AS dst,
+       COUNT(*) AS n,
+       'SUPPLIES' AS rel_label
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2
+"""
+
+ORACLES["kg_cc_canonical"] = """
+SELECT CAST(n_nationkey AS BIGINT) AS id,
+       CAST(MIN(n_nationkey) OVER (PARTITION BY n_regionkey) AS BIGINT) AS component
+FROM nation
+"""
+
+ORACLES["kg_var_length_path_j8"] = """
+SELECT 'N' || CAST(c_nationkey AS VARCHAR) AS node
+FROM customer WHERE c_custkey < 10
+UNION
+SELECT 'R' || CAST(n.n_regionkey AS VARCHAR) AS node
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey < 10
+"""
+
+ORACLES["kg_exposure_analysis_n1"] = """
+WITH eu AS (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS id, 'seed' AS via FROM eu
+UNION ALL
+SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS id, 'seed->HAS_NATION' AS via
+FROM nation WHERE n_regionkey IN (SELECT r_regionkey FROM eu)
+UNION ALL
+SELECT 'C' || CAST(c_custkey AS VARCHAR) AS id, 'seed->HAS_NATION->HAS_CUSTOMER' AS via
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey IN (SELECT r_regionkey FROM eu)
+"""
+
+ORACLES["kg_mention_triples"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents)
+SELECT doc_id AS doc_id, 'mentions' AS pred, obj AS obj, COUNT(*) AS n_mentions
+FROM toks
+WHERE obj IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash')
+GROUP BY doc_id, obj
+"""
+
+ORACLES["kg_bigram_triples"] = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE len(string_split(text, ' ')) >= 2),
+p AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+SELECT toks[i] AS subj, toks[i + 1] AS obj, COUNT(*) AS n, 'precedes' AS pred
+FROM p
+WHERE toks[i] IN ('spark', 'join', 'merge', 'filter')
+GROUP BY 1, 2
+"""
+
+ORACLES["agg_events_a1"] = """
+SELECT user_id AS user_id, event_type AS event_type, COUNT(*) AS times_used,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_used
+FROM events GROUP BY user_id, event_type
+"""
+
+ORACLES["agg_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)::DOUBLE AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_disc_price,
+       ROUND(AVG(l_discount), 4)::DOUBLE AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["agg_dedup_lastwins_a2"] = """
+SELECT user_id AS user_id, event_type AS last_event_type,
+       ROUND(value, 2)::DOUBLE AS last_value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+ORACLES["agg_window_topk_o1"] = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2)::DOUBLE AS o_totalprice,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+WHERE rn <= 3
+"""
+
+ORACLES["join_multihop_j8"] = """
+SELECT n.n_name AS n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+ORACLES["join_semi_anti"] = """
+SELECT n.n_name AS n_name, COUNT(*) AS n_without_orders
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+"""
+
+ORACLES["set_union_x1"] = """
+SELECT 'C' || CAST(c_custkey AS VARCHAR) AS entity FROM customer WHERE c_acctbal > 900
+UNION
+SELECT 'C' || CAST(user_id AS VARCHAR) AS entity FROM events WHERE event_type = 'signup'
+"""
+
+ORACLES["set_drift_x2"] = """
+WITH s AS (SELECT o_orderkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+     e AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 50)
+SELECT o_orderkey, 'added' AS change FROM (SELECT * FROM e EXCEPT ALL SELECT * FROM s)
+UNION ALL
+SELECT o_orderkey, 'removed' AS change FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM e)
+"""
+
+ORACLES["incremental_watermark_s2"] = """
+WITH hwm AS (SELECT MAX(ts) AS hwm FROM events
+             WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-15')
+SELECT e.event_id AS event_id, e.user_id AS user_id
+FROM events e, hwm
+WHERE e.ts > hwm.hwm AND e.event_type = 'signup'
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+# MinHash-LSH with the md5 hash family, replicated step for step:
+# distinct char-3-gram shingles -> 8 minhashes (min md5 of "i:shingle")
+# -> 4 bands of 2 -> band-key self-join -> pair dedup -> exact Jaccard
+# verify at 0.6.
+ORACLES["dedup_minhash_lsh"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), i, 3)
+                        FOR i IN generate_series(1, greatest(len(text) - 2, 1))]) AS sh
+  FROM documents
+),
+sg AS (
+  SELECT doc_id, sh,
+         [list_min([md5(CAST(h AS VARCHAR) || ':' || s) FOR s IN sh])
+          FOR h IN generate_series(0, 7)] AS sig
+  FROM d
+),
+bd AS (
+  SELECT doc_id,
+         unnest([md5(CAST(b AS VARCHAR) || '|' || sig[2 * b + 1] || '|' || sig[2 * b + 2])
+                 FOR b IN generate_series(0, 3)]) AS band_key
+  FROM sg
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       ROUND(len(list_intersect(da.sh, db.sh))::DOUBLE
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4)::DOUBLE AS jaccard
+FROM cand c
+JOIN d da ON da.doc_id = c.id_a
+JOIN d db ON db.doc_id = c.id_b
+WHERE ROUND(len(list_intersect(da.sh, db.sh))::DOUBLE
+            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.6
+"""
+
+ORACLES["dedup_ngram_jaccard"] = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct([substr(lower(text), i, 3)
+                        FOR i IN generate_series(1, greatest(len(text) - 2, 1))]) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)::DOUBLE AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.6
+"""
+
+ORACLES["text_quality"] = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','is','to','in','that','it','with',
+                        'was','for','on','as','are','at','be'))) AS stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars_calc, n_tokens,
+         ROUND((n_chars_calc - (n_tokens - 1)) / n_tokens, 4)::DOUBLE AS avg_token_len,
+         ROUND(punct / n_chars_calc, 4)::DOUBLE AS punct_ratio,
+         ROUND(stop / n_tokens, 4)::DOUBLE AS stopword_ratio
+  FROM f
+)
+SELECT doc_id, n_chars_calc, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+       ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+             + least(stopword_ratio * 5.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 4)::DOUBLE AS quality_score
+FROM r
+"""
+
+ORACLES["text_langid"] = """
+WITH c AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in','that','it','with'))) AS BIGINT) AS lid_en,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS BIGINT) AS lid_de,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','las','es','un','una','con','por','que'))) AS BIGINT) AS lid_es,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','est','une','des','dans','pour','pas','avec'))) AS BIGINT) AS lid_fr,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN ('de','shi','le','zai','you','wo','ta','men','zhe','bu'))) AS BIGINT) AS lid_zh
+  FROM documents
+)
+SELECT doc_id, lid_en, lid_de, lid_es, lid_fr, lid_zh,
+  CASE WHEN lid_en >= lid_de AND lid_en >= lid_es AND lid_en >= lid_fr AND lid_en >= lid_zh THEN 'en'
+       WHEN lid_de >= lid_es AND lid_de >= lid_fr AND lid_de >= lid_zh THEN 'de'
+       WHEN lid_es >= lid_fr AND lid_es >= lid_zh THEN 'es'
+       WHEN lid_fr >= lid_zh THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM c
+"""
+
+ORACLES["text_fingerprint"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_min([md5(array_to_string(list_slice(toks, i, i + 4), ' '))
+                 FOR i IN generate_series(1, greatest(len(toks) - 4, 1))]) AS fingerprint
+FROM t
+"""
+
+ORACLES["text_token_count"] = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(list_aggregate([CAST(ceil(len(w) / 4.0) AS BIGINT)
+                            FOR w IN regexp_split_to_array(trim(text), '\\s+')], 'sum')
+            + len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+ORACLES["sim_topk_brute"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])))), 4)::DOUBLE AS score
+  FROM q, c WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank FROM s) t
+WHERE rank <= 5
+"""
+
+ORACLES["sim_embedding_near_dup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)::DOUBLE AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+"""

@@ -1,3 +1,8 @@
-from cartography_spark.store.graphstore import GraphStore, NODES_SCHEMA, EDGES_SCHEMA
+from cartography_spark.store.graphstore import (
+    EDGES_SCHEMA,
+    GraphStore,
+    NODES_SCHEMA,
+    merge_frames,
+)
 
-__all__ = ["GraphStore", "NODES_SCHEMA", "EDGES_SCHEMA"]
+__all__ = ["GraphStore", "NODES_SCHEMA", "EDGES_SCHEMA", "merge_frames"]

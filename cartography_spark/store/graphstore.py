@@ -72,6 +72,58 @@ _NODE_KEY = ["label", "id"]
 _EDGE_KEY = ["rel_label", "src", "dst"]
 
 
+def merge_frames(
+    old: DataFrame,
+    new: DataFrame,
+    key: list[str],
+    cols: list[str],
+    update_tag: int,
+) -> DataFrame:
+    """The pure MERGE plan (U1/U2 semantics) as a DataFrame op:
+    full-outer join on ``key``; ``firstseen`` preserved on update, set to
+    the run timestamp on create; ``lastupdated`` stamped only on touched
+    rows; ``props`` merged LAST_WIN (declared keys overwrite, undeclared
+    retained). ``new`` must already have unique keys. Extracted from the
+    store so query plans can reuse MERGE semantics without a write —
+    on Iceberg this exact plan is what MERGE INTO executes."""
+    run_ts = F.to_timestamp(F.from_unixtime(F.lit(int(update_tag))))
+    new = new.withColumn("__new", F.lit(True))
+    old = old.withColumn("__old", F.lit(True))
+    j = old.alias("o").join(new.alias("n"), key, "full_outer")
+    is_new = F.col("n.__new").isNotNull()
+    is_old = F.col("o.__old").isNotNull()
+
+    def merged(c: str) -> F.Column:
+        if c in key:
+            return F.col(c)
+        if c == "firstseen":
+            return F.coalesce(F.col("o.firstseen"), run_ts).alias(c)
+        if c == "lastupdated":
+            return (
+                F.when(is_new, F.lit(int(update_tag))).otherwise(F.col("o.lastupdated")).alias(c)
+            )
+        if c == "props":
+            return (
+                F.when(
+                    is_new & is_old,
+                    F.map_concat(
+                        F.coalesce(F.col("o.props"), F.expr("map()")),
+                        F.coalesce(F.col("n.props"), F.expr("map()")),
+                    ),
+                )
+                .when(is_new, F.col("n.props"))
+                .otherwise(F.col("o.props"))
+                .alias(c)
+            )
+        return (
+            F.when(is_new, F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")))
+            .otherwise(F.col(f"o.{c}"))
+            .alias(c)
+        )
+
+    return j.select(*[merged(c) for c in cols])
+
+
 class GraphStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -177,42 +229,18 @@ class GraphStore:
         update_tag: int,
         partition_col: str,
     ) -> dict[str, int]:
-        run_ts = F.to_timestamp(F.from_unixtime(F.lit(int(update_tag))))
         cols = [f.name for f in schema.fields]
         managed = {"firstseen", "lastupdated"}
         new = self._dedupe(updates, key)
         for f in schema.fields:
             if f.name not in new.columns and f.name not in managed:
                 new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
-        new = new.withColumn("__new", F.lit(True))
-        old = self._read(table, schema).withColumn("__old", F.lit(True))
-
-        j = old.alias("o").join(new.alias("n"), key, "full_outer")
-        is_new = F.col("n.__new").isNotNull()
-        is_old = F.col("o.__old").isNotNull()
-
-        def merged(c: str) -> F.Column:
-            if c in key:
-                return F.col(c)
-            if c == "firstseen":
-                return F.coalesce(F.col("o.firstseen"), run_ts).alias(c)
-            if c == "lastupdated":
-                return F.when(is_new, F.lit(int(update_tag))).otherwise(F.col("o.lastupdated")).alias(c)
-            if c == "props":
-                return (
-                    F.when(
-                        is_new & is_old, F.map_concat(F.coalesce(F.col("o.props"), F.expr("map()")), F.coalesce(F.col("n.props"), F.expr("map()")))
-                    )
-                    .when(is_new, F.col("n.props"))
-                    .otherwise(F.col("o.props"))
-                    .alias(c)
-                )
-            return F.when(is_new, F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}"))).otherwise(F.col(f"o.{c}")).alias(c)
+        old = self._read(table, schema)
 
         from pyspark.sql import Observation
 
         obs = Observation(f"merge_{table}")
-        result = j.select(*[merged(c) for c in cols]).observe(
+        result = merge_frames(old, new, key, cols, update_tag).observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
         )

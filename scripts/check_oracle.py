@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every catalog
+query on Spark AND its DuckDB oracle at sf0.01, compare row count,
+column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cartography_spark.queries import ORACLES, QUERIES
+from cartography_spark.session import get_spark
+
+TABLES = ("region nation customer supplier part orders lineitem events documents embeddings").split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        sql = ORACLES.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(sql)
+            d_cols = [c for c in rel.columns]
+            d_rows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0]}")
+            continue
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            ok = False
+            print(f"FAIL  {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        elif len(s_rows) != len(d_rows):
+            ok = False
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        else:
+            a = norm_rows(s_cols, s_rows)
+            b = norm_rows(d_cols, d_rows)
+            if a != b:
+                ok = False
+                diff_a = [r for r in a if r not in set(map(tuple, b))][:3]
+                diff_b = [r for r in b if r not in set(map(tuple, a))][:3]
+                print(f"FAIL  {name}: value mismatch; spark-only={diff_a} duck-only={diff_b}")
+        if ok:
+            print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
