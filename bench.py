@@ -1,0 +1,140 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "triples_per_sec": ..., "pages_per_sec": ...}
+
+The KG flagship (synthesize pages -> byte-exact text extraction ->
+triple extraction -> aggregate) reports the north-rule throughput
+(triples/sec); the catalog headliners cover the operator families.
+Results are materialized with the noop sink (full execution, no driver
+collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from cartography_spark.queries import QUERIES
+from cartography_spark.session import get_spark
+
+HEADLINE = [
+    "kg_flagship_pipeline",
+    "kg_node_merge_u1",
+    "kg_matchlink_j7",
+    "kg_cc_canonical",
+    "kg_exposure_analysis_n1",
+    "kg_bigram_triples",
+    "agg_events_a1",
+    "agg_pricing_summary",
+    "join_multihop_j8",
+    "set_drift_x2",
+    "dedup_exact",
+    "dedup_minhash_lsh_prod",
+    "text_quality",
+    "text_langid",
+    "sim_topk_brute",
+    "multimodal_features",
+]
+
+FLAGSHIP_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+
+def dedup_minhash_lsh_prod(spark, sf_dir):
+    """Production LSH config: xxhash64 family (JVM-side, no hex
+    strings), 4-row bands (candidate rate j^4, not j^2), bounded
+    buckets. The catalog's md5/2-row variant exists for oracle parity,
+    not throughput."""
+    from cartography_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, num_hashes=32, bands=4, threshold=0.8,
+        family="xxhash64", max_bucket=500,
+    )
+
+
+BENCH_QUERIES = dict(QUERIES)
+BENCH_QUERIES["dedup_minhash_lsh_prod"] = dedup_minhash_lsh_prod
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_flagship(spark, n_pages: int) -> dict:
+    """pages -> text -> triples -> canonical edge weights; returns
+    throughput numbers for the north rule."""
+    from pyspark.sql import Observation
+
+    from cartography_spark.functions.textextract import extract_text
+    from cartography_spark.functions.triples import extract_triples
+    from cartography_spark.sources.pages import synthesize_pages
+
+    t0 = time.time()
+    pages = synthesize_pages(spark, n_pages, seed=42)
+    text = extract_text(pages.drop("text"), "html", "text")
+    obs = Observation("triples")
+    triples = extract_triples(text).observe(obs, F.count(F.lit(1)).alias("n"))
+    agg = triples.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n"))
+    materialize(agg)
+    wall = time.time() - t0
+    n_triples = obs.get["n"]
+    return {
+        "pages": n_pages,
+        "triples": n_triples,
+        "wall_sec": round(wall, 2),
+        "pages_per_sec": round(n_pages / wall, 1),
+        "triples_per_sec": round(n_triples / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="cartography-spark-bench", cores=cpus,
+                      shuffle_partitions=int(cpus) if str(cpus).isdigit() else 32)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # absorb JVM/codegen warmup before timing
+    materialize(QUERIES["agg_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    flagship_stats: dict = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        if name == "kg_flagship_pipeline":
+            flagship_stats = run_flagship(spark, FLAGSHIP_PAGES)
+            dt = flagship_stats["wall_sec"]
+        else:
+            materialize(BENCH_QUERIES[name](spark, sf_dir))
+            dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship": flagship_stats,
+        "triples_per_sec": flagship_stats.get("triples_per_sec"),
+        "pages_per_sec": flagship_stats.get("pages_per_sec"),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -127,10 +127,14 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
-def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
+def synthesize_media(spark, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
     """Deterministic fake media table for tests/bench (payload bytes are
-    a pure function of (seed, id))."""
+    a pure function of (seed, id)); cap partitions so tiny tables don't
+    pay one Python worker per core."""
     import numpy as np
+
+    if partitions is None:
+        partitions = max(1, min(spark.sparkContext.defaultParallelism, n // 64 or 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -150,4 +154,4 @@ def synthesize_media(spark, n: int, seed: int = 42) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -56,6 +56,31 @@ def extract_triples(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.mapInPandas(run, schema=TRIPLES_SCHEMA)
 
 
+_SENTENCE_SQL = r"([A-Z][A-Za-z0-9]*) ([a-z]+(?: [a-z]+)?) ([A-Z][A-Za-z0-9]*)\\."
+
+
+def extract_triples_jvm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whole-stage-codegen twin of :func:`extract_triples`:
+    regexp_extract_all -> explode -> group captures. Verified
+    output-identical to the pandas path (tests/test_triples_paths.py);
+    use it when the pipeline must stay JVM-only (no Python workers)."""
+    matches = df.select(
+        "url",
+        "warc_ts",
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '{_SENTENCE_SQL}', 0)")
+        ).alias("m"),
+    )
+    pat = _SENTENCE_SQL.replace("\\\\.", "\\.")
+    return matches.select(
+        "url",
+        "warc_ts",
+        F.regexp_extract("m", pat, 1).alias("subj"),
+        F.regexp_replace(F.regexp_extract("m", pat, 2), " ", "_").alias("pred"),
+        F.regexp_extract("m", pat, 3).alias("obj"),
+    )
+
+
 def extract_mentions(
     df: DataFrame,
     id_col: str,

@@ -82,32 +82,34 @@ def drop_exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 def minhash_signature(shingles: Column, num_hashes: int, family: str = "xxhash64") -> Column:
     """minhash_i = min over shingles of h_i(shingle); h_i = seeded
-    xxhash64 (prod) or md5 of "i:shingle" (oracle-portable strings)."""
+    xxhash64 (prod) or md5 of "i:shingle" (oracle-portable strings).
+
+    IMPORTANT: pass ``shingles`` as a *materialized column reference*
+    (stage the shingle array in its own projection first). Higher-order
+    lambdas are interpreted (no codegen CSE), so an inline expression
+    here would be recomputed ``num_hashes`` times per row."""
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     if family == "xxhash64":
-        return F.array(
-            *[
-                F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
-                for i in range(num_hashes)
-            ]
+        return F.transform(
+            idx, lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))).cast("string")
         )
     if family == "md5":
-        return F.array(
-            *[
-                F.array_min(
-                    F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-                )
-                for i in range(num_hashes)
-            ]
+        return F.transform(
+            idx,
+            lambda i: F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+            ),
         )
     raise ValueError(f"unknown hash family {family!r}")
 
 
 def _band_hashes(sig: Column, bands: int, rows_per_band: int, family: str) -> Column:
-    """Array of per-band bucket keys (band index encoded in the key)."""
+    """Array of per-band bucket keys (band index encoded in the key).
+    ``sig`` must be a materialized array<string> column reference."""
     def band_key(b: int) -> Column:
         parts = [sig[b * rows_per_band + r] for r in range(rows_per_band)]
         if family == "xxhash64":
-            return F.concat_ws("|", F.lit(str(b)), *[p.cast("string") for p in parts])
+            return F.concat_ws("|", F.lit(str(b)), *parts)
         return F.md5(F.concat_ws("|", F.lit(str(b)), *parts))
     return F.array(*[band_key(b) for b in range(bands)])
 
@@ -132,12 +134,18 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rpb = num_hashes // bands
-    sh = char_shingles(text_col, shingle_n)
-    sig = minhash_signature(sh, num_hashes, family)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        sh.alias("shingles"),
-        F.explode(_band_hashes(sig, bands, rpb, family)).alias("band_key"),
+    # Staged projections: shingles -> signature -> band keys. Each stage
+    # references the previous stage's column as an attribute, so the
+    # expensive arrays are computed once per row (CollapseProject keeps
+    # multiply-referenced non-cheap projections apart).
+    staged = (
+        df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("shingles"))
+        .withColumn("__sig", minhash_signature(F.col("shingles"), num_hashes, family))
+    )
+    base = staged.select(
+        "doc_id",
+        "shingles",
+        F.explode(_band_hashes(F.col("__sig"), bands, rpb, family)).alias("band_key"),
     )
     # bound bucket blowup from hot band keys (see module docstring)
     sized = base.withColumn("__bs", F.count("*").over(Window.partitionBy("band_key")))
@@ -206,18 +214,45 @@ def ngram_jaccard_pairs(
 # ---------------- SimHash ----------------
 
 
-def simhash(col: Column | str, shingle_n: int = 3, bits: int = 64) -> Column:
-    """SimHash fingerprint: per-bit majority vote of shingle xxhash64
-    bits, packed into a bigint. Pure JVM (aggregate over bit indices)."""
-    sh = char_shingles(col, shingle_n)
+def simhash_from_shingles(sh: Column) -> Column:
+    """64-bit SimHash from a *materialized* shingle-array column: one
+    pass hashes each shingle to its 64-char binary string, one fold
+    accumulates per-bit counts, one fold packs the majority vote into a
+    bigint. O(n·64) cheap ops instead of 64 full array scans. (Bit
+    order follows ``bin()``'s MSB-first string — a fixed permutation,
+    so Hamming distances are preserved.)"""
+    hashes = F.transform(sh, lambda s: F.lpad(F.bin(F.xxhash64(s)), 64, "0"))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, bstr: F.zip_with(
+            acc,
+            F.transform(
+                F.filter(F.split(bstr, "(?!^)"), lambda c: c != ""),
+                lambda c: c.cast("long"),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    powers = F.array(
+        F.lit(-(1 << 63)).cast("long"),
+        *[F.lit(1 << b).cast("long") for b in range(62, -1, -1)],
+    )
     n = F.size(sh)
-    def bit_term(b: int) -> Column:
-        ones = F.size(F.filter(sh, lambda s: F.shiftright(F.xxhash64(s), b).bitwiseAND(F.lit(1)) == 1))
-        return F.when(ones * 2 >= n, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-    out = bit_term(0)
-    for b in range(1, bits):
-        out = out + bit_term(b)
-    return out
+    return F.aggregate(
+        F.zip_with(
+            counts, powers,
+            lambda c, p: F.when(c * 2 >= n, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash(col: Column | str, shingle_n: int = 3) -> Column:
+    """SimHash of a raw text column (convenience form; stages nothing, so
+    prefer computing shingles into a column first on large data)."""
+    return simhash_from_shingles(char_shingles(col, shingle_n))
 
 
 def simhash_pairs(
@@ -235,8 +270,9 @@ def simhash_pairs(
     (chunk_idx, chunk_value). Columns: id_a, id_b, hamming."""
     chunks = max_hamming + 1
     width = -(-64 // chunks)  # ceil: every bit must be covered by a chunk
-    fp = simhash(text_col, shingle_n)
-    base = df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("__sh")
+    ).select("doc_id", simhash_from_shingles(F.col("__sh")).alias("fp"))
     mask = (1 << width) - 1
     chunked = base.select(
         "doc_id",

@@ -143,13 +143,13 @@ def lsh_blocked_join(
         raise ValueError("num_hashes must be divisible by bands")
 
     def with_bands(df: DataFrame, text: str, prefix: str) -> DataFrame:
-        sh = ngram_shingles(text, shingle_n)
-        sig = minhash_signature(sh, num_hashes)
+        # Stage shingles before the signature: HOF lambdas are interpreted
+        # (no codegen CSE) — an inline shingle expression would be rebuilt
+        # num_hashes times per row.
         out = df.select(
             *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
-            sh.alias(f"{prefix}__shingles"),
-            sig.alias("__sig"),
-        )
+            ngram_shingles(text, shingle_n).alias(f"{prefix}__shingles"),
+        ).withColumn("__sig", minhash_signature(F.col(f"{prefix}__shingles"), num_hashes))
         bands_col = F.array(
             *[
                 F.struct(

@@ -278,9 +278,12 @@ def kg_bigram_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 fan-out triple extraction: corpus-wide (subj, precedes, obj)
     bigram triples with counts — the aggregated KG edge-weight shape."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     vocab = ["spark", "join", "merge", "filter"]
-    pairs = docs.select(
+    # Stage the token array: HOF lambdas are interpreted (no CSE), so an
+    # inline split() would re-tokenize the text per referenced element.
+    toks_df = docs.select(F.split("text", " ").alias("toks")).where(F.size("toks") >= 2)
+    toks = F.col("toks")
+    pairs = toks_df.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - 1),
@@ -290,7 +293,7 @@ def kg_bigram_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("p")
-    ).where(F.size(F.split("text", " ")) >= 2)
+    )
     return (
         pairs.select(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
         .where(F.col("subj").isin(vocab))
