@@ -76,15 +76,13 @@ def run_flagship(spark, n_pages: int) -> dict:
     throughput numbers for the north rule."""
     from pyspark.sql import Observation
 
-    from cartography_spark.functions.textextract import extract_text
-    from cartography_spark.functions.triples import extract_triples
-    from cartography_spark.sources.pages import synthesize_pages
+    from cartography_spark.pipeline.flagship import page_triples_fused
 
     t0 = time.time()
-    pages = synthesize_pages(spark, n_pages, seed=42)
-    text = extract_text(pages.drop("text"), "html", "text")
     obs = Observation("triples")
-    triples = extract_triples(text).observe(obs, F.count(F.lit(1)).alias("n"))
+    triples = page_triples_fused(spark, n_pages, seed=42).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     agg = triples.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n"))
     materialize(agg)
     wall = time.time() - t0

@@ -47,6 +47,22 @@ def _extract_batch(html: pd.Series) -> pd.Series:
     return decoded.map(extract_text_str)
 
 
+def extract_text_stage(
+    keep: list[str], html_col: str = "html", out_col: str = "text"
+):
+    """Fusable Arrow stage (see functions/fuse.py): pages batches ->
+    batches of ``keep`` columns + extracted ``out_col``; the heavy html
+    binary never leaves the Python worker."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out[out_col] = _extract_batch(pdf[html_col])
+            yield out
+
+    return run
+
+
 def extract_text(df: DataFrame, html_col: str = "html", out_col: str = "text") -> DataFrame:
     """Add ``out_col`` = extracted main text of binary ``html_col``.
 
@@ -58,11 +74,4 @@ def extract_text(df: DataFrame, html_col: str = "html", out_col: str = "text") -
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
     schema = schema + f", {out_col} string"
     keep = [f.name for f in out_fields]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf[keep].copy()
-            out[out_col] = _extract_batch(pdf[html_col])
-            yield out
-
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(extract_text_stage(keep, html_col, out_col), schema=schema)

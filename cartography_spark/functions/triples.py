@@ -34,12 +34,9 @@ SENTENCE_RE = re.compile(
 TRIPLES_SCHEMA = "url string, warc_ts timestamp, subj string, pred string, obj string"
 
 
-def extract_triples(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """pages(url, warc_ts, text, ...) -> triples(url, warc_ts, subj, pred, obj).
-
-    One output row per matched sentence; rows with no match drop out
-    (reference analog: conditional row filters, T3).
-    """
+def extract_triples_stage(text_col: str = "text"):
+    """Fusable Arrow stage (functions/fuse.py): text batches -> triple
+    batches (1 page -> N matched sentences, unmatched pages drop)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -53,7 +50,16 @@ def extract_triples(df: DataFrame, text_col: str = "text") -> DataFrame:
             out["pred"] = out["pred"].str.replace(" ", "_", regex=False)
             yield out[["url", "warc_ts", "subj", "pred", "obj"]]
 
-    return df.mapInPandas(run, schema=TRIPLES_SCHEMA)
+    return run
+
+
+def extract_triples(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages(url, warc_ts, text, ...) -> triples(url, warc_ts, subj, pred, obj).
+
+    One output row per matched sentence; rows with no match drop out
+    (reference analog: conditional row filters, T3).
+    """
+    return df.mapInPandas(extract_triples_stage(text_col), schema=TRIPLES_SCHEMA)
 
 
 _SENTENCE_SQL = r"([A-Z][A-Za-z0-9]*) ([a-z]+(?: [a-z]+)?) ([A-Z][A-Za-z0-9]*)\\."

@@ -121,6 +121,17 @@ def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
     )
 
 
+def synthesize_pages_stage(seed: int = 42):
+    """Fusable Arrow stage (functions/fuse.py): id batches -> page
+    batches; pure function of (seed, id)."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield _page_batch(pdf["id"].to_numpy(), seed)
+
+    return gen
+
+
 def synthesize_pages(
     spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:
@@ -133,9 +144,4 @@ def synthesize_pages(
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     base = spark.range(0, n, 1, partitions)
-
-    def gen(batches):
-        for pdf in batches:
-            yield _page_batch(pdf["id"].to_numpy(), seed)
-
-    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+    return base.mapInPandas(synthesize_pages_stage(seed), schema=PAGES_SCHEMA)

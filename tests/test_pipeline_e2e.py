@@ -1,0 +1,199 @@
+"""End-to-end pipeline tests: schema-driven load, two-run staleness
+sweep (the reference's signature two-update-tag integration pattern,
+``tests/integration/cartography/intel/lastpass/test_users.py``),
+matchlink load, sync resume ledger, analysis jobs, store drift."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.drift import node_drift
+from cartography_spark.pipeline.analysis import AnalysisJob, exposure_propagation
+from cartography_spark.pipeline.sync import Sync, load, load_matchlink
+from cartography_spark.schema import (
+    LinkDirection,
+    MatchLinkSchema,
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    TargetNodeMatcher,
+)
+from cartography_spark.store.graphstore import GraphStore
+
+TENANT = NodeSchema(label="Tenant", properties={"id": PropertyRef("tid")})
+
+USER = NodeSchema(
+    label="User",
+    properties={"id": PropertyRef("uid"), "email": PropertyRef("email")},
+    sub_resource_relationship=RelSchema(
+        rel_label="RESOURCE",
+        target_node_label="Tenant",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}),
+        direction=LinkDirection.INWARD,
+    ),
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return GraphStore(spark, str(tmp_path / "g"))
+
+
+def _users(spark, uids):
+    return spark.createDataFrame([(u, f"{u}@x.io") for u in uids], "uid string, email string")
+
+
+def _seed_tenant(spark, store, tag=1):
+    load(store, TENANT, spark.createDataFrame([("t1",)], "tid string"), tag)
+
+
+def test_load_and_two_run_sweep(spark, store):
+    _seed_tenant(spark, store)
+    load(store, USER, _users(spark, ["u1", "u2", "u3"]), 100, TENANT_ID="t1")
+    assert store.read_nodes().where("label='User'").count() == 3
+    assert store.read_edges().where("rel_label='RESOURCE'").count() == 3
+
+    # second run touches only u1, u2 -> sweep deletes u3 and its edges
+    load(store, USER, _users(spark, ["u1", "u2"]), 200, TENANT_ID="t1")
+    store.sweep(USER, 200, scope_id="t1")
+    ids = {r["id"] for r in store.read_nodes().where("label='User'").collect()}
+    assert ids == {"u1", "u2"}
+    edge_srcs = {r["src"] for r in store.read_edges().collect()}
+    assert "u3" not in edge_srcs
+
+
+def test_sweep_scope_isolation(spark, store):
+    load(store, TENANT, spark.createDataFrame([("t1",), ("t2",)], "tid string"), 1)
+    load(store, USER, _users(spark, ["a1"]), 100, TENANT_ID="t1")
+    load(store, USER, _users(spark, ["b1"]), 100, TENANT_ID="t2")
+    # run 200 for tenant t1 only; t2's node must survive t1's sweep
+    load(store, USER, _users(spark, ["a2"]), 200, TENANT_ID="t1")
+    store.sweep(USER, 200, scope_id="t1")
+    ids = {r["id"] for r in store.read_nodes().where("label='User'").collect()}
+    assert ids == {"a2", "b1"}
+
+
+def test_matchlink_load_and_cleanup(spark, store):
+    _seed_tenant(spark, store)
+    load(store, USER, _users(spark, ["u1", "u2", "u3"]), 100, TENANT_ID="t1")
+    link = MatchLinkSchema(
+        rel_label="KNOWS",
+        source_node_label="User",
+        source_node_matcher=TargetNodeMatcher({"id": PropertyRef("from_id")}),
+        target_node_label="User",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("to_id")}),
+    )
+    cands = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("u1", "zz")], "from_id string, to_id string"
+    )
+    out = load_matchlink(store, link, cands, 100, scope_id="t1")
+    # row with missing endpoint (zz) drops: two MATCH = two inner joins
+    assert out["edges"] == 2
+    # second run keeps only u1->u2; matchlink cleanup removes the stale rel
+    load_matchlink(store, link, cands.where("to_id = 'u2'"), 200, scope_id="t1")
+    store.sweep_matchlink(link, 200, scope_id="t1")
+    knows = store.read_edges().where("rel_label='KNOWS'").collect()
+    assert [(r["src"], r["dst"]) for r in knows] == [("u1", "u2")]
+
+
+def test_sweep_case_matrix(spark, store):
+    no_rel = NodeSchema(label="Lonely", properties={"id": PropertyRef("id")})
+    assert store.sweep(no_rel, 1) == {"nodes_deleted": 0, "edges_deleted": 0}
+
+    bad = NodeSchema(
+        label="Bad",
+        properties={"id": PropertyRef("id")},
+        sub_resource_relationship=USER.sub_resource_relationship,
+        scoped_cleanup=False,
+    )
+    with pytest.raises(ValueError, match="invalid combination"):
+        store.sweep(bad, 1, scope_id="t1")
+    with pytest.raises(ValueError, match="requires scope_id"):
+        store.sweep(USER, 1)
+
+
+def test_sync_resume_ledger(spark, store):
+    calls = []
+
+    def stage_a(st, tag, **p):
+        calls.append("a")
+        return "ok"
+
+    def stage_b(st, tag, **p):
+        calls.append("b")
+        return "ok"
+
+    sync = Sync(store)
+    sync.add_stage("a", stage_a)
+    sync.add_stage("b", stage_b)
+    r1 = sync.run(update_tag=42)
+    assert calls == ["a", "b"]
+    # rerun same tag: both stages skip (resume from ledger)
+    r2 = sync.run(update_tag=42)
+    assert calls == ["a", "b"]
+    assert r2["stages"] == {"a": "skipped(resume)", "b": "skipped(resume)"}
+    # new tag reruns
+    sync.run(update_tag=43)
+    assert calls == ["a", "b", "a", "b"]
+
+
+def test_sync_best_effort_isolation(spark, store):
+    def boom(st, tag, **p):
+        raise RuntimeError("provider down")
+
+    def ok(st, tag, **p):
+        return "fine"
+
+    sync = Sync(store)
+    sync.add_stage("bad", boom)
+    sync.add_stage("good", ok)
+    res = sync.run(update_tag=1, best_effort=True)
+    assert res["stages"]["good"] == "fine"
+    assert "bad" in res["errors"]
+    with pytest.raises(RuntimeError):
+        Sync(store, [*sync.stages]).run(update_tag=2, best_effort=False, resume=False)
+
+
+def test_analysis_job_and_exposure(spark, store):
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    _seed_tenant(spark, store)
+    load(store, USER, _users(spark, ["u1", "u2"]), 100, TENANT_ID="t1")
+
+    def flag_users(nodes, edges, params):
+        from cartography_spark.pipeline.analysis import set_prop
+
+        return set_prop(nodes, "User", "reviewed", F.lit("yes")), edges
+
+    job = AnalysisJob("review").add_step("flag", flag_users)
+    job.run(store, 100)
+    rows = store.read_nodes().where("label='User'").collect()
+    assert all(r["props"]["reviewed"] == "yes" for r in rows)
+    # metrics row recorded
+    assert store.read_metrics().where("op = 'analysis_review'").count() == 1
+
+
+def test_exposure_propagation_semantics(spark):
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    nodes = spark.createDataFrame(
+        [("R", "r1", {}), ("N", "n1", {}), ("N", "n2", {}), ("C", "c1", {})],
+        "label string, id string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("r1", "n1", "HAS"), ("n1", "c1", "HAS"), ("x", "n2", "OTHER")],
+        "src string, dst string, rel_label string",
+    )
+    out = exposure_propagation(
+        nodes, edges, (F.col("label") == "R"), ["HAS"], hops=2, flag="exp"
+    )
+    got = {r["id"]: r["props"].get("exp") for r in out.collect()}
+    assert got == {"r1": "true", "n1": "true", "c1": "true", "n2": None}
+
+
+def test_node_drift_between_versions(spark, store):
+    _seed_tenant(spark, store)
+    load(store, USER, _users(spark, ["u1", "u2"]), 100, TENANT_ID="t1")
+    v1 = store._pointer()["nodes"]
+    load(store, USER, _users(spark, ["u3"]), 200, TENANT_ID="t1")
+    drift = node_drift(store, v1, label="User").collect()
+    assert {(r["id"], r["change"]) for r in drift} == {("u3", "added")}

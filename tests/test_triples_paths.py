@@ -25,6 +25,16 @@ def test_jvm_and_pandas_paths_identical(text_df):
     assert a.count() > 0
 
 
+def test_fused_pipeline_identical_to_modular(spark):
+    from cartography_spark.pipeline.flagship import page_triples, page_triples_fused
+
+    a = page_triples(spark, 250, seed=9)
+    b = page_triples_fused(spark, 250, seed=9, partitions=5)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert b.count() > 0
+
+
 def test_extraction_matches_golden_text(spark):
     """The extractor's output must equal the generator's golden text
     byte for byte, per url, at any partitioning."""
