@@ -1,0 +1,130 @@
+"""Skew salting, wildcard policy evaluation, incremental watermark
+source, and error quarantine."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.functions.policy import (
+    evaluate_policies,
+    literal_prefix,
+    wildcard_to_regex,
+)
+from cartography_spark.operators.skew import salted_agg, salted_repartition, top_keys
+from cartography_spark.sources.incremental import (
+    commit_watermark,
+    incremental_read,
+    last_watermark,
+)
+from cartography_spark.sources.quarantine import quarantined_stage, split_quarantine
+from cartography_spark.store.graphstore import GraphStore
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", i * 1.0) for i in range(500)] + [("cold", 1.0), ("cold", 2.0)],
+        "k string, v double",
+    )
+    plain = {
+        (r["k"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"s": ("sum", "v"), "n": ("count", "v"), "mn": ("min", "v"), "mx": ("max", "v")},
+            buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_repartition_preserves_rows(spark):
+    df = spark.createDataFrame([("a", i) for i in range(100)], "k string, v int")
+    out = salted_repartition(df, "k", 8)
+    assert out.count() == 100
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_top_keys(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [("warm",)] * 9 + [("c1",)], "k string"
+    )
+    hot = [r["k"] for r in top_keys(df, "k", min_share=0.05).collect()]
+    assert hot == ["hot", "warm"]
+
+
+# ---------------- policy (T5/J6) ----------------
+
+
+def test_wildcard_to_regex():
+    assert wildcard_to_regex("s3:Get*") == "(?i)^s3:Get.*$"
+    assert wildcard_to_regex("a?c") == "(?i)^a.c$"
+    assert wildcard_to_regex("a.b+c") == "(?i)^a\\.b\\+c$"
+    assert literal_prefix("s3:Get*") == "s3:Get"
+    assert literal_prefix("nostar") == "nostar"
+
+
+def test_evaluate_policies(spark):
+    resources = spark.createDataFrame(
+        [("arn:s3:bucket/a",), ("arn:s3:bucket/b",), ("arn:ec2:i-1",)], "arn string"
+    )
+    policies = spark.createDataFrame(
+        [("p1", "arn:s3:*"), ("p2", "ARN:EC2:I-?"), ("p3", "arn:rds:*")],
+        "pid string, pattern string",
+    )
+    got = {
+        (r["pid"], r["arn"])
+        for r in evaluate_policies(resources, policies, "arn", "pattern").collect()
+    }
+    assert got == {
+        ("p1", "arn:s3:bucket/a"),
+        ("p1", "arn:s3:bucket/b"),
+        ("p2", "arn:ec2:i-1"),
+    }
+
+
+# ---------------- incremental watermark (S2) ----------------
+
+
+def test_incremental_watermark_cycle(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "g"))
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-02 00:00:00")], "id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert last_watermark(store, "events") is None
+    out1, wm1 = incremental_read(store, df1, "events", "ts")
+    assert out1.count() == 2  # first run = full read
+    commit_watermark(store, "events", 100, wm1)
+
+    df2 = df1.union(
+        spark.createDataFrame([(3, "2024-01-03 00:00:00")], "id long, ts string")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out2, wm2 = incremental_read(store, df2, "events", "ts")
+    assert [r["id"] for r in out2.collect()] == [3]  # only past the HWM
+    assert wm2 > wm1
+    # watermark is per-source
+    assert last_watermark(store, "other") is None
+
+
+# ---------------- quarantine (S3) ----------------
+
+
+def test_quarantine_isolates_poison_rows(spark):
+    def parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["x"] < 0).any():
+            raise ValueError("negative!")
+        return pd.DataFrame({"y": pdf["x"] * 2})
+
+    df = spark.createDataFrame([(1,), (-5,), (3,)], "x int")
+    out = df.mapInPandas(quarantined_stage(parse, ["y"]), "y int, error string")
+    good, bad = split_quarantine(out)
+    assert sorted(r["y"] for r in good.collect()) == [2, 6]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "negative" in bad_rows[0]["error"]
