@@ -303,6 +303,22 @@ def kg_bigram_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_policy_eval_j6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/T5 wildcard-policy evaluation: IAM-style patterns (* ?) compiled
+    to anchored case-insensitive regexes, evaluated principals x
+    resources via broadcast + JVM regexp (prefix-blocked)."""
+    from cartography_spark.functions.policy import evaluate_policies
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    policies = spark.createDataFrame(
+        [("pol1", "PROM*"), ("pol2", "?CONOMY"), ("pol3", "S*"), ("pol4", "*dium")],
+        "pid string, pattern string",
+    )
+    return evaluate_policies(part, policies, "p_type", "pattern").select(
+        "pid", "p_partkey", "p_type"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows / set ops / incremental
 # ---------------------------------------------------------------------------
@@ -571,6 +587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cc_canonical": kg_cc_canonical,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
+    "kg_policy_eval_j6": kg_policy_eval_j6,
     "kg_mention_triples": kg_mention_triples,
     "kg_bigram_triples": kg_bigram_triples,
     "agg_events_a1": agg_events_a1,

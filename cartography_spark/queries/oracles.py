@@ -90,6 +90,16 @@ FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE n.n_regionkey IN (SELECT r_regionkey FROM eu)
 """
 
+ORACLES["kg_policy_eval_j6"] = """
+WITH pol(pid, rx) AS (VALUES
+  ('pol1', '(?i)^PROM.*$'),
+  ('pol2', '(?i)^.CONOMY$'),
+  ('pol3', '(?i)^S.*$'),
+  ('pol4', '(?i)^.*dium$'))
+SELECT pol.pid AS pid, p.p_partkey AS p_partkey, p.p_type AS p_type
+FROM part p JOIN pol ON regexp_matches(p.p_type, pol.rx)
+"""
+
 ORACLES["kg_mention_triples"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents)
 SELECT doc_id AS doc_id, 'mentions' AS pred, obj AS obj, COUNT(*) AS n_mentions

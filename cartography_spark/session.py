@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Throughput GC: G1's concurrent cycles collapse under 32 mutator
+        # threads of string-heavy codegen on this host (measured 76 s ->
+        # 25 s on the 6M-page pipeline); batch jobs want ParallelGC.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,80 @@
+"""Structured Streaming front-end (optional; beyond reference parity).
+
+The reference is explicitly batch ("Cartography is not designed for
+very fast updates", ``README.md:66-71``); its closest analogs are the
+``update_tag`` run watermark and the CVE modified-window incremental
+pull (``intel/cve/feed.py:156-179``). This module is the streaming
+escalation of the same semantics: new page files (new Iceberg
+snapshots, in production) stream through the SAME extraction stages
+used in batch — the stage functions are shared, so batch/stream parity
+is by construction — with an event-time watermark on ``warc_ts`` for
+late data and windowed triple-count aggregation.
+
+Run with ``trigger(availableNow=True)`` for the batch-like catch-up
+mode (used by the tests), or a processing-time trigger for continuous
+tailing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cartography_spark.functions.textextract import extract_text
+from cartography_spark.functions.triples import extract_triples_jvm
+from cartography_spark.sources.pages import PAGES_SCHEMA
+
+
+def stream_pages_to_triples(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over a pages directory -> streaming triples frame.
+
+    Narrow transformations only (extract is a mapInPandas, triples the
+    JVM twin), so the stream needs no state until aggregated.
+    """
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_dir)
+    text = extract_text(pages.drop("text"), "html", "text")
+    return extract_triples_jvm(text)
+
+
+def stream_triple_counts(
+    triples: DataFrame,
+    window: str = "7 days",
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Watermarked windowed aggregation: per (event window, subj, pred,
+    obj) counts; late pages beyond ``watermark`` are dropped, state is
+    bounded — the streaming form of the batch edge-weight aggregate."""
+    return (
+        triples.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "subj", "pred", "obj")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "subj", "pred", "obj", "n",
+        )
+    )
+
+
+def run_to_table(
+    counts: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Catch-up execution: process everything currently available, write
+    the aggregate as parquet (append + update-mode semantics via
+    complete for the windowed agg), then stop."""
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

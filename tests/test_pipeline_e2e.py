@@ -97,6 +97,38 @@ def test_matchlink_load_and_cleanup(spark, store):
     assert [(r["src"], r["dst"]) for r in knows] == [("u1", "u2")]
 
 
+def test_selected_relationship_loading(spark, store):
+    """U3: load a node with only a validated subset of declared rels
+    (reference ``querybuilder.py:370-424``)."""
+    from cartography_spark.schema.compiler import compile_edge_updates
+
+    _seed_tenant(spark, store)
+    other = RelSchema(
+        rel_label="KNOWS",
+        target_node_label="User",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("friend")}),
+    )
+    schema = NodeSchema(
+        label="User",
+        properties={"id": PropertyRef("uid"), "email": PropertyRef("email")},
+        sub_resource_relationship=USER.sub_resource_relationship,
+        other_relationships=(other,),
+    )
+    df = spark.createDataFrame([("u1", "u1@x.io", "u2")], "uid string, email string, friend string")
+    plans = compile_edge_updates(
+        schema, df, store.read_nodes(), {"TENANT_ID": "t1"}, selected_rels=[schema.sub_resource_relationship]
+    )
+    assert len(plans) == 1  # only the selected rel compiles
+
+    undeclared = RelSchema(
+        rel_label="NOPE",
+        target_node_label="User",
+        target_node_matcher=TargetNodeMatcher({"id": PropertyRef("friend")}),
+    )
+    with pytest.raises(ValueError, match="not declared"):
+        compile_edge_updates(schema, df, store.read_nodes(), {}, selected_rels=[undeclared])
+
+
 def test_sweep_case_matrix(spark, store):
     no_rel = NodeSchema(label="Lonely", properties={"id": PropertyRef("id")})
     assert store.sweep(no_rel, 1) == {"nodes_deleted": 0, "edges_deleted": 0}
