@@ -1,0 +1,163 @@
+"""CLI entrypoint — the reference-lifecycle analog, spark-submit-able.
+
+Reference: ``cartography/cli.py`` (argparse -> ``sync.run_with_config``
+-> staged run with ``update_tag`` defaulting to epoch seconds,
+``cartography/sync.py:280-282``). Usage::
+
+    spark-submit --py-files cartography_spark.zip -m ...   # cluster
+    python -m cartography_spark.cli sync --store /tmp/graph [--update-tag T]
+    python -m cartography_spark.cli flagship --pages 20000
+    python -m cartography_spark.cli sweep --store /tmp/graph --label User \
+        --scope t1 --update-tag T
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from cartography_spark.session import get_spark
+
+    return get_spark(app_name=f"cartography-spark-{args.command}", cores=args.cores)
+
+
+def cmd_flagship(args) -> int:
+    """Run the flagship KG pipeline on synthesized pages; print stats."""
+    from pyspark.sql import Observation, functions as F
+
+    from cartography_spark.pipeline.flagship import page_triples_fused
+
+    spark = _spark(args)
+    t0 = time.time()
+    obs = Observation("n")
+    triples = page_triples_fused(spark, args.pages, seed=args.seed).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    agg = triples.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n"))
+    agg.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+    print(json.dumps({"pages": args.pages, "triples": obs.get["n"],
+                      "wall_sec": round(wall, 2),
+                      "triples_per_sec": round(obs.get["n"] / wall, 1)}))
+    return 0
+
+
+def cmd_sync(args) -> int:
+    """Full sync run: pages -> triples -> entity nodes + co-occurrence
+    edges -> MERGE into the store -> staleness sweep (Get/Transform/
+    Load/Cleanup, ``sync.py:126-156``)."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.pipeline.flagship import page_triples_fused
+    from cartography_spark.pipeline.sync import Sync, load
+    from cartography_spark.schema import (
+        LinkDirection, NodeSchema, PropertyRef, RelSchema, TargetNodeMatcher,
+    )
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = _spark(args)
+    store = GraphStore(spark, args.store)
+    update_tag = args.update_tag or int(time.time())
+
+    crawl = NodeSchema(label="Crawl", properties={"id": PropertyRef("cid")})
+    entity = NodeSchema(
+        label="Entity",
+        properties={"id": PropertyRef("name")},
+        sub_resource_relationship=RelSchema(
+            rel_label="IN_CRAWL",
+            target_node_label="Crawl",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("CRAWL_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        ),
+        other_relationships=(
+            RelSchema(
+                rel_label="RELATES_TO",
+                target_node_label="Entity",
+                target_node_matcher=TargetNodeMatcher({"id": PropertyRef("obj")}),
+            ),
+        ),
+    )
+
+    def stage_seed(st, tag, **p):
+        return load(st, crawl, spark.createDataFrame([(args.crawl_id,)], "cid string"), tag)
+
+    def stage_ingest(st, tag, **p):
+        triples = page_triples_fused(spark, args.pages, seed=args.seed).cache()
+        subjects = triples.select(F.col("subj").alias("name"), F.col("obj")).distinct()
+        out = load(st, entity, subjects, tag, CRAWL_ID=args.crawl_id)
+        triples.unpersist()
+        return out
+
+    def stage_sweep(st, tag, **p):
+        return st.sweep(entity, tag, scope_id=args.crawl_id)
+
+    sync = Sync(store)
+    sync.add_stage("seed", stage_seed)
+    sync.add_stage("ingest", stage_ingest)
+    sync.add_stage("sweep", stage_sweep)
+    result = sync.run(update_tag=update_tag)
+    print(json.dumps(result, default=str))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from cartography_spark.schema import (
+        LinkDirection, NodeSchema, PropertyRef, RelSchema, TargetNodeMatcher,
+    )
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = _spark(args)
+    store = GraphStore(spark, args.store)
+    schema = NodeSchema(
+        label=args.label,
+        properties={"id": PropertyRef("id")},
+        sub_resource_relationship=RelSchema(
+            rel_label="IN_CRAWL",
+            target_node_label="Crawl",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("SCOPE", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        ),
+    )
+    print(json.dumps(store.sweep(schema, args.update_tag, scope_id=args.scope)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cartography-spark")
+    p.add_argument("--cores", default=None, help="local[N] cores (default env/all)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    f = sub.add_parser("flagship", help="run the fused KG pipeline, print throughput")
+    f.add_argument("--pages", type=int, default=20000)
+    f.add_argument("--seed", type=int, default=42)
+    f.set_defaults(fn=cmd_flagship)
+
+    s = sub.add_parser("sync", help="Get/Transform/Load/Cleanup run into a store")
+    s.add_argument("--store", required=True)
+    s.add_argument("--pages", type=int, default=5000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--crawl-id", default="crawl-1")
+    s.add_argument("--update-tag", type=int, default=None)
+    s.set_defaults(fn=cmd_sync)
+
+    w = sub.add_parser("sweep", help="staleness sweep for a label/scope")
+    w.add_argument("--store", required=True)
+    w.add_argument("--label", required=True)
+    w.add_argument("--scope", required=True)
+    w.add_argument("--update-tag", type=int, required=True)
+    w.set_defaults(fn=cmd_sweep)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
