@@ -1,0 +1,104 @@
+"""End-to-end entity linking: blocking -> verify -> canonicalize -> merge.
+
+The north-star loop that generalizes the reference's identity-link
+analysis job (N2, ``data/jobs/analysis/gsuite_human_link.json``: exact
+equality on email) and its fuzzy matchers (J3/J4) to web scale:
+
+1. **Block** — MinHash-LSH over the entity's name/text property
+   (``operators/linking.py::lsh_blocked_join`` self-join form): a
+   shuffle equi-join on band keys, never a cross product.
+2. **Verify** — exact Jaccard on the blocked candidates (plus an
+   optional extra predicate), dropping LSH false positives.
+3. **Canonicalize** — connected components over the surviving
+   equivalence edges (``operators/components.py``); canonical id =
+   component minimum, so re-runs are stable.
+4. **Materialize** — write ``canonical_id`` as a node property and
+   ``SAME_AS`` edges into the store with full MERGE semantics (a new
+   run's update_tag stamps them; the staleness sweep retires pairs
+   that stop matching).
+
+Scale: stages 1-2 are shuffle equi-joins (AQE-splittable); stage 3 is
+O(log n) rounds with checkpointing; stage 4 is the standard MERGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cartography_spark.operators.components import connected_components
+from cartography_spark.operators.dedup import char_shingles, jaccard
+from cartography_spark.operators.linking import lsh_blocked_join
+from cartography_spark.store.graphstore import GraphStore
+
+
+def candidate_pairs(
+    entities: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH-blocked, Jaccard-verified equivalence pairs (id_a < id_b)."""
+    left = entities.select(F.col(id_col).alias("eid"), F.col(text_col).alias("etext"))
+    right = entities.select(F.col(id_col).alias("eid2"), F.col(text_col).alias("etext2"))
+    cand = lsh_blocked_join(
+        left, right, "etext", "etext2",
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+    ).where(F.col("eid") < F.col("__t_eid2"))
+    verified = (
+        cand.withColumn(
+            "jaccard",
+            F.round(jaccard(char_shingles("etext", shingle_n), char_shingles("__t_etext2", shingle_n)), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(F.col("eid").alias("src"), F.col("__t_eid2").alias("dst"), "jaccard")
+        .dropDuplicates(["src", "dst"])
+    )
+    return verified
+
+
+def link_entities(
+    store: GraphStore,
+    label: str,
+    text_prop: str,
+    update_tag: int,
+    scope_id: str | None = None,
+    threshold: float = 0.8,
+) -> dict[str, int]:
+    """Link all ``label`` nodes in the store by near-duplicate
+    ``text_prop``; write canonical_id props + SAME_AS edges."""
+    nodes = store.read_nodes().where(F.col("label") == label)
+    entities = nodes.select(
+        F.col("id"), F.element_at("props", text_prop).alias("__text")
+    ).where(F.col("__text").isNotNull())
+
+    pairs = candidate_pairs(entities, "id", "__text", threshold=threshold)
+    comp = connected_components(pairs, "src", "dst")
+
+    canon_updates = (
+        comp.select(
+            F.lit(label).alias("label"),
+            F.col("id"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.lit(scope_id).cast("string").alias("scope_id"),
+            F.create_map(F.lit("canonical_id"), F.col("component").cast("string")).alias("props"),
+        )
+    )
+    n = store.merge_nodes(canon_updates, update_tag)
+
+    same_as = pairs.select(
+        F.lit("SAME_AS").alias("rel_label"),
+        F.col("src"),
+        F.col("dst"),
+        F.lit(label).alias("src_label"),
+        F.lit(label).alias("dst_label"),
+        F.lit(scope_id).cast("string").alias("scope_id"),
+        F.create_map(F.lit("jaccard"), F.col("jaccard").cast("string")).alias("props"),
+    )
+    e = store.merge_edges(same_as, update_tag)
+    return {
+        "linked_nodes": n["updated"] + n["created"],
+        "same_as_edges": e["updated"] + e["created"],
+    }

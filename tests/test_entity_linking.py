@@ -1,0 +1,76 @@
+"""End-to-end entity linking: LSH blocking + Jaccard verify + CC
+canonicalization + store merge, including the two-run retirement of
+stale SAME_AS pairs via the sweep machinery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.pipeline.linking import candidate_pairs, link_entities
+from cartography_spark.pipeline.sync import load
+from cartography_spark.schema import NodeSchema, PropertyRef
+from cartography_spark.store.graphstore import GraphStore
+
+ENT = NodeSchema(
+    label="Entity",
+    properties={"id": PropertyRef("eid"), "name": PropertyRef("name")},
+)
+
+NAMES = [
+    ("e1", "Apache Spark Engine"),
+    ("e2", "apache spark engine"),      # case variant of e1
+    ("e3", "Apache Spark Enginee"),     # typo variant of e1
+    ("e4", "PostgreSQL Database"),
+    ("e5", "PostgreSQL Databases"),     # near-dup of e4
+    ("e6", "completely unrelated thing"),
+]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = GraphStore(spark, str(tmp_path / "g"))
+    load(s, ENT, spark.createDataFrame(NAMES, "eid string, name string"), 100)
+    return s
+
+
+def test_candidate_pairs_blocked_and_verified(spark):
+    df = spark.createDataFrame(NAMES, "eid string, name string")
+    pairs = {
+        (r["src"], r["dst"]) for r in candidate_pairs(df, "eid", "name", threshold=0.7).collect()
+    }
+    assert ("e1", "e2") in pairs  # case variant (shingles lowercased)
+    assert ("e1", "e3") in pairs
+    assert ("e4", "e5") in pairs
+    assert not any("e6" in p for p in pairs)
+
+
+def test_link_entities_canonicalizes(store):
+    out = link_entities(store, "Entity", "name", 200, threshold=0.7)
+    assert out["linked_nodes"] >= 5
+    assert out["same_as_edges"] >= 3
+    rows = {
+        r["id"]: (r["props"] or {}).get("canonical_id")
+        for r in store.read_nodes().where("label='Entity'").collect()
+    }
+    # e1/e2/e3 share a canonical id; e4/e5 share another; e6 untouched
+    assert rows["e1"] == rows["e2"] == rows["e3"] == "e1"
+    assert rows["e4"] == rows["e5"] == "e4"
+    assert rows["e6"] is None
+    edges = store.read_edges().where("rel_label='SAME_AS'").collect()
+    assert all(r["lastupdated"] == 200 for r in edges)
+    # linking merge must not clobber the original props (LAST_WIN concat)
+    named = {r["id"]: r["props"].get("name") for r in store.read_nodes().where("label='Entity'").collect()}
+    assert named["e1"] == "Apache Spark Engine"
+
+
+def test_link_is_idempotent(store):
+    link_entities(store, "Entity", "name", 200, threshold=0.7)
+    before = store.read_edges().where("rel_label='SAME_AS'").count()
+    link_entities(store, "Entity", "name", 300, threshold=0.7)
+    after = store.read_edges().where("rel_label='SAME_AS'").count()
+    assert before == after  # same pairs, new tag — no duplicates
+    assert (
+        store.read_edges().where("rel_label='SAME_AS'").agg(F.min("lastupdated")).collect()[0][0]
+        == 300
+    )
