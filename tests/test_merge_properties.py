@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the MERGE plan invariants.
+
+For ANY sequence of update batches, the store must satisfy:
+- firstseen(id) == tag of the FIRST batch that contained the id;
+- lastupdated(id) == tag of the LAST batch that contained the id;
+- props(id) == union of all batches' props with later batches winning
+  per key (LAST_WIN), never losing untouched keys;
+- exactly one row per (label, id).
+
+A driver-side Python model computes the expected state; the Spark
+store must match it exactly (the reference asserts the same contract
+example-wise in its two-run integration tests; hypothesis generalizes
+it to arbitrary run sequences).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cartography_spark.store.graphstore import GraphStore
+
+ids = st.sampled_from(["a", "b", "c", "d"])
+props = st.dictionaries(
+    st.sampled_from(["p", "q", "r"]), st.sampled_from(["1", "2", "x"]), max_size=3
+)
+# unique ids per batch: intra-batch duplicate resolution is covered
+# deterministically by test_store_merge.py::test_merge_is_idempotent_under_retry
+batch = st.dictionaries(ids, props, min_size=1, max_size=4)
+batches = st.lists(batch, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=batches)
+def test_merge_matches_python_model(spark, tmp_path_factory, batches):
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("g")))
+    model: dict[str, dict] = {}
+    for i, b in enumerate(batches):
+        tag = 100 + i
+        rows = [("T", nid, None, p) for nid, p in b.items()]
+        df = spark.createDataFrame(
+            rows, "label string, id string, scope_id string, props map<string,string>"
+        )
+        store.merge_nodes(df, tag)
+        for nid, p in b.items():
+            if nid not in model:
+                model[nid] = {"firstseen": tag, "props": {}}
+            model[nid]["lastupdated"] = tag
+            model[nid]["props"].update(p)
+
+    got = {
+        r["id"]: r
+        for r in store.read_nodes().where("label = 'T'").collect()
+    }
+    assert set(got) == set(model)
+    for nid, m in model.items():
+        r = got[nid]
+        assert int(r["firstseen"].timestamp()) == m["firstseen"], nid
+        assert r["lastupdated"] == m["lastupdated"], nid
+        assert dict(r["props"] or {}) == m["props"], nid
