@@ -31,6 +31,7 @@ HEADLINE = [
     "kg_node_merge_u1",
     "kg_matchlink_j7",
     "kg_cc_canonical",
+    "kg_cc_cooccurrence",
     "kg_exposure_analysis_n1",
     "kg_bigram_triples",
     "agg_events_a1",
@@ -63,8 +64,23 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
     )
 
 
+def kg_cc_cooccurrence(spark, sf_dir):
+    """Connected components over the entity co-occurrence graph of the
+    flagship triples (Zipf-skewed: hot entities form a giant component)
+    — the canonicalization step at realistic shape."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.components import connected_components
+    from cartography_spark.pipeline.flagship import page_triples_fused
+
+    triples = page_triples_fused(spark, 20000, seed=42)
+    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst")).distinct()
+    return connected_components(edges)
+
+
 BENCH_QUERIES = dict(QUERIES)
 BENCH_QUERIES["dedup_minhash_lsh_prod"] = dedup_minhash_lsh_prod
+BENCH_QUERIES["kg_cc_cooccurrence"] = kg_cc_cooccurrence
 
 
 def materialize(df) -> None:

@@ -54,40 +54,32 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # propagate: new label = min over (own label, labels of neighbors)
+        # (1) neighbor-min: comp(v) <- min(comp(v), min over neighbors)
         nbr = (
             sym.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr.withColumnRenamed("a", "id"), "id", "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint()
+        stepped = labels.join(nbr.withColumnRenamed("a", "id"), "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias("comp"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    # pointer-jump to the root label so components are globally minimal
-    for _ in range(max_iter):
+        # (2) pointer-jump (doubling): comp(v) <- comp(comp(v)); combined
+        # with (1) this converges in O(log n) rounds on long chains,
+        # where neighbor-min alone needs O(diameter).
         jumped = (
-            labels.alias("x")
+            stepped.alias("x")
             .join(
-                labels.select(F.col("id").alias("comp"), F.col("comp").alias("root")).alias("y"),
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("root")
+                ).alias("y"),
                 "comp",
                 "left",
             )
-            .select("id", F.least(F.col("comp"), F.coalesce(F.col("root"), F.col("comp"))).alias("comp"))
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("root"), F.col("comp"))).alias("comp"),
+            )
             .localCheckpoint()
         )
         changed = (

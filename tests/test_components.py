@@ -55,6 +55,12 @@ def test_chain_graph(spark):
     _check(spark, 40, [(i, i + 1) for i in range(39)])
 
 
+def test_long_chain_converges_in_log_rounds(spark):
+    # 200-node chain: pure neighbor-min would need 199 rounds; the
+    # interleaved pointer-jumping must converge within max_iter=25.
+    _check(spark, 200, [(i, i + 1) for i in range(199)])
+
+
 def test_chain_reversed_ids(spark):
     _check(spark, 40, [(i + 1, i) for i in range(39)])
 
