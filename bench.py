@@ -103,12 +103,27 @@ def run_flagship(spark, n_pages: int) -> dict:
     materialize(agg)
     wall = time.time() - t0
     n_triples = obs.get["n"]
+
+    # North-rule P/R vs the reference extraction (triples from the
+    # generator's golden text) — not timed, reported for the record.
+    from cartography_spark.functions.triples import extract_triples_jvm
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, min(n_pages, 20000), seed=42)
+    reference = extract_triples_jvm(pages.select("url", "warc_ts", "text"))
+    pipeline = page_triples_fused(spark, min(n_pages, 20000), seed=42)
+    ref_n = reference.count()
+    pipe_n = pipeline.count()
+    fp = pipeline.exceptAll(reference).count()
+    fn = reference.exceptAll(pipeline).count()
     return {
         "pages": n_pages,
         "triples": n_triples,
         "wall_sec": round(wall, 2),
         "pages_per_sec": round(n_pages / wall, 1),
         "triples_per_sec": round(n_triples / wall, 1),
+        "precision_vs_reference": round((pipe_n - fp) / pipe_n, 6),
+        "recall_vs_reference": round((ref_n - fn) / ref_n, 6),
     }
 
 

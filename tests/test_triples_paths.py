@@ -35,6 +35,23 @@ def test_fused_pipeline_identical_to_modular(spark):
     assert b.count() > 0
 
 
+def test_triple_precision_recall_vs_reference(spark):
+    """North-rule criterion: (subj, pred, obj) P/R >= 0.95 vs the
+    reference extraction. The reference triples are extracted from the
+    generator's GOLDEN text column; the pipeline extracts from html.
+    Both per (url, subj, pred, obj)."""
+    pages = synthesize_pages(spark, 400, seed=77)
+    reference = extract_triples_jvm(pages.select("url", "warc_ts", "text"))
+    pipeline = extract_triples(extract_text(pages.drop("text"), "html", "text"))
+    ref_n = reference.count()
+    pipe_n = pipeline.count()
+    false_pos = pipeline.exceptAll(reference).count()
+    false_neg = reference.exceptAll(pipeline).count()
+    precision = (pipe_n - false_pos) / pipe_n
+    recall = (ref_n - false_neg) / ref_n
+    assert precision == 1.0 and recall == 1.0
+
+
 def test_extraction_matches_golden_text(spark):
     """The extractor's output must equal the generator's golden text
     byte for byte, per url, at any partitioning."""
