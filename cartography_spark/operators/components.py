@@ -53,6 +53,7 @@ def connected_components(
         .select(F.col("a").alias("id"), F.least(F.col("comp"), F.col("a")).alias("comp"))
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_iter):
         # (1) neighbor-min: comp(v) <- min(comp(v), min over neighbors)
         nbr = (
@@ -82,16 +83,17 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # Convergence: per-row labels only ever decrease, so the label
+        # multiset changes iff any row changed; compare an exact decimal
+        # sum of per-row label hashes (type-agnostic, overflow-free) —
+        # one cheap aggregate per round instead of a join.
+        new_sum = jumped.agg(
+            F.sum(F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = jumped
-        if changed == 0:
+        if prev_sum is not None and new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("id", F.col("comp").alias("component"))
 
 
