@@ -26,8 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from cartography_spark.operators.components import connected_components
-from cartography_spark.operators.dedup import char_shingles, jaccard
-from cartography_spark.operators.linking import lsh_blocked_join
 from cartography_spark.store.graphstore import GraphStore
 
 
@@ -39,24 +37,23 @@ def candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """LSH-blocked, Jaccard-verified equivalence pairs (id_a < id_b)."""
-    left = entities.select(F.col(id_col).alias("eid"), F.col(text_col).alias("etext"))
-    right = entities.select(F.col(id_col).alias("eid2"), F.col(text_col).alias("etext2"))
-    cand = lsh_blocked_join(
-        left, right, "etext", "etext2",
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-    ).where(F.col("eid") < F.col("__t_eid2"))
-    verified = (
-        cand.withColumn(
-            "jaccard",
-            F.round(jaccard(char_shingles("etext", shingle_n), char_shingles("__t_etext2", shingle_n)), 4),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select(F.col("eid").alias("src"), F.col("__t_eid2").alias("dst"), "jaccard")
-        .dropDuplicates(["src", "dst"])
+    """LSH-blocked, Jaccard-verified equivalence pairs (src < dst).
+
+    Delegates to the bounded self-join form (``minhash_lsh_pairs``):
+    staged signatures, band-bucket size cap (a hot band key with B rows
+    yields B² candidates — buckets beyond ``max_bucket`` are dropped;
+    true pairs still surface via their other bands w.h.p.)."""
+    from cartography_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        entities, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, family="xxhash64", max_bucket=max_bucket,
+    ).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
     )
-    return verified
 
 
 def link_entities(

@@ -562,6 +562,26 @@ def kg_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full entity-linking loop over the documents corpus: MinHash-LSH
+    blocking -> Jaccard verify -> connected-components canonical ids.
+    No SQL oracle (iterative CC is not SQL-expressible); rows-only
+    check — semantics are pinned by tests/test_entity_linking.py."""
+    from cartography_spark.operators.components import canonicalize
+    from cartography_spark.pipeline.linking import candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = candidate_pairs(docs, "doc_id", "text", threshold=0.6, num_hashes=32, bands=4)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return (
+        canonicalize(nodes, pairs, "id")
+        .groupBy("canonical_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+        .orderBy(F.col("cluster_size").desc(), "canonical_id")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing (stubbed codec): per-kind feature stats.
     No SQL oracle: binary payloads live only in the generator."""
@@ -608,6 +628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_token_count,
     "sim_topk_brute": sim_topk_brute,
     "sim_embedding_near_dup": sim_embedding_near_dup,
+    "kg_entity_linking": kg_entity_linking,
     "kg_flagship_pipeline": kg_flagship_pipeline,
     "multimodal_features": multimodal_features,
 }
