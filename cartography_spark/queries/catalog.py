@@ -353,6 +353,36 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (survey §2.5: Spark builtin beyond reference
+    parity): order counts/revenue by (status, priority) with subtotals."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame (rows unbounded preceding): running revenue per
+    customer over order date — the frame/lag surface the reference
+    lacks but Spark provides."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.where(F.col("o_custkey") < 50).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
 def agg_dedup_lastwins_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 dedup-by-key last-wins: the latest event per user wins."""
     ev = _t(spark, sf_dir, "events")
@@ -612,6 +642,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bigram_triples": kg_bigram_triples,
     "agg_events_a1": agg_events_a1,
     "agg_pricing_summary": agg_pricing_summary,
+    "agg_cube_rollup": agg_cube_rollup,
+    "window_running_total": window_running_total,
     "agg_dedup_lastwins_a2": agg_dedup_lastwins_a2,
     "agg_window_topk_o1": agg_window_topk_o1,
     "join_multihop_j8": join_multihop_j8,

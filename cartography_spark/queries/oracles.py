@@ -136,6 +136,21 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
 
+ORACLES["agg_cube_rollup"] = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2)::DOUBLE AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES["window_running_total"] = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
+         AS running_total
+FROM orders WHERE o_custkey < 50
+"""
+
 ORACLES["agg_dedup_lastwins_a2"] = """
 SELECT user_id AS user_id, event_type AS last_event_type,
        ROUND(value, 2)::DOUBLE AS last_value

@@ -179,7 +179,17 @@ class GraphStore:
     def _write(self, table: str, df: DataFrame, partition_col: str) -> str:
         v = self._new_version(table)
         path = os.path.join(self.root, table, v)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        # Sorted-within-partition writes on the lookup key (Iceberg
+        # `write.sorted` analog): parquet row-group min/max stats then
+        # prune id-range lookups — the layout replacement for the
+        # reference's index-ensure step (querybuilder.py:490-551).
+        sort_key = "id" if "id" in df.columns else "src"
+        (
+            df.sortWithinPartitions(sort_key)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
         self._swap_pointer({table: v})
         return v
 
