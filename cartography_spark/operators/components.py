@@ -97,6 +97,27 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def group_star_edges(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Equivalence edges for "same group ⇒ same component" WITHOUT the
+    O(k²) clique: star edges from each group's min id to every other
+    member — O(k) edges per group, identical components. A clique
+    self-join on a hot group (say 10⁵ members) emits 10¹⁰ pairs and is
+    a shuffle bomb at 100 TB; the star is one partial-agg groupBy plus
+    one equi-join."""
+    root = df.groupBy(group_col).agg(F.min(id_col).alias("__root"))
+    return (
+        df.join(root, group_col)
+        .where(F.col(id_col) != F.col("__root"))
+        .select(F.col("__root").alias(src), F.col(id_col).alias(dst))
+    )
+
+
 def canonicalize(
     nodes: DataFrame,
     equiv_edges: DataFrame,

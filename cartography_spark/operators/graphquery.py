@@ -67,17 +67,27 @@ def reach_fixpoint(
     max_iter: int = 30,
 ) -> DataFrame:
     """Unbounded reachability ``[*1..]`` to fixpoint (ancestor chains).
-    Iterates hops until the visited set stops growing."""
-    visited = seeds.select(node_col).distinct().localCheckpoint()
-    frontier = visited
+    Iterates hops until the visited set stops growing. A seed node IS
+    returned when it is reachable from a seed in >=1 hop (cycles,
+    ``a->b->a``) — matching Cypher ``[*1..]`` — tracked separately from
+    the frontier dedup set so cycle re-entries count as reached without
+    re-expanding already-expanded nodes."""
+    seeds_d = seeds.select(node_col).distinct().localCheckpoint()
+    visited = seeds_d
+    frontier = seeds_d
+    # seed nodes re-found in >=1 hop (small: bounded by |seeds|)
+    seed_hits = seeds_d.limit(0)
     for _ in range(max_iter):
         nxt = hop(frontier, edges, rel_labels, node_col)
+        seed_hits = seed_hits.union(nxt.join(seeds_d, node_col, "left_semi"))
         new = nxt.join(visited, node_col, "left_anti").localCheckpoint()
         if new.limit(1).count() == 0:
             break
         visited = visited.union(new).localCheckpoint()
         frontier = new
-    return visited.join(seeds.select(node_col).distinct(), node_col, "left_anti")
+    return (
+        visited.join(seeds_d, node_col, "left_anti").union(seed_hits).distinct()
+    )
 
 
 def match_path_2hop(

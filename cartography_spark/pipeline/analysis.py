@@ -99,7 +99,14 @@ def exposure_propagation(
                 "src",
             )
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.concat(F.min("__via"), F.lit("->"), F.min("rel_label")).alias("__via_new"))
+            # min over the COMBINED path expression so via and rel_label
+            # always come from the same incoming edge (independent
+            # min(via)/min(rel) could stitch a path no edge has).
+            .agg(
+                F.min(F.concat(F.col("__via"), F.lit("->"), F.col("rel_label"))).alias(
+                    "__via_new"
+                )
+            )
         )
         flagged = (
             flagged.join(inherited, "id", "left")

@@ -196,12 +196,13 @@ def kg_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization: nations are equivalent when
     they share a region; canonical id = component min (runs the real
     large-star/small-star loop)."""
-    from cartography_spark.operators.components import canonicalize, connected_components
+    from cartography_spark.operators.components import canonicalize, group_star_edges
 
     nation = _t(spark, sf_dir, "nation")
-    a = nation.select(F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rk"))
-    b = nation.select(F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rk"))
-    edges = a.join(b, "rk").where(F.col("src") < F.col("dst")).select("src", "dst")
+    # Star edges to the group min (O(k) per group), NOT a within-group
+    # self-join clique (O(k²)) — identical components, no shuffle bomb
+    # on hot groups.
+    edges = group_star_edges(nation, "n_regionkey", "n_nationkey")
     nodes = nation.select(F.col("n_nationkey").cast("long").alias("id"))
     out = canonicalize(nodes, edges.select(F.col("src").cast("long"), F.col("dst").cast("long")))
     return out.select(F.col("id"), F.col("canonical_id").alias("component"))

@@ -11,11 +11,21 @@ in PushedFilters, so at Iceberg scale it prunes files/partitions.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
 from cartography_spark.store.graphstore import GraphStore
 
 _WM_OP = "watermark"
+
+
+def _source_id(source: str) -> int:
+    """Stable cross-process id for a source name. Python's builtin
+    ``hash(str)`` is salted per process (PYTHONHASHSEED) and must never
+    key anything persisted — a restarted driver could not find its own
+    watermark and would silently fall back to a full re-read."""
+    return int(hashlib.md5(source.encode("utf-8")).hexdigest()[:15], 16)
 
 
 def last_watermark(store: GraphStore, source: str) -> int | None:
@@ -24,7 +34,7 @@ def last_watermark(store: GraphStore, source: str) -> int | None:
         (F.col("op") == _WM_OP) & (F.element_at("counters", "source_id").isNotNull())
     )
     row = (
-        m.where(F.element_at("counters", "source_id") == F.lit(hash(source) & 0x7FFFFFFF))
+        m.where(F.element_at("counters", "source_id") == F.lit(_source_id(source)))
         .agg(F.max(F.element_at("counters", "ts_micros")).alias("wm"))
         .collect()[0]
     )
@@ -35,7 +45,7 @@ def commit_watermark(store: GraphStore, source: str, update_tag: int, ts_micros:
     store._record_metrics(
         _WM_OP,
         update_tag,
-        {"source_id": hash(source) & 0x7FFFFFFF, "ts_micros": int(ts_micros)},
+        {"source_id": _source_id(source), "ts_micros": int(ts_micros)},
     )
 
 

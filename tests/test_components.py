@@ -8,7 +8,11 @@ import random
 
 import pytest
 
-from cartography_spark.operators.components import canonicalize, connected_components
+from cartography_spark.operators.components import (
+    canonicalize,
+    connected_components,
+    group_star_edges,
+)
 
 
 def _union_find(n_nodes, edges):
@@ -71,6 +75,24 @@ def test_random_graph_vs_union_find(spark):
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
     _check(spark, n, edges)
+
+
+def test_group_star_edges_linear_in_group_size(spark):
+    """A hot group with 10⁴ members must yield O(k) star edges (k-1),
+    not the O(k²) clique (~5·10⁷ pairs) a self-join would emit — and
+    the components derived from the stars must equal the group itself."""
+    from pyspark.sql import functions as F
+
+    k = 10_000
+    df = spark.range(k + 7).select(
+        F.when(F.col("id") < k, F.lit("hot")).otherwise(F.lit("cold")).alias("g"),
+        F.col("id").alias("id"),
+    )
+    edges = group_star_edges(df, "g", "id")
+    assert edges.count() == (k - 1) + (7 - 1)  # exactly k-1 per group
+    comp = connected_components(edges)
+    sizes = {r["component"]: r["n"] for r in comp.groupBy("component").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {0: k, k: 7}  # min-id roots, full group membership
 
 
 def test_canonicalize_untouched_nodes_self_map(spark):

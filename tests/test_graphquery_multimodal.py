@@ -51,7 +51,18 @@ def test_reach_fixpoint_cycle_terminates(spark):
     )
     seeds = spark.createDataFrame([("a",)], "node string")
     got = {r["node"] for r in reach_fixpoint(seeds, cyc).collect()}
-    assert got == {"b", "c"}
+    # Cypher [*1..]: 'a' is reachable from itself via the 3-hop cycle,
+    # so the seed IS in the result.
+    assert got == {"a", "b", "c"}
+
+
+def test_reach_fixpoint_seed_not_in_result_without_cycle(spark):
+    chain = spark.createDataFrame(
+        [("a", "b", "R"), ("b", "c", "R")], "src string, dst string, rel_label string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"] for r in reach_fixpoint(seeds, chain).collect()}
+    assert got == {"b", "c"}  # no path back to 'a' -> seed excluded
 
 
 def test_match_path_2hop(spark, edges):

@@ -113,6 +113,31 @@ def test_incremental_watermark_cycle(spark, tmp_path):
     assert last_watermark(store, "other") is None
 
 
+def test_watermark_source_id_stable_across_processes():
+    """The persisted watermark key must survive a driver restart: derive
+    it in two subprocesses with *different* PYTHONHASHSEED (which salts
+    builtin hash(str)) and require identical values. Guards the bug
+    where hash(source) keyed the metrics row and every restart silently
+    degraded to a full re-read."""
+    import os
+    import subprocess
+    import sys
+
+    from cartography_spark.sources.incremental import _source_id
+
+    cmd = [
+        sys.executable,
+        "-c",
+        "from cartography_spark.sources.incremental import _source_id;"
+        "print(_source_id('events'))",
+    ]
+    outs = []
+    for seed in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        outs.append(int(subprocess.check_output(cmd, env=env, cwd="/root/repo").strip()))
+    assert outs[0] == outs[1] == _source_id("events")
+
+
 # ---------------- quarantine (S3) ----------------
 
 
