@@ -339,3 +339,56 @@ def embedding_near_dup_pairs(
         .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+    bits: int = 4,
+    sets: int = 12,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs — the 100 TB shape: no
+    cross product anywhere, candidates come from ``sets`` equi-joins on
+    sign-bit bucket keys (see
+    :func:`cartography_spark.operators.similarity.coord_sign_buckets`),
+    pairs deduped before the exact-cosine verify.
+
+    Recall semantics: a qualifying pair is emitted iff the two vectors
+    share at least one of the ``sets`` bucket keys — standard LSH
+    recall < 1 by construction (per-pair miss probability
+    ``(1-p^bits)^sets`` with ``p = 1 - θ/π``). Blocking is fully
+    deterministic (seeded coordinate subsets, no float arithmetic in
+    the key), so a single-node oracle replicates the result exactly.
+    Raise ``sets`` (or lower ``bits``) for recall; raise ``bits`` for
+    selectivity — at near-dup thresholds (≥0.9) ``bits=16`` keeps
+    candidate counts ~linear. Columns: id_a, id_b, cosine."""
+    from cartography_spark.operators.similarity import (
+        coord_plane_dims,
+        coord_sign_buckets,
+        cosine,
+    )
+
+    dims = coord_plane_dims(dim, bits, sets, seed)
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(coord_sign_buckets(F.col(vec_col), dims)).alias("bucket"),
+    )
+    b = base.select(
+        F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b"), F.col("bucket")
+    )
+    pairs = (
+        base.join(b, "bucket")
+        .where(F.col("vid") < F.col("vid_b"))
+        .select("vid", "vec", "vid_b", "vec_b")
+        .dropDuplicates(["vid", "vid_b"])
+    )
+    return (
+        pairs.withColumn("cosine", F.round(cosine(F.col("vec"), F.col("vec_b")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
+    )

@@ -107,6 +107,34 @@ def _sign_bits(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def coord_plane_dims(dim: int, bits: int, sets: int, seed: int) -> list[list[int]]:
+    """Deterministic coordinate subsets for sign-bit LSH: ``sets`` lists
+    of ``bits`` 0-based dimension indices. Axis-aligned hyperplanes
+    (sign of a raw coordinate) instead of random projections: for
+    isotropic embeddings the collision probability per bit is the same
+    1 - θ/π as a random hyperplane (rotation invariance), but the
+    bucket key needs NO floating-point arithmetic — the sign of a
+    stored float is bit-exact in every engine, so a single-node oracle
+    can replicate buckets exactly."""
+    import random
+
+    rng = random.Random(seed)
+    return [rng.sample(range(dim), bits) for _ in range(sets)]
+
+
+def coord_sign_buckets(vec: Column, dims: list[list[int]]) -> Column:
+    """Array of per-set bucket keys: ``"<set>|<sign bits>"`` with bit i
+    = 1 iff vec[dims[s][i]] >= 0."""
+    keys = []
+    for s, ds in enumerate(dims):
+        bits = [
+            F.when(F.element_at(vec, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in ds
+        ]
+        keys.append(F.concat(F.lit(f"{s}|"), *bits))
+    return F.array(*keys)
+
+
 def hyperplane_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

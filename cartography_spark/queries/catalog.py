@@ -561,10 +561,16 @@ def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cartography_spark.operators.dedup import embedding_near_dup_pairs
+    """LSH-blocked cosine near-dup (bucket equi-joins, NO cross product
+    — asserted by tests/test_dedup.py plan check). The oracle replicates
+    the deterministic sign-bit blocking exactly, so recall<1 LSH
+    semantics are still hash-verified cross-engine."""
+    from cartography_spark.operators.dedup import embedding_near_dup_lsh
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_near_dup_lsh(
+        emb, "vec_id", "embedding", threshold=0.45, bits=4, sets=12, dim=64, seed=7
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -343,13 +343,39 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 5
 """
 
-ORACLES["sim_embedding_near_dup"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)::DOUBLE AS cosine
-FROM e a, e b
-WHERE a.vec_id < b.vec_id
-  AND ROUND(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+# Sign-bit coordinate-LSH blocked near-dup, replicated step for step:
+# the bucket keys are "<set>|<sign bits of seeded coordinate subset>" —
+# no float arithmetic in the key, so both engines block identically;
+# candidates = pair shares >=1 bucket; exact-cosine verify at 0.45.
+# Generated from the same coord_plane_dims(64, 4, 12, seed=7) the Spark
+# query uses.
+def _near_dup_lsh_oracle(dim: int = 64, bits: int = 4, sets: int = 12, seed: int = 7) -> str:
+    from cartography_spark.operators.similarity import coord_plane_dims
+
+    dims = coord_plane_dims(dim, bits, sets, seed)
+    keys = []
+    for s, ds in enumerate(dims):
+        bit_exprs = " || ".join(
+            f"(CASE WHEN v[{d + 1}] >= 0 THEN '1' ELSE '0' END)" for d in ds
+        )
+        keys.append(f"'{s}|' || {bit_exprs}")
+    key_array = "[" + ", ".join(keys) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+k AS (SELECT vec_id, v, unnest({key_array}) AS bucket FROM e),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.id_a AS id_a, c.id_b AS id_b,
+       ROUND(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4)::DOUBLE AS cosine
+FROM cand c
+JOIN e ea ON ea.vec_id = c.id_a
+JOIN e eb ON eb.vec_id = c.id_b
+WHERE ROUND(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) >= 0.45
 """
+
+
+ORACLES["sim_embedding_near_dup"] = _near_dup_lsh_oracle()

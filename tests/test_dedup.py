@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from cartography_spark.operators.dedup import (
     char_shingles,
     drop_exact_duplicates,
+    embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     minhash_lsh_pairs,
@@ -126,3 +127,35 @@ def test_embedding_near_dup(spark):
         for r in embedding_near_dup_pairs(df, "vid", "vec", threshold=0.98).collect()
     }
     assert pairs == {(1, 2), (3, 4)}
+
+
+def test_embedding_near_dup_lsh_blocked_no_cartesian(spark):
+    """The LSH-blocked near-dup must (a) never plan a cross product —
+    the 100 TB criterion — (b) emit a subset of the exact all-pairs
+    result with every emitted cosine correct, and (c) catch identical
+    vectors with certainty (they share every bucket)."""
+    import random
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(80)]
+    vecs += [(100 + i, list(vecs[i][1])) for i in range(5)]  # exact dups
+    df = spark.createDataFrame(vecs, "vid long, vec array<double>")
+
+    blocked = embedding_near_dup_lsh(
+        df, "vid", "vec", threshold=0.45, bits=4, sets=12, dim=64, seed=7
+    )
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(df, "vid", "vec", threshold=0.45).collect()
+    }
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in blocked.collect()}
+    assert set(got) <= set(exact)  # no false positives past the verify
+    for k, v in got.items():
+        assert v == exact[k]
+    # identical vectors share every bucket -> recall 1.0 on exact dups
+    for i in range(5):
+        assert (i, 100 + i) in got
