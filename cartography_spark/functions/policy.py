@@ -1,20 +1,41 @@
-"""Wildcard-policy predicate evaluation (reference T5/J6).
+"""Wildcard-policy predicate evaluation and full statement-list
+resolution (reference T5/J6).
 
-The reference compiles IAM-style wildcard patterns (``*`` any run,
-``?`` one char) to regexes and evaluates principal policies against
-resource identifiers (``cartography/intel/aws/permission_relationships
-.py:21-34, 225-251``: ``evaluate_clause`` uses a compiled
-case-insensitive fullmatch). Here the same semantics run as a
-broadcast-join + JVM ``rlike`` — the principals x resources product is
-pre-filtered by the pattern's literal prefix so it never degenerates to
-a full cross product.
+Two layers:
+
+1. The pattern kernel (:func:`evaluate_policies`): the reference
+   compiles IAM-style wildcard patterns (``*`` any run, ``?`` one char)
+   to regexes and evaluates principal policies against resource
+   identifiers (``cartography/intel/aws/permission_relationships.py:
+   21-34, 225-251``: ``evaluate_clause`` uses a compiled
+   case-insensitive fullmatch). Here the same semantics run as a
+   broadcast-join + JVM ``rlike`` — the principals x resources product
+   is pre-filtered by the pattern's literal prefix so it never
+   degenerates to a full cross product.
+
+2. Statement-list resolution (:func:`policy_verdicts`,
+   :func:`permission_relationships`): the reference's full Allow/Deny
+   evaluation — action/notaction, resource/notresource clause lists,
+   per-permission deny-before-allow, first-determined-permission-wins,
+   any-policy-deny overrides all allows
+   (``permission_relationships.py:77-177``:
+   ``evaluate_statements_for_permission``,
+   ``evaluate_policy_for_permissions``,
+   ``principal_allowed_on_resource``) — re-expressed as two partial
+   aggregations over a resources x broadcast(statements x permissions)
+   product. The statement/permission side is tiny and broadcast with
+   regexes precompiled to literal arrays; the resources side streams
+   through once, JVM-side ``regexp_like`` only (no Python per row).
+   Clause compilation is reference-exact: escape only ``.``,
+   ``*``->``.*``, ``?``->``.?`` (zero-or-one, as the reference's
+   ``compile_regex`` does), IGNORECASE fullmatch.
 """
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 _SPECIAL = re.compile(r"([.+^$(){}\[\]|\\])")
 
@@ -58,3 +79,137 @@ def evaluate_policies(
         & F.regexp_like(F.col(resource_col), F.col("__rx")),
     )
     return joined.drop("__rx", "__pfx")
+
+
+# ---------------------------------------------------------------------------
+# Full statement-list resolution (Allow/Deny precedence)
+# ---------------------------------------------------------------------------
+
+STATEMENTS_DDL = (
+    "principal_id string, policy_id string, statement_idx int, effect string, "
+    "action array<string>, notaction array<string>, "
+    "resource array<string>, notresource array<string>"
+)
+
+
+def clause_regex(clause: Column) -> Column:
+    """Reference-exact wildcard->regex compilation
+    (``permission_relationships.py:225-251``): escape only ``.``,
+    ``*`` -> ``.*``, ``?`` -> ``.?``, anchored, case-insensitive."""
+    esc = F.replace(clause, F.lit("."), F.lit("\\."))
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    esc = F.replace(esc, F.lit("?"), F.lit(".?"))
+    return F.concat(F.lit("(?i)^"), esc, F.lit("$"))
+
+
+def _rx_array(clauses: Column) -> Column:
+    """Precompile a clause array to a regex array (done once on the tiny
+    broadcast statement dim, not per resource row)."""
+    return F.transform(clauses, clause_regex)
+
+
+def _any_match(rx_arr: Column, target: Column) -> Column:
+    """True iff any compiled clause fullmatches target; NULL/missing
+    clause list -> False (callers encode the reference's per-clause
+    null semantics explicitly)."""
+    return F.coalesce(
+        F.exists(rx_arr, lambda rx: F.regexp_like(target, rx)), F.lit(False)
+    )
+
+
+def statement_permission_matrix(statements: DataFrame, permissions: list[str]) -> DataFrame:
+    """statements x permissions with the action-side evaluation folded
+    in and non-applicable rows dropped — the broadcast dim for
+    :func:`policy_verdicts`.
+
+    Reference semantics per statement+permission
+    (``permission_relationships.py:37-54``):
+    - ``notaction`` matching the permission -> statement skipped;
+    - missing ``action`` -> applies to every permission;
+    - else some ``action`` clause must match.
+    """
+    perms = F.array(*[F.lit(p) for p in permissions])
+    sp = statements.select(
+        "*",
+        F.posexplode(perms).alias("perm_idx", "permission"),
+    )
+    action_ok = F.col("action").isNull() | _any_match(
+        _rx_array(F.col("action")), F.col("permission")
+    )
+    notaction_hit = F.col("notaction").isNotNull() & _any_match(
+        _rx_array(F.col("notaction")), F.col("permission")
+    )
+    return (
+        sp.where(action_ok & ~notaction_hit)
+        .withColumn("__resource_rx", _rx_array(F.col("resource")))
+        .withColumn("__notresource_rx", _rx_array(F.col("notresource")))
+        .withColumn("__deny", (F.col("effect") == "Deny").cast("int"))
+    )
+
+
+def policy_verdicts(
+    statements: DataFrame,
+    resources: DataFrame,
+    permissions: list[str],
+    resource_col: str = "resource_arn",
+) -> DataFrame:
+    """Per (principal, policy, resource): the policy's verdict
+    (``denied`` boolean), present only when the policy determines an
+    outcome — the distributed analog of
+    ``evaluate_policy_for_permissions`` (returns (allow, deny) or
+    neither, ``permission_relationships.py:103-143``).
+
+    The determining permission is the FIRST (by list order) with any
+    matching statement; at that permission, any matching Deny statement
+    wins over Allow (the reference checks deny_statements first).
+
+    Scale shape: resources (big side) x broadcast(statements x
+    permissions, pre-filtered + regex-precompiled). The product is
+    inherent to the semantics — the reference runs the same O(P x R)
+    loop single-threaded (``calculate_permission_relationships``) —
+    but here it streams, never shuffles the resource side, and both
+    aggregations are partial (map-side combine).
+    """
+    sp = F.broadcast(statement_permission_matrix(statements, permissions))
+    arn = F.col(resource_col)
+    resource_ok = F.col("resource").isNotNull() & _any_match(F.col("__resource_rx"), arn)
+    notresource_hit = F.col("notresource").isNotNull() & _any_match(
+        F.col("__notresource_rx"), arn
+    )
+    matched = resources.crossJoin(sp).where(resource_ok & ~notresource_hit)
+    per_perm = matched.groupBy(
+        "principal_id", "policy_id", resource_col, "perm_idx"
+    ).agg(F.max("__deny").alias("__deny_here"))
+    return (
+        per_perm.groupBy("principal_id", "policy_id", resource_col)
+        .agg(F.min_by("__deny_here", "perm_idx").alias("__d"))
+        .select(
+            "principal_id",
+            "policy_id",
+            resource_col,
+            (F.col("__d") == 1).alias("denied"),
+        )
+    )
+
+
+def permission_relationships(
+    statements: DataFrame,
+    resources: DataFrame,
+    permissions: list[str],
+    resource_col: str = "resource_arn",
+) -> DataFrame:
+    """Granted (principal_id, resource_arn) pairs — the distributed
+    ``calculate_permission_relationships``
+    (``permission_relationships.py:180-210``): granted iff some policy
+    allows and NO policy explicitly denies (any-policy deny overrides,
+    ``principal_allowed_on_resource:145-177``)."""
+    v = policy_verdicts(statements, resources, permissions, resource_col)
+    return (
+        v.groupBy("principal_id", resource_col)
+        .agg(
+            F.max(F.col("denied").cast("int")).alias("__any_deny"),
+            F.max((~F.col("denied")).cast("int")).alias("__any_allow"),
+        )
+        .where((F.col("__any_deny") == 0) & (F.col("__any_allow") == 1))
+        .select("principal_id", resource_col)
+    )

@@ -320,6 +320,31 @@ def kg_policy_eval_j6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_policy_allow_deny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/J6 full statement-list resolution: Allow/Deny precedence,
+    action/notaction, resource/notresource, first-determined-permission
+    ordering, any-policy deny override — granted (principal, resource)
+    pairs over the part types. Includes a deny-overrides-allow case
+    (reader's *BRASS deny) and a cross-policy deny (ordered)."""
+    from cartography_spark.functions.policy import STATEMENTS_DDL, permission_relationships
+
+    part = _t(spark, sf_dir, "part")
+    res = part.select(F.col("p_type").alias("resource_arn")).distinct()
+    stmts = spark.createDataFrame(
+        [
+            ("admin", "admin-pol", 0, "Allow", ["read:*"], None, ["*"], None),
+            ("reader", "reader-allow", 0, "Allow", ["read:Object"], None, ["PROM*"], None),
+            ("reader", "reader-deny", 0, "Deny", ["*"], None, ["*BRASS"], None),
+            ("negator", "neg-pol", 0, "Allow", None, ["read:*"], ["*"], None),
+            ("notres", "notres-pol", 0, "Allow", ["read:*"], None, ["*"], ["STANDARD*"]),
+            ("ordered", "ord-deny", 0, "Deny", ["write:Object"], None, ["*"], None),
+            ("ordered", "ord-allow", 0, "Allow", ["read:Object"], None, ["ECONOMY*"], None),
+        ],
+        STATEMENTS_DDL,
+    )
+    return permission_relationships(stmts, res, ["write:Object", "read:Object"])
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows / set ops / incremental
 # ---------------------------------------------------------------------------
@@ -645,6 +670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
     "kg_policy_eval_j6": kg_policy_eval_j6,
+    "kg_policy_allow_deny": kg_policy_allow_deny,
     "kg_mention_triples": kg_mention_triples,
     "kg_bigram_triples": kg_bigram_triples,
     "agg_events_a1": agg_events_a1,

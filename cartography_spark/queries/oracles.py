@@ -100,6 +100,60 @@ SELECT pol.pid AS pid, p.p_partkey AS p_partkey, p.p_type AS p_type
 FROM part p JOIN pol ON regexp_matches(p.p_type, pol.rx)
 """
 
+# Full statement-list Allow/Deny resolution, replicated step for step:
+# reference-exact wildcard compile (escape '.', *->.*, ?->.?, (?i)
+# fullmatch), action/notaction applicability, resource/notresource
+# match, first-determined-permission via arg_min, deny-before-allow at
+# a permission via bool_or, any-policy-deny override at the end.
+ORACLES["kg_policy_allow_deny"] = r"""
+WITH stmts(principal_id, policy_id, statement_idx, effect, action, notaction, resource, notresource) AS (
+  VALUES
+  ('admin','admin-pol',0,'Allow',['read:*'],NULL,['*'],NULL),
+  ('reader','reader-allow',0,'Allow',['read:Object'],NULL,['PROM*'],NULL),
+  ('reader','reader-deny',0,'Deny',['*'],NULL,['*BRASS'],NULL),
+  ('negator','neg-pol',0,'Allow',NULL,['read:*'],['*'],NULL),
+  ('notres','notres-pol',0,'Allow',['read:*'],NULL,['*'],['STANDARD*']),
+  ('ordered','ord-deny',0,'Deny',['write:Object'],NULL,['*'],NULL),
+  ('ordered','ord-allow',0,'Allow',['read:Object'],NULL,['ECONOMY*'],NULL)
+),
+perms(perm_idx, permission) AS (VALUES (0, 'write:Object'), (1, 'read:Object')),
+res AS (SELECT DISTINCT p_type AS resource_arn FROM part),
+sp AS (
+  SELECT s.*, p.perm_idx, p.permission
+  FROM stmts s, perms p
+  WHERE (s.action IS NULL OR len(list_filter(s.action,
+           c -> regexp_full_match(p.permission,
+                '(?i)^' || replace(replace(replace(c, '.', '\.'), '*', '.*'), '?', '.?') || '$'))) > 0)
+    AND NOT (s.notaction IS NOT NULL AND len(list_filter(s.notaction,
+           c -> regexp_full_match(p.permission,
+                '(?i)^' || replace(replace(replace(c, '.', '\.'), '*', '.*'), '?', '.?') || '$'))) > 0)
+),
+matched AS (
+  SELECT sp.principal_id, sp.policy_id, r.resource_arn, sp.perm_idx,
+         CASE WHEN sp.effect = 'Deny' THEN 1 ELSE 0 END AS deny
+  FROM sp, res r
+  WHERE sp.resource IS NOT NULL AND len(list_filter(sp.resource,
+          c -> regexp_full_match(r.resource_arn,
+               '(?i)^' || replace(replace(replace(c, '.', '\.'), '*', '.*'), '?', '.?') || '$'))) > 0
+    AND NOT (sp.notresource IS NOT NULL AND len(list_filter(sp.notresource,
+          c -> regexp_full_match(r.resource_arn,
+               '(?i)^' || replace(replace(replace(c, '.', '\.'), '*', '.*'), '?', '.?') || '$'))) > 0)
+),
+per_perm AS (
+  SELECT principal_id, policy_id, resource_arn, perm_idx, MAX(deny) AS deny_here
+  FROM matched GROUP BY 1, 2, 3, 4
+),
+det AS (
+  SELECT principal_id, policy_id, resource_arn,
+         arg_min(deny_here, perm_idx) AS denied
+  FROM per_perm GROUP BY 1, 2, 3
+)
+SELECT principal_id, resource_arn
+FROM det
+GROUP BY principal_id, resource_arn
+HAVING bool_or(denied = 1) = false AND bool_or(denied = 0)
+"""
+
 ORACLES["kg_mention_triples"] = """
 WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents)
 SELECT doc_id AS doc_id, 'mentions' AS pred, obj AS obj, COUNT(*) AS n_mentions

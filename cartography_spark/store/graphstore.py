@@ -1,4 +1,9 @@
-"""Versioned parquet-backed property-graph store with MERGE semantics.
+"""Manifest-versioned parquet property-graph store with partial-rewrite
+MERGE and merge-on-read deletes — the single-node analog of an Iceberg
+table (no Iceberg runtime jar ships in this environment; the layout
+below reproduces its two load-bearing properties: merges rewrite only
+touched partitions, deletes are row-level tombstone files folded in at
+read time).
 
 This is the engine's sink layer — the re-expression of the reference's
 batched idempotent ``UNWIND … MERGE`` writes
@@ -8,19 +13,33 @@ batched idempotent ``UNWIND … MERGE`` writes
 
 Layout::
 
-    <root>/CURRENT                     # JSON pointer {nodes: vN, edges: vM, seq}
-    <root>/nodes/v000N/ (parquet, partitioned by label)
-    <root>/edges/v000M/ (parquet, partitioned by rel_label)
-    <root>/metrics/     (append-only parquet, one row per operation)
+    <root>/CURRENT                      # JSON pointer {nodes: vN, edges: vM, seq}
+    <root>/manifests/nodes/v000N.json   # partition map + delete-file list
+    <root>/data/nodes/v000N/label=X/    # parquet, written once, immutable
+    <root>/deletes/nodes/v000N/         # parquet of (label,id) tombstone keys
+    <root>/metrics/                     # append-only parquet, one row per op
 
-Every mutation writes a *new* version directory and atomically swaps the
-CURRENT pointer (os.replace) — snapshot isolation + time travel, which is
-what drift detection (§2.7 X2) and resume read. **Scale path:** on a real
-deployment both tables are Iceberg; ``merge_nodes`` becomes
-``MERGE INTO nodes t USING s ON t.label=s.label AND t.id=s.id`` (with
-merge-on-read deletes for the sweep) so only touched partitions rewrite.
-The join-based implementation below has identical semantics and is what
-the semantics tests pin.
+A manifest pins, per partition value, the immutable data directory that
+holds it plus the seq at which that directory was written, and a list
+of delete files each with its own seq (Iceberg sequence-number
+semantics: a delete applies to rows from data files OLDER than it, so a
+key deleted then re-merged is NOT re-deleted at read time).
+
+- ``merge_nodes`` / ``merge_edges`` read ONLY the partitions named by
+  the update, merge, and write ONLY those partitions; every other
+  partition carries forward by manifest reference — zero copy. Merge
+  cost is proportional to touched partitions, not table size.
+- ``sweep`` writes tombstone key files (merge-on-read DELETE) — no
+  table rewrite at all. ``compact`` folds tombstones into a fresh full
+  snapshot.
+- Every mutation writes a new manifest and atomically swaps the CURRENT
+  pointer (os.replace) — snapshot isolation + time travel, which is
+  what drift detection (§2.7 X2) and resume read.
+
+On a real deployment both tables are Iceberg and ``merge_nodes`` is
+``MERGE INTO nodes t USING s ON t.label=s.label AND t.id=s.id`` with
+merge-on-read position/equality deletes — the plans below are exactly
+what that executes.
 
 MERGE semantics (exact reference contract):
 - keyed by (label, id) for nodes / (src, dst, rel_label) for edges;
@@ -31,6 +50,11 @@ MERGE semantics (exact reference contract):
 - declared props overwrite, undeclared props are retained (MERGE's SET
   only touches declared keys — map_concat LAST_WIN);
 - ``id`` is never re-SET (``querybuilder.py:59-61``) — it is the join key.
+
+Cleanup semantics are null-safe: rows whose ``scope_id`` or
+``lastupdated`` is NULL never match a stale predicate and are KEPT
+(Cypher's ``n.x <> $v`` does not match NULL — the reference never
+deletes such rows either).
 """
 
 from __future__ import annotations
@@ -38,6 +62,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window
@@ -70,6 +95,14 @@ EDGES_SCHEMA = T.StructType(
 
 _NODE_KEY = ["label", "id"]
 _EDGE_KEY = ["rel_label", "src", "dst"]
+_PARTITION_COL = {"nodes": "label", "edges": "rel_label"}
+_KEY = {"nodes": _NODE_KEY, "edges": _EDGE_KEY}
+_SCHEMA = {"nodes": NODES_SCHEMA, "edges": EDGES_SCHEMA}
+
+
+def _not_stale(pred: F.Column) -> F.Column:
+    """Null-safe keep-filter: NULL predicate rows are kept, not dropped."""
+    return ~F.coalesce(pred, F.lit(False))
 
 
 def merge_frames(
@@ -78,6 +111,7 @@ def merge_frames(
     key: list[str],
     cols: list[str],
     update_tag: int,
+    with_flags: bool = False,
 ) -> DataFrame:
     """The pure MERGE plan (U1/U2 semantics) as a DataFrame op:
     full-outer join on ``key``; ``firstseen`` preserved on update, set to
@@ -85,7 +119,11 @@ def merge_frames(
     rows; ``props`` merged LAST_WIN (declared keys overwrite, undeclared
     retained). ``new`` must already have unique keys. Extracted from the
     store so query plans can reuse MERGE semantics without a write —
-    on Iceberg this exact plan is what MERGE INTO executes."""
+    on Iceberg this exact plan is what MERGE INTO executes.
+
+    ``with_flags=True`` appends boolean ``__created`` / ``__updated``
+    columns so the caller can harvest counters from the SAME pass via
+    ``Observation`` (no second anti-join job)."""
     run_ts = F.to_timestamp(F.from_unixtime(F.lit(int(update_tag))))
     new = new.withColumn("__new", F.lit(True))
     old = old.withColumn("__old", F.lit(True))
@@ -121,7 +159,11 @@ def merge_frames(
             .alias(c)
         )
 
-    return j.select(*[merged(c) for c in cols])
+    out = [merged(c) for c in cols]
+    if with_flags:
+        out.append((is_new & ~is_old).alias("__created"))
+        out.append((is_new & is_old).alias("__updated"))
+    return j.select(*out)
 
 
 class GraphStore:
@@ -155,14 +197,90 @@ class GraphStore:
         n = int((cur.get(table) or "v0")[1:]) + 1
         return f"v{n:06d}"
 
-    # ---------- reads ----------
+    # ---------- manifests ----------
 
-    def _read(self, table: str, schema: T.StructType, version: str | None = None) -> DataFrame:
+    def _manifest_path(self, table: str, version: str) -> str:
+        return os.path.join(self.root, "manifests", table, f"{version}.json")
+
+    def _manifest(self, table: str, version: str | None = None) -> dict | None:
         v = version or self._pointer().get(table)
         if v is None:
-            return self.spark.createDataFrame([], schema)
-        path = os.path.join(self.root, table, v)
-        return self.spark.read.schema(schema).parquet(path)
+            return None
+        with open(self._manifest_path(table, v)) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, table: str, version: str, manifest: dict) -> None:
+        """Write manifest then swap the pointer (write-then-publish:
+        readers of the old pointer never see a half-written manifest).
+        Delete entries older than every live partition prune away."""
+        parts = manifest["partitions"]
+        manifest["deletes"] = [
+            d
+            for d in manifest.get("deletes", [])
+            if any(p["seq"] < d["seq"] for p in parts.values())
+        ]
+        path = self._manifest_path(table, version)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, path)
+        self._swap_pointer({table: version})
+
+    def node_versions(self) -> list[str]:
+        d = os.path.join(self.root, "manifests", "nodes")
+        return sorted(os.path.splitext(f)[0] for f in os.listdir(d)) if os.path.isdir(d) else []
+
+    # ---------- reads ----------
+
+    def _empty(self, schema: T.StructType) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _read_manifest_df(
+        self,
+        table: str,
+        schema: T.StructType,
+        manifest: dict | None,
+        only_partitions: list[str] | None = None,
+    ) -> DataFrame:
+        """Scan the partitions a manifest names, applying merge-on-read
+        deletes. Partition dirs written by the same version share a
+        basePath, so each version-group is ONE multi-dir parquet scan
+        (partition column restored from the ``col=val`` dir names,
+        filters/pruning pushed per scan); groups are unioned. Delete
+        files apply only to groups with seq < delete seq — Iceberg
+        sequence-number semantics."""
+        if manifest is None:
+            return self._empty(schema)
+        parts = manifest["partitions"]
+        if only_partitions is not None:
+            parts = {k: v for k, v in parts.items() if k in only_partitions}
+        if not parts:
+            return self._empty(schema)
+        key = _KEY[table]
+        groups: dict[int, list[str]] = {}
+        for info in parts.values():
+            groups.setdefault(info["seq"], []).append(info["dir"])
+        out: DataFrame | None = None
+        for seq, dirs in sorted(groups.items()):
+            base = os.path.join(self.root, "data", table, f"v{seq:06d}")
+            df = (
+                self.spark.read.option("basePath", base)
+                .schema(schema)
+                .parquet(*[os.path.join(self.root, d) for d in dirs])
+            )
+            dels = [d for d in manifest.get("deletes", []) if d["seq"] > seq]
+            if dels:
+                keys = self.spark.read.parquet(
+                    *[os.path.join(self.root, d["path"]) for d in dels]
+                ).dropDuplicates(key)
+                df = df.join(keys, key, "left_anti")
+            out = df if out is None else out.unionByName(df)
+        assert out is not None
+        return out
+
+    def _read(self, table: str, schema: T.StructType, version: str | None = None) -> DataFrame:
+        return self._read_manifest_df(table, schema, self._manifest(table, version))
 
     def read_nodes(self, version: str | None = None) -> DataFrame:
         return self._read("nodes", NODES_SCHEMA, version)
@@ -170,27 +288,43 @@ class GraphStore:
     def read_edges(self, version: str | None = None) -> DataFrame:
         return self._read("edges", EDGES_SCHEMA, version)
 
-    def node_versions(self) -> list[str]:
-        d = os.path.join(self.root, "nodes")
-        return sorted(os.listdir(d)) if os.path.isdir(d) else []
-
     # ---------- writes ----------
 
-    def _write(self, table: str, df: DataFrame, partition_col: str) -> str:
-        v = self._new_version(table)
-        path = os.path.join(self.root, table, v)
-        # Sorted-within-partition writes on the lookup key (Iceberg
-        # `write.sorted` analog): parquet row-group min/max stats then
-        # prune id-range lookups — the layout replacement for the
-        # reference's index-ensure step (querybuilder.py:490-551).
+    def _write_data(self, table: str, version: str, df: DataFrame) -> dict[str, dict]:
+        """Write one immutable partitioned data directory for ``version``
+        and return its partition map. Sorted-within-partition writes on
+        the lookup key (Iceberg ``write.sorted`` analog): parquet
+        row-group min/max stats then prune id-range lookups — the layout
+        replacement for the reference's index-ensure step
+        (querybuilder.py:490-551)."""
+        pcol = _PARTITION_COL[table]
+        path = os.path.join(self.root, "data", table, version)
         sort_key = "id" if "id" in df.columns else "src"
         (
             df.sortWithinPartitions(sort_key)
             .write.mode("overwrite")
-            .partitionBy(partition_col)
+            .partitionBy(pcol)
             .parquet(path)
         )
-        self._swap_pointer({table: v})
+        seq = int(version[1:])
+        parts: dict[str, dict] = {}
+        prefix = f"{pcol}="
+        for entry in os.listdir(path):
+            if entry.startswith(prefix):
+                pval = urllib.parse.unquote(entry[len(prefix):])
+                parts[pval] = {
+                    "dir": os.path.join("data", table, version, entry),
+                    "seq": seq,
+                }
+        return parts
+
+    def _write(self, table: str, df: DataFrame, partition_col: str | None = None) -> str:
+        """Full-snapshot write: every partition fresh, tombstones folded
+        in (the compaction path; also used by analysis jobs, which
+        rewrite node props table-wide by design)."""
+        v = self._new_version(table)
+        parts = self._write_data(table, v, df)
+        self._commit_manifest(table, v, {"partitions": parts, "deletes": []})
         return v
 
     def _record_metrics(self, op: str, update_tag: int, counters: dict[str, int]) -> None:
@@ -245,25 +379,42 @@ class GraphStore:
         for f in schema.fields:
             if f.name not in new.columns and f.name not in managed:
                 new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
-        old = self._read(table, schema)
+
+        # Partition pruning: only the partitions named by the update are
+        # read, merged, and rewritten; everything else carries forward by
+        # manifest reference. The distinct() is on the tiny partition
+        # column (label cardinality, not row count).
+        touched = [
+            r[0] for r in new.select(partition_col).distinct().collect() if r[0] is not None
+        ]
+        manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
+        old = self._read_manifest_df(table, schema, manifest, only_partitions=touched)
 
         from pyspark.sql import Observation
 
         obs = Observation(f"merge_{table}")
-        result = merge_frames(old, new, key, cols, update_tag).observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
+        result = (
+            merge_frames(old, new, key, cols, update_tag, with_flags=True)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("__created").cast("long")).alias("created"),
+                F.sum(F.col("__updated").cast("long")).alias("updated"),
+            )
+            .drop("__created", "__updated")
         )
-        # Counters need the pre-merge join flags; compute created/updated
-        # with a separate lightweight agg on keys only (cheap: key columns
-        # prune to a 2-column scan on both sides).
-        v = self._write(table, result, partition_col)
-        rows = obs.get["rows"]
-        created = new.join(old.select(*key), key, "left_anti").count()
+        v = self._new_version(table)
+        new_parts = self._write_data(table, v, result)  # counters fold into this one job
+        parts = dict(manifest["partitions"])
+        parts.update(new_parts)
+        self._commit_manifest(
+            table, v, {"partitions": parts, "deletes": list(manifest.get("deletes", []))}
+        )
+        got = obs.get
         counters = {
-            "rows_total": rows,
-            "created": created,
-            "updated": new.count() - created,
+            "rows_total": int(got["rows"] or 0),
+            "created": int(got["created"] or 0),
+            "updated": int(got["updated"] or 0),
         }
         self._record_metrics(f"merge_{table}", update_tag, counters)
         return {**counters, "version": v}
@@ -276,6 +427,31 @@ class GraphStore:
     def merge_edges(self, updates: DataFrame, update_tag: int) -> dict[str, int]:
         """Idempotent edge upsert (U2), keyed (rel_label, src, dst)."""
         return self._merge("edges", EDGES_SCHEMA, _EDGE_KEY, updates, update_tag, "rel_label")
+
+    # ---------- merge-on-read deletes ----------
+
+    def _write_deletes(self, table: str, keys: DataFrame) -> tuple[int, str | None]:
+        """Append one tombstone key file and commit a manifest that
+        references it. Returns (rows_deleted, new_version). No data
+        directory is touched — sweep cost is the key scan plus a
+        key-sized write, independent of table size."""
+        from pyspark.sql import Observation
+
+        manifest = self._manifest(table)
+        if manifest is None:
+            return 0, None
+        v = self._new_version(table)
+        path = os.path.join(self.root, "deletes", table, v)
+        obs = Observation(f"delete_{table}_{v}")
+        keys.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+        n = int(obs.get["n"] or 0)
+        if n == 0:
+            return 0, None
+        manifest["deletes"] = list(manifest.get("deletes", [])) + [
+            {"path": os.path.join("deletes", table, v), "seq": int(v[1:])}
+        ]
+        self._commit_manifest(table, v, manifest)
+        return n, v
 
     # ---------- cleanup sweep (C1-C6) ----------
 
@@ -303,6 +479,9 @@ class GraphStore:
 
         One distributed anti-join replaces the reference's LIMIT-100
         delete loop (``graph/job.py:163-173``) — no iteration needed.
+        Deletes are merge-on-read tombstone files: NO table rewrite.
+        Rows with NULL scope_id / lastupdated never match a stale
+        predicate and are kept (Cypher ``<>`` null semantics).
         """
         label = node_schema.label
         rels = node_schema.all_relationships
@@ -329,39 +508,41 @@ class GraphStore:
         )
         if has_sub:
             stale_edge = stale_edge & (F.col("scope_id") == scope_id)
+        stale_edges = edges.where(~_not_stale(stale_edge))
 
         delete_nodes = has_sub or not node_schema.scoped_cleanup
+        nodes_deleted = 0
+        doomed_edges = stale_edges.select(*_EDGE_KEY)
         if delete_nodes:
             stale_node = (F.col("label") == label) & (F.col("lastupdated") != tag)
             if has_sub:
                 stale_node = stale_node & (F.col("scope_id") == scope_id)
-            doomed_ids = nodes.where(stale_node).select(F.col("id").alias("__gone"))
-            nodes_deleted = doomed_ids.count()
-            new_nodes = nodes.where(~stale_node)
-            # DETACH DELETE: drop every edge touching a deleted node.
-            # Left-anti joins; at Iceberg scale this is a row-level
-            # DELETE with a semi-join pushdown.
-            new_edges = (
-                edges.join(
-                    doomed_ids,
-                    (edges["src"] == F.col("__gone")) & (edges["src_label"] == label),
-                    "left_anti",
+            doomed = nodes.where(~_not_stale(stale_node)).select(*_NODE_KEY)
+            nodes_deleted, dv = self._write_deletes("nodes", doomed)
+            if nodes_deleted:
+                # DETACH DELETE: tombstone every edge touching a deleted
+                # node. Read the just-written (small) key file back so
+                # the doomed set is computed once, then two semi-joins.
+                dn = self.spark.read.parquet(
+                    os.path.join(self.root, "deletes", "nodes", dv)
                 )
-                .join(
-                    doomed_ids,
-                    (F.col("dst") == F.col("__gone")) & (F.col("dst_label") == label),
-                    "left_anti",
+                det_src = edges.join(
+                    dn.select(F.col("id").alias("src"), F.col("label").alias("src_label")),
+                    ["src", "src_label"],
+                    "left_semi",
                 )
-                .where(~stale_edge)
-            )
-        else:
-            nodes_deleted = 0
-            new_nodes = nodes
-            new_edges = edges.where(~stale_edge)
-
-        edges_deleted = edges.count() - new_edges.count()
-        self._write("nodes", new_nodes, "label")
-        self._write("edges", new_edges, "rel_label")
+                det_dst = edges.join(
+                    dn.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                    ["dst", "dst_label"],
+                    "left_semi",
+                )
+                doomed_edges = (
+                    det_src.select(*_EDGE_KEY)
+                    .unionByName(det_dst.select(*_EDGE_KEY))
+                    .unionByName(doomed_edges)
+                    .dropDuplicates(_EDGE_KEY)
+                )
+        edges_deleted, _ = self._write_deletes("edges", doomed_edges)
         counters = {"nodes_deleted": nodes_deleted, "edges_deleted": edges_deleted}
         self._record_metrics(f"sweep_{label}", update_tag, counters)
         return counters
@@ -369,14 +550,26 @@ class GraphStore:
     def sweep_matchlink(self, matchlink, update_tag: int, scope_id: str) -> dict[str, int]:
         """MatchLink cleanup (C5): delete stale rels of this label within
         the given sub-resource scope (``cleanupbuilder.py:340-383``)."""
-        edges = self.read_edges()
         stale = (
             (F.col("rel_label") == matchlink.rel_label)
             & (F.col("scope_id") == scope_id)
             & (F.col("lastupdated") != int(update_tag))
         )
-        new_edges = edges.where(~stale)
-        deleted = edges.count() - new_edges.count()
-        self._write("edges", new_edges, "rel_label")
-        self._record_metrics(f"sweep_link_{matchlink.rel_label}", update_tag, {"edges_deleted": deleted})
+        doomed = self.read_edges().where(~_not_stale(stale)).select(*_EDGE_KEY)
+        deleted, _ = self._write_deletes("edges", doomed)
+        self._record_metrics(
+            f"sweep_link_{matchlink.rel_label}", update_tag, {"edges_deleted": deleted}
+        )
         return {"edges_deleted": deleted}
+
+    # ---------- maintenance ----------
+
+    def compact(self, table: str | None = None) -> dict[str, str]:
+        """Fold tombstones into a fresh full snapshot (Iceberg
+        rewrite_data_files + rewrite_position_delete_files analog). Run
+        periodically, off the sync critical path."""
+        out: dict[str, str] = {}
+        for t in [table] if table else ["nodes", "edges"]:
+            if self._manifest(t) is not None:
+                out[t] = self._write(t, self._read(t, _SCHEMA[t]))
+        return out

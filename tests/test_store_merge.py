@@ -77,3 +77,144 @@ def test_versions_snapshot_isolation(spark, store):
     store.merge_nodes(_nodes_df(spark, [("X", "2", None, {})]), 2)
     assert store.read_nodes(version=v1).count() == 1
     assert store.read_nodes().count() == 2
+
+
+def test_merge_rewrites_only_touched_partitions(spark, store):
+    """The Iceberg-style partial-rewrite contract: merging label B must
+    carry label A's data directory forward BY REFERENCE (identical path
+    + seq in the manifest), so merge cost is proportional to touched
+    partitions, not table size."""
+    store.merge_nodes(_nodes_df(spark, [("A", f"a{i}", None, {}) for i in range(50)]), 1)
+    man1 = store._manifest("nodes")
+    a_before = man1["partitions"]["A"]
+    store.merge_nodes(_nodes_df(spark, [("B", "b1", None, {})]), 2)
+    man2 = store._manifest("nodes")
+    assert man2["partitions"]["A"] == a_before  # untouched: zero copy
+    assert man2["partitions"]["B"]["seq"] > a_before["seq"]
+    ids = {r["id"] for r in store.read_nodes().collect()}
+    assert len(ids) == 51 and "b1" in ids
+
+
+def test_sweep_is_merge_on_read_no_data_rewrite(spark, store):
+    """sweep() must write only tombstone key files — every data
+    directory of the pre-sweep manifest survives untouched."""
+    import os
+
+    from cartography_spark.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+    from cartography_spark.pipeline.sync import load
+
+    tenant = NodeSchema(label="Tenant", properties={"id": PropertyRef("tid")})
+    user = NodeSchema(
+        label="User",
+        properties={"id": PropertyRef("uid")},
+        sub_resource_relationship=RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="Tenant",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        ),
+    )
+    load(store, tenant, spark.createDataFrame([("t1",)], "tid string"), 1)
+    load(store, user, spark.createDataFrame([("u1",), ("u2",)], "uid string"), 100, TENANT_ID="t1")
+    man_before = store._manifest("nodes")
+    load(store, user, spark.createDataFrame([("u1",)], "uid string"), 200, TENANT_ID="t1")
+    man_mid = store._manifest("nodes")
+    c = store.sweep(user, 200, scope_id="t1")
+    assert c["nodes_deleted"] == 1 and c["edges_deleted"] == 1
+    man_after = store._manifest("nodes")
+    # data dirs identical to pre-sweep; only a delete entry was added
+    assert man_after["partitions"] == man_mid["partitions"]
+    assert len(man_after["deletes"]) == 1
+    assert {r["id"] for r in store.read_nodes().where("label='User'").collect()} == {"u1"}
+    # recreate u2: fresh firstseen, and the old tombstone must NOT
+    # re-delete it (sequence-number semantics: delete < new data seq)
+    load(store, user, spark.createDataFrame([("u2",)], "uid string"), 300, TENANT_ID="t1")
+    rows = {r["id"]: r for r in store.read_nodes().where("label='User'").collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert int(rows["u2"]["firstseen"].timestamp()) == 300
+
+
+def test_sweep_keeps_null_scoped_rows(spark, store):
+    """NULL scope_id / lastupdated rows never match a stale predicate:
+    they are KEPT (Cypher <> null semantics), not silently dropped."""
+    from cartography_spark.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+
+    user = NodeSchema(
+        label="User",
+        properties={"id": PropertyRef("uid")},
+        sub_resource_relationship=RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="Tenant",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        ),
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("User", "n_null_scope", None, None, {}),
+            ("User", "stale", "t1", 100, {}),
+        ],
+        "label string, id string, scope_id string, lastupdated long, props map<string,string>",
+    )
+    store.merge_nodes(nodes.drop("lastupdated"), 100)
+    c = store.sweep(user, 999, scope_id="t1")
+    ids = {r["id"] for r in store.read_nodes().collect()}
+    assert "n_null_scope" in ids  # NULL scope: kept, not silently deleted
+    assert c["nodes_deleted"] == 1 and "stale" not in ids
+
+
+def test_compact_folds_tombstones(spark, store):
+    store.merge_nodes(_nodes_df(spark, [("A", "a1", "s", {}), ("A", "a2", "s", {})]), 1)
+    # tombstone a2 directly via the delete path
+    from pyspark.sql import functions as F
+
+    doomed = store.read_nodes().where("id='a2'").select("label", "id")
+    n, _ = store._write_deletes("nodes", doomed)
+    assert n == 1
+    before = {r["id"] for r in store.read_nodes().collect()}
+    store.compact("nodes")
+    after = {r["id"] for r in store.read_nodes().collect()}
+    assert before == after == {"a1"}
+    assert store._manifest("nodes")["deletes"] == []
+
+
+def test_merge_single_pass_counters(spark, store):
+    """Counters fold into the write pass via Observation: a merge runs a
+    bounded number of Spark jobs (touched-partition collect + write +
+    metrics append) — no extra anti-join/count jobs."""
+    store.merge_nodes(_nodes_df(spark, [("P", "p1", None, {})]), 1)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    # AQE materializes each shuffle stage as its own job, which would
+    # make a raw job count meaningless; with it off, one action = one
+    # job, so the count below pins "no extra anti-join/count passes".
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sc.setJobGroup("merge-job-count", "count jobs in one merge")
+        r = store.merge_nodes(
+            _nodes_df(spark, [("P", "p1", None, {}), ("P", "p2", None, {})]), 2
+        )
+        jobs = tracker.getJobIdsForGroup("merge-job-count")
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert r["created"] == 1 and r["updated"] == 1
+    # touched-partition collect + merged write + metrics append
+    assert len(jobs) <= 4
