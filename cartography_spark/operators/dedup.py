@@ -305,6 +305,90 @@ def simhash_pairs(
     )
 
 
+def simhash32_md5(sh: Column) -> Column:
+    """32-bit SimHash as a '0'/'1' string — md5 family (oracle-portable:
+    bit j = high bit of hex nibble j of md5(shingle), so both engines
+    derive identical fingerprints from identical strings). Single fold
+    over the *materialized* shingle array, like
+    :func:`simhash_from_shingles`."""
+    hexes = F.transform(
+        sh,
+        lambda s: F.filter(F.split(F.md5(s), "(?!^)"), lambda c: c != ""),
+    )
+    counts = F.aggregate(
+        hexes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                h,
+                lambda c: F.when(
+                    c.isin("8", "9", "a", "b", "c", "d", "e", "f"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    n = F.size(sh)
+    return F.concat_ws(
+        "",
+        F.transform(counts, lambda c: F.when(c * 2 >= n, F.lit("1")).otherwise(F.lit("0"))),
+    )
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by 32-bit md5-family SimHash, Hamming <=
+    max_hamming — the oracle-checked twin of :func:`simhash_pairs`
+    (same pigeonhole blocking: ``max_hamming+1`` chunks, any qualifying
+    pair agrees on >=1 chunk, candidates from (chunk_idx, chunk_value)
+    equi-joins). Columns: id_a, id_b, hamming."""
+    chunks = max_hamming + 1
+    width = -(-32 // chunks)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("__sh")
+    ).select("doc_id", simhash32_md5(F.col("__sh")).alias("fp"))
+    chunked = base.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.substring("fp", c * width + 1, width).alias("cv"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk"),
+    ).select("doc_id", "fp", F.col("chunk.ci").alias("ci"), F.col("chunk.cv").alias("cv"))
+    b = chunked.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("fp").alias("fp_b"), "ci", "cv"
+    )
+    diff = F.zip_with(
+        F.split(F.col("fp"), "(?!^)"),
+        F.split(F.col("fp_b"), "(?!^)"),
+        lambda x, y: (x != y).cast("int"),
+    )
+    return (
+        chunked.join(b, ["ci", "cv"])
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id", "doc_id_b"])
+        .select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.aggregate(diff, F.lit(0), lambda a, x: a + x).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------- embedding cosine near-dup ----------------
 
 

@@ -577,6 +577,37 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (md5 32-bit family, pigeonhole-blocked
+    chunk equi-joins — no cross product)."""
+    from cartography_spark.operators.dedup import simhash_pairs_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs_md5(docs, "doc_id", "text", shingle_n=3, max_hamming=3)
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (the ANN
+    scale path): bucket equi-join, corpus never replicated. Oracle
+    replicates the deterministic planes as literals — verified
+    cross-engine (sign margin ~1e-4 vs float error ~1e-13)."""
+    from cartography_spark.operators.similarity import hyperplane_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return hyperplane_lsh_topk(emb, queries, k=5, bits=8, dim=64, seed=42)
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic seed centroids (16 lowest
+    ids), corpus in 1 list, queries probe 4 — equi-join on list id."""
+    from cartography_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.similarity import brute_force_topk
 
@@ -691,7 +722,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
+    "dedup_simhash": dedup_simhash,
     "sim_topk_brute": sim_topk_brute,
+    "sim_lsh_topk": sim_lsh_topk,
+    "sim_ivf_topk": sim_ivf_topk,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "kg_entity_linking": kg_entity_linking,
     "kg_flagship_pipeline": kg_flagship_pipeline,

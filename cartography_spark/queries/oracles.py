@@ -381,6 +381,107 @@ SELECT doc_id,
 FROM documents
 """
 
+# 32-bit md5-family SimHash replicated step for step: bit j = high bit
+# of md5 hex nibble j, majority over distinct char-3-gram shingles;
+# pigeonhole chunk blocking (4 chunks of 8 bits); Hamming <= 3 verify.
+ORACLES["dedup_simhash"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), i, 3)
+                        FOR i IN generate_series(1, greatest(len(text) - 2, 1))]) AS sh
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         array_to_string([CASE WHEN 2 * len(list_filter(sh,
+                 s -> substr(md5(s), j, 1) IN ('8','9','a','b','c','d','e','f'))) >= len(sh)
+                 THEN '1' ELSE '0' END
+                 FOR j IN generate_series(1, 32)], '') AS f
+  FROM d
+),
+ch AS (
+  SELECT doc_id, f, ci, substr(f, ci * 8 + 1, 8) AS cv
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS ci)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+  FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(generate_series(1, 32),
+                j -> substr(fa, j, 1) <> substr(fb, j, 1))) AS BIGINT) AS hamming
+FROM cand
+WHERE len(list_filter(generate_series(1, 32),
+          j -> substr(fa, j, 1) <> substr(fb, j, 1))) <= 3
+"""
+
+
+def _hyperplane_topk_oracle(dim: int = 64, bits: int = 8, seed: int = 42, k: int = 5) -> str:
+    """Generated twin of hyperplane_lsh_topk: the deterministic planes
+    are embedded as DOUBLE[] literals (repr round-trips exactly), the
+    bucket is the concatenated projection signs, candidates share the
+    query's bucket. Sign parity verified empirically: min |projection|
+    ~1e-4 on this data vs ~1e-13 float-summation error."""
+    from cartography_spark.operators.similarity import _planes
+
+    planes = _planes(dim, bits, seed)
+    bit_exprs = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bit_exprs} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 4)::DOUBLE AS score
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank FROM s) t
+WHERE rank <= {k}
+"""
+
+
+ORACLES["sim_lsh_topk"] = _hyperplane_topk_oracle()
+
+# IVF twin: centroids = 16 lowest-id vectors; corpus assigned to its 1
+# nearest centroid, queries probe 4 (rank by -dot/norm then cid, the
+# exact sort key assign_ivf_buckets uses); equi-join on list id.
+ORACLES["sim_ivf_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+casg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY -list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)), c.cid) AS rn
+    FROM e, cents c) t WHERE rn <= 1
+),
+qasg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY -list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)), c.cid) AS rn
+    FROM e, cents c WHERE e.vec_id < 8) t WHERE rn <= 4
+),
+s AS (
+  SELECT DISTINCT q.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, ca.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(ca.v, ca.v))), 4)::DOUBLE AS score
+  FROM qasg q JOIN casg ca ON q.cid = ca.cid AND ca.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank FROM s) t
+WHERE rank <= 5
+"""
+
 ORACLES["sim_topk_brute"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
