@@ -130,6 +130,22 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_analysis(args) -> int:
+    """Run a declarative JSON analysis job against a store (reference:
+    ``cartography/intel/analysis.py:12-45`` runs user-supplied JSON job
+    files in order)."""
+    from cartography_spark.pipeline.analysis import AnalysisJob
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = _spark(args)
+    store = GraphStore(spark, args.store)
+    params = dict(kv.split("=", 1) for kv in (args.param or []))
+    job = AnalysisJob.from_json_file(args.job)
+    out = job.run(store, args.update_tag or int(time.time()), params)
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cartography-spark")
     p.add_argument("--cores", default=None, help="local[N] cores (default env/all)")
@@ -154,6 +170,13 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--scope", required=True)
     w.add_argument("--update-tag", type=int, required=True)
     w.set_defaults(fn=cmd_sweep)
+
+    a = sub.add_parser("analysis", help="run a declarative JSON analysis job")
+    a.add_argument("--store", required=True)
+    a.add_argument("--job", required=True, help="path to the JSON job file")
+    a.add_argument("--update-tag", type=int, default=None)
+    a.add_argument("--param", action="append", help="KEY=VALUE ($KEY substitution)")
+    a.set_defaults(fn=cmd_analysis)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -19,7 +19,9 @@ pattern (clear -> seed -> propagate with ``coalesce(list,[])+type``).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
+from string import Template
 from typing import Any, Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -39,6 +41,10 @@ class AnalysisStep:
 class AnalysisJob:
     name: str
     steps: list[AnalysisStep] = field(default_factory=list)
+    short_name: str | None = None
+    # Observations registered by declarative steps during composition;
+    # harvested into per-statement counters after the write action.
+    _observations: list = field(default_factory=list)
 
     def add_step(self, name: str, fn: StepFn) -> "AnalysisJob":
         self.steps.append(AnalysisStep(name, fn))
@@ -48,28 +54,150 @@ class AnalysisJob:
         self, store: GraphStore, update_tag: int, params: Mapping[str, Any] | None = None
     ) -> dict[str, Any]:
         params = dict(params or {})
+        self._observations = []
         nodes, edges = store.read_nodes(), store.read_edges()
         for step in self.steps:
             nodes, edges = step.fn(nodes, edges, params)
         store._write("nodes", nodes, "label")
         store._write("edges", edges, "rel_label")
-        store._record_metrics(f"analysis_{self.name}", update_tag, {"steps": len(self.steps)})
-        return {"job": self.name, "steps": [s.name for s in self.steps]}
+        # Per-statement counters (reference: GraphStatement counters
+        # harvested to statsd, ``graph/statement.py:105-120``) — the
+        # observations materialized during the write above, so this is
+        # the SAME pass, not extra jobs.
+        counters: dict[str, int] = {"steps": len(self.steps)}
+        for name, obs in self._observations:
+            counters[name] = int(obs.get.get("matched") or 0)
+        store._record_metrics(f"analysis_{self.short_name or self.name}", update_tag, counters)
+        return {"job": self.name, "steps": [s.name for s in self.steps], "counters": counters}
+
+    # ---------------- declarative (serialized) jobs ----------------
+    #
+    # Reference: ordered JSON statement lists run via
+    # ``graph/job.py:238-253`` (``run_from_json``) from user-supplied
+    # directories (``intel/analysis.py:12-45``) with ``$PARAM``
+    # Template substitution (``GraphStatement.merge_parameters``).
+    # Statements there are Cypher strings; here each statement is a
+    # declarative DataFrame rewrite whose predicates are Spark SQL
+    # boolean expressions over (label, id, props, ...) — the same
+    # data-driven drop-a-file-in contract, no engine edits needed.
+    #
+    # Statement vocabulary:
+    #   {"op": "set_prop",    "where": <sql>, "prop": p, "value": lit
+    #                                        | "value_expr": <sql>}
+    #   {"op": "remove_prop", "where": <sql>, "prop": p}
+    #   {"op": "propagate",   "seed_where": <sql>, "rel_labels": [...],
+    #                         "hops": n, "flag": f}
+    # Every string field supports $PARAM substitution at run time.
+
+    @classmethod
+    def from_json(cls, blob: str, short_name: str | None = None) -> "AnalysisJob":
+        data = json.loads(blob)
+        job = cls(data["name"], short_name=short_name)
+        for idx, stmt in enumerate(data["statements"]):
+            job.add_step(
+                stmt.get("__comment", f"stmt_{idx}"),
+                job._compile_statement(idx, stmt),
+            )
+        return job
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "AnalysisJob":
+        import os
+
+        with open(path) as f:
+            blob = f.read()
+        return cls.from_json(blob, short_name=os.path.splitext(os.path.basename(path))[0])
+
+    @classmethod
+    def run_from_json(
+        cls,
+        store: GraphStore,
+        blob: str,
+        update_tag: int,
+        params: Mapping[str, Any] | None = None,
+        short_name: str | None = None,
+    ) -> dict[str, Any]:
+        return cls.from_json(blob, short_name).run(store, update_tag, params)
+
+    def _compile_statement(self, idx: int, stmt: Mapping[str, Any]) -> StepFn:
+        op = stmt["op"]
+        if op not in {"set_prop", "remove_prop", "propagate"}:
+            raise ValueError(f"unknown analysis op {op!r} (statement {idx})")
+
+        def fn(nodes: DataFrame, edges: DataFrame, params: Mapping[str, Any]):
+            from pyspark.sql import Observation
+
+            def sub(s: str) -> str:
+                return Template(s).safe_substitute(params)
+
+            if op == "propagate":
+                pred = F.expr(sub(stmt["seed_where"]))
+                obs = Observation(f"{self.name}_stmt{idx}")
+                nodes_o = nodes.observe(
+                    obs, F.sum(F.when(pred, 1).otherwise(0)).alias("matched")
+                )
+                self._observations.append((f"stmt{idx}_matched", obs))
+                out = exposure_propagation(
+                    nodes_o,
+                    edges,
+                    pred,
+                    [sub(r) for r in stmt["rel_labels"]],
+                    int(stmt["hops"]),
+                    flag=sub(stmt.get("flag", "exposed")),
+                )
+                return out, edges
+
+            pred = F.expr(sub(stmt["where"]))
+            obs = Observation(f"{self.name}_stmt{idx}")
+            nodes_o = nodes.observe(
+                obs, F.sum(F.when(pred, 1).otherwise(0)).alias("matched")
+            )
+            self._observations.append((f"stmt{idx}_matched", obs))
+            prop = sub(stmt["prop"])
+            if op == "set_prop":
+                value = (
+                    F.expr(sub(stmt["value_expr"]))
+                    if "value_expr" in stmt
+                    else F.lit(sub(str(stmt["value"])))
+                )
+                return set_prop_where(nodes_o, pred, prop, value), edges
+            return remove_prop_where(nodes_o, pred, prop), edges
+
+        return fn
 
 
-def set_prop(nodes: DataFrame, label: str, prop: str, value: F.Column) -> DataFrame:
-    """SET n.prop = value on nodes of one label (reference: the clear /
-    tag statements, e.g. ``aws_foreign_accounts.json``)."""
+def set_prop_where(nodes: DataFrame, pred: F.Column, prop: str, value: F.Column) -> DataFrame:
+    """SET n.prop = value where ``pred`` holds (reference: the MATCH …
+    SET statements of analysis jobs, e.g. ``aws_foreign_accounts.json``)."""
     return nodes.withColumn(
         "props",
         F.when(
-            F.col("label") == label,
+            pred,
             F.map_concat(
                 F.coalesce(F.col("props"), F.expr("map()")),
                 F.create_map(F.lit(prop), value.cast("string")),
             ),
         ).otherwise(F.col("props")),
     )
+
+
+def remove_prop_where(nodes: DataFrame, pred: F.Column, prop: str) -> DataFrame:
+    """REMOVE n.prop where ``pred`` holds (reference: the REMOVE
+    statements, ``aws_foreign_accounts.json`` statement 2)."""
+    return nodes.withColumn(
+        "props",
+        F.when(
+            pred,
+            F.map_filter(
+                F.coalesce(F.col("props"), F.expr("map()")), lambda k, _: k != prop
+            ),
+        ).otherwise(F.col("props")),
+    )
+
+
+def set_prop(nodes: DataFrame, label: str, prop: str, value: F.Column) -> DataFrame:
+    """SET n.prop = value on nodes of one label."""
+    return set_prop_where(nodes, F.col("label") == label, prop, value)
 
 
 def exposure_propagation(

@@ -1,0 +1,164 @@
+"""Declarative (serialized JSON) analysis jobs — the data-driven job
+format of the reference (``graph/job.py:238-253`` run_from_json,
+``intel/analysis.py:12-45`` user-supplied job directories), re-expressed
+as DataFrame rewrites with Spark-SQL predicates and $PARAM templating.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.pipeline.analysis import AnalysisJob, exposure_propagation
+from cartography_spark.pipeline.sync import load
+from cartography_spark.schema import (
+    LinkDirection,
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    TargetNodeMatcher,
+)
+from cartography_spark.store.graphstore import GraphStore
+
+
+def _seed_graph(spark, store):
+    """R -> N -> C chain plus an unconnected node, as raw merges."""
+    nodes = spark.createDataFrame(
+        [
+            ("Region", "r1", {"name": "EUROPE"}),
+            ("Nation", "n1", {}),
+            ("Customer", "c1", {}),
+            ("Customer", "c2", {"inscope": "true"}),
+        ],
+        "label string, id string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("HAS_NATION", "r1", "n1"),
+            ("HAS_CUSTOMER", "n1", "c1"),
+        ],
+        "rel_label string, src string, dst string",
+    )
+    store.merge_nodes(nodes, 100)
+    store.merge_edges(edges, 100)
+
+
+N1_JSON = json.dumps(
+    {
+        "name": "exposure analysis",
+        "statements": [
+            {
+                "__comment": "propagate exposure from EUROPE 2 hops",
+                "op": "propagate",
+                "seed_where": "label = 'Region' AND element_at(props, 'name') = '$SEED'",
+                "rel_labels": ["HAS_NATION", "HAS_CUSTOMER"],
+                "hops": 2,
+                "flag": "exposed",
+            },
+            {
+                "__comment": "tag out-of-scope exposed customers",
+                "op": "set_prop",
+                "where": "label = 'Customer' AND element_at(props, 'inscope') IS NULL",
+                "prop": "foreign",
+                "value": "true",
+            },
+            {
+                "__comment": "clear the scratch marker",
+                "op": "remove_prop",
+                "where": "element_at(props, 'inscope') IS NOT NULL",
+                "prop": "inscope",
+            },
+        ],
+    }
+)
+
+
+def test_json_job_matches_code_defined_job(spark, tmp_path):
+    """The verdict's done-criterion: the N1 exposure job expressed as a
+    JSON file produces byte-identical node output to the code-defined
+    job."""
+    from cartography_spark.pipeline.analysis import remove_prop_where, set_prop_where
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    s_json = GraphStore(spark, str(tmp_path / "gj"))
+    s_code = GraphStore(spark, str(tmp_path / "gc"))
+    _seed_graph(spark, s_json)
+    _seed_graph(spark, s_code)
+
+    AnalysisJob.run_from_json(s_json, N1_JSON, 200, {"SEED": "EUROPE"})
+
+    seed = (F.col("label") == "Region") & (F.element_at("props", "name") == "EUROPE")
+
+    def step1(nodes, edges, params):
+        return (
+            exposure_propagation(nodes, edges, seed, ["HAS_NATION", "HAS_CUSTOMER"], 2),
+            edges,
+        )
+
+    def step2(nodes, edges, params):
+        pred = (F.col("label") == "Customer") & F.element_at("props", "inscope").isNull()
+        return set_prop_where(nodes, pred, "foreign", F.lit("true")), edges
+
+    def step3(nodes, edges, params):
+        return (
+            remove_prop_where(nodes, F.element_at("props", "inscope").isNotNull(), "inscope"),
+            edges,
+        )
+
+    job = AnalysisJob("exposure analysis")
+    job.add_step("propagate", step1).add_step("tag", step2).add_step("clear", step3)
+    job.run(s_code, 200)
+
+    a = s_json.read_nodes().select("label", "id", F.to_json(F.expr("map_entries(props)")).alias("p"))
+    b = s_code.read_nodes().select("label", "id", F.to_json(F.expr("map_entries(props)")).alias("p"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    got = {r["id"]: dict(r["props"]) for r in s_json.read_nodes().collect()}
+    assert got["c1"].get("exposed") == "true" and got["c1"].get("foreign") == "true"
+    assert got["c2"].get("foreign") is None and "inscope" not in got["c2"]
+
+
+def test_json_job_per_statement_counters(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "g"))
+    _seed_graph(spark, store)
+    out = AnalysisJob.run_from_json(
+        store, N1_JSON, 300, {"SEED": "EUROPE"}, short_name="n1_exposure"
+    )
+    c = out["counters"]
+    assert c["stmt0_matched"] == 1  # one EUROPE seed
+    assert c["stmt1_matched"] == 1  # c1 (c2 is inscope)
+    assert c["stmt2_matched"] == 1  # c2's scratch marker
+    m = store.read_metrics().where("op = 'analysis_n1_exposure'").collect()
+    assert len(m) == 1 and m[0]["counters"]["stmt0_matched"] == 1
+
+
+def test_json_job_unknown_op_rejected(spark):
+    blob = json.dumps({"name": "x", "statements": [{"op": "drop_table"}]})
+    with pytest.raises(ValueError, match="unknown analysis op"):
+        AnalysisJob.from_json(blob)
+
+
+def test_cli_analysis_job(spark, tmp_path, capsys):
+    from cartography_spark.cli import main
+
+    store_dir = str(tmp_path / "g")
+    store = GraphStore(spark, store_dir)
+    _seed_graph(spark, store)
+    job_path = tmp_path / "n1_exposure.json"
+    job_path.write_text(N1_JSON)
+    rc = main(
+        [
+            "--cores", "8",
+            "analysis",
+            "--store", store_dir,
+            "--job", str(job_path),
+            "--update-tag", "400",
+            "--param", "SEED=EUROPE",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["counters"]["stmt0_matched"] == 1
+    got = {r["id"]: dict(r["props"]) for r in store.read_nodes().collect()}
+    assert got["c1"].get("exposed") == "true"
