@@ -146,6 +146,37 @@ def cmd_analysis(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Drift-detect workflow (reference: ``cartography/driftdetect/cli.py``
+    get-state / add-shortcut / get-drift subcommands)."""
+    from cartography_spark.operators.driftstate import (
+        add_shortcut,
+        get_query_state,
+        load_state,
+        perform_drift_detection,
+    )
+
+    if args.drift_command == "add-shortcut":
+        add_shortcut(args.query_directory, args.shortcut, args.file)
+        print(json.dumps({"shortcut": args.shortcut, "file": args.file}))
+        return 0
+    if args.drift_command == "detect":
+        start = load_state(args.query_directory, args.start_state)
+        end = load_state(args.query_directory, args.end_state)
+        new, missing = perform_drift_detection(start, end)
+        print(json.dumps({"query": end.name, "properties": end.properties,
+                          "new": new, "missing": missing}))
+        return 0
+    # get-state
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = _spark(args)
+    store = GraphStore(spark, args.store)
+    state = get_query_state(store, args.query_directory, args.filename)
+    print(json.dumps({"query": state.name, "rows": len(state.results)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="cartography-spark")
     p.add_argument("--cores", default=None, help="local[N] cores (default env/all)")
@@ -170,6 +201,23 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--scope", required=True)
     w.add_argument("--update-tag", type=int, required=True)
     w.set_defaults(fn=cmd_sweep)
+
+    d = sub.add_parser("drift", help="drift-detect state workflow")
+    dsub = d.add_subparsers(dest="drift_command", required=True)
+    dg = dsub.add_parser("get-state", help="snapshot a validation query's state")
+    dg.add_argument("--store", required=True)
+    dg.add_argument("--query-directory", required=True)
+    dg.add_argument("--filename", default=None)
+    ds = dsub.add_parser("add-shortcut", help="alias a state file")
+    ds.add_argument("--query-directory", required=True)
+    ds.add_argument("--shortcut", required=True)
+    ds.add_argument("--file", required=True)
+    dd = dsub.add_parser("detect", help="two-way drift between states")
+    dd.add_argument("--query-directory", required=True)
+    dd.add_argument("--start-state", required=True)
+    dd.add_argument("--end-state", required=True)
+    for sp in (dg, ds, dd):
+        sp.set_defaults(fn=cmd_drift)
 
     a = sub.add_parser("analysis", help="run a declarative JSON analysis job")
     a.add_argument("--store", required=True)
