@@ -65,16 +65,43 @@ def run_to_table(
     counts: DataFrame,
     output_dir: str,
     checkpoint_dir: str,
+    emit_open_windows: bool = True,
+    timeout: int | None = None,
 ) -> None:
     """Catch-up execution: process everything currently available, write
-    the aggregate as parquet (append + update-mode semantics via
-    complete for the windowed agg), then stop."""
-    q = (
-        counts.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    the aggregate as parquet, then stop.
+
+    ``emit_open_windows=True`` (default): complete-mode snapshot via
+    ``foreachBatch`` overwrite — EVERY window appears in the output,
+    including windows newer than ``max_event_time - watermark`` that
+    append mode would hold back as still-open state. This is the mode a
+    "process everything available now" catch-up wants.
+
+    ``emit_open_windows=False``: plain append sink — only
+    watermark-expired (finalized) windows are emitted; recent windows
+    stay in state until a later run closes them. Use for continuous
+    tailing where the output must be append-only.
+    """
+    if emit_open_windows:
+        q = (
+            counts.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda df, _epoch: df.write.mode("overwrite").parquet(output_dir)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        q = (
+            counts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    if timeout is not None:
+        q.awaitTermination(timeout=timeout)
+    else:
+        q.awaitTermination()

@@ -42,6 +42,40 @@ def test_stream_matches_batch(spark, tmp_path):
     assert got.count() > 0
 
 
+def test_windowed_counts_emit_open_windows(spark, tmp_path):
+    """run_to_table's catch-up mode must emit EVERY window — including
+    ones newer than max_event_time - watermark that an append sink
+    would hold back — and match the batch windowed aggregate exactly."""
+    from cartography_spark.streaming.stream import run_to_table, stream_triple_counts
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synthesize_pages(spark, 150, seed=33, partitions=3)
+    pages.write.parquet(pages_dir)
+
+    counts = stream_triple_counts(stream_pages_to_triples(spark, pages_dir))
+    run_to_table(counts, out_dir, ckpt, emit_open_windows=True, timeout=120)
+    got = spark.read.parquet(out_dir)
+
+    batch_triples = extract_triples_jvm(
+        extract_text(spark.read.parquet(pages_dir).drop("text"), "html", "text")
+    )
+    batch = (
+        batch_triples.groupBy(F.window("warc_ts", "7 days").alias("w"), "subj", "pred", "obj")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "subj", "pred", "obj", "n")
+    )
+    assert got.count() == batch.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    # the newest window (inside the 30-day watermark) is present
+    assert (
+        got.agg(F.max("window_start")).collect()[0][0]
+        == batch.agg(F.max("window_start")).collect()[0][0]
+    )
+
+
 def test_stream_incremental_new_files(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     out_dir = str(tmp_path / "out")
