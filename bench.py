@@ -40,9 +40,13 @@ HEADLINE = [
     "set_drift_x2",
     "dedup_exact",
     "dedup_minhash_lsh_prod",
+    "dedup_simhash_prod",
     "text_quality",
     "text_langid",
     "sim_topk_brute",
+    "sim_lsh_topk",
+    "sim_embedding_near_dup",
+    "kg_policy_allow_deny",
     "multimodal_features",
 ]
 
@@ -64,6 +68,16 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
     )
 
 
+def dedup_simhash_prod(spark, sf_dir):
+    """Production SimHash: 64-bit xxhash64 fingerprints (single JVM
+    bit-fold, no hex strings). The catalog's dedup_simhash md5/32-bit
+    variant exists for oracle parity, not throughput."""
+    from cartography_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_pairs(docs, "doc_id", "text", shingle_n=3, max_hamming=3)
+
+
 def kg_cc_cooccurrence(spark, sf_dir):
     """Connected components over the entity co-occurrence graph of the
     flagship triples (Zipf-skewed: hot entities form a giant component)
@@ -80,6 +94,7 @@ def kg_cc_cooccurrence(spark, sf_dir):
 
 BENCH_QUERIES = dict(QUERIES)
 BENCH_QUERIES["dedup_minhash_lsh_prod"] = dedup_minhash_lsh_prod
+BENCH_QUERIES["dedup_simhash_prod"] = dedup_simhash_prod
 BENCH_QUERIES["kg_cc_cooccurrence"] = kg_cc_cooccurrence
 
 
@@ -127,6 +142,48 @@ def run_flagship(spark, n_pages: int) -> dict:
     }
 
 
+def run_store_bench(spark) -> dict:
+    """Partial-rewrite contract benchmark: after bulk-loading 8 label
+    partitions, a merge touching ONE label and a tombstone sweep must
+    cost a fraction of the bulk load (merge cost ~ touched partitions,
+    sweep ~ key scan, never table size)."""
+    import shutil
+    import tempfile
+
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = tempfile.mkdtemp(prefix="benchstore_")
+    try:
+        store = GraphStore(spark, root)
+        labels = F.array(*[F.lit(f"L{i}") for i in range(8)])
+        bulk = spark.range(200_000).select(
+            F.element_at(labels, (F.col("id") % 8 + 1).cast("int")).alias("label"),
+            F.col("id").cast("string").alias("id"),
+            F.lit("s1").alias("scope_id"),
+            F.create_map(F.lit("v"), F.col("id").cast("string")).alias("props"),
+        )
+        t0 = time.time()
+        store.merge_nodes(bulk, 100)
+        bulk_sec = time.time() - t0
+
+        touched = spark.range(1_000).select(
+            F.lit("L0").alias("label"),
+            (F.col("id") * 8).cast("string").alias("id"),
+            F.lit("s1").alias("scope_id"),
+            F.create_map(F.lit("v"), F.lit("new")).alias("props"),
+        )
+        t0 = time.time()
+        store.merge_nodes(touched, 200)
+        touched_sec = time.time() - t0
+        return {
+            "bulk_load_sec": round(bulk_sec, 3),
+            "touched_merge_sec": round(touched_sec, 3),
+            "touched_over_bulk": round(touched_sec / bulk_sec, 3),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -151,6 +208,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    store_stats = run_store_bench(spark)
+
     out = {
         "metric": "headline_total_sec",
         "value": round(total, 2),
@@ -158,6 +217,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship": flagship_stats,
+        "store": store_stats,
         "triples_per_sec": flagship_stats.get("triples_per_sec"),
         "pages_per_sec": flagship_stats.get("pages_per_sec"),
         "cpus": cpus,

@@ -134,39 +134,59 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rpb = num_hashes // bands
-    # Staged projections: shingles -> signature -> band keys. Each stage
-    # references the previous stage's column as an attribute, so the
-    # expensive arrays are computed once per row (CollapseProject keeps
-    # multiply-referenced non-cheap projections apart).
-    staged = (
-        df.select(F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("shingles"))
-        .withColumn("__sig", minhash_signature(F.col("shingles"), num_hashes, family))
+    # Expression-level let-binding: wrap the shingle array in a 1-element
+    # array and bind it via a transform lambda variable, so the signature's
+    # num_hashes lambdas read a COMPUTED value, not the char_shingles
+    # expression (an outer-lambda body is evaluated per element — an
+    # inlined shingle expression would re-tokenize the text 32x per row,
+    # measured 10x slower). The __sig attribute is then multiply-
+    # referenced by the band keys, which keeps CollapseProject from
+    # inlining it in turn.
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.element_at(
+            F.transform(
+                F.array(char_shingles(text_col, shingle_n)),
+                lambda sh: minhash_signature(sh, num_hashes, family),
+            ),
+            1,
+        ).alias("__sig"),
+    )
+    # Shingles-only projection for the post-dedup re-join (NOT derived
+    # from `staged`: that branch would re-run the minhash fold too).
+    sh_store = df.select(
+        F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("shingles")
     )
     base = staged.select(
         "doc_id",
-        "shingles",
         F.explode(_band_hashes(F.col("__sig"), bands, rpb, family)).alias("band_key"),
     )
     # bound bucket blowup from hot band keys (see module docstring)
     sized = base.withColumn("__bs", F.count("*").over(Window.partitionBy("band_key")))
     bounded = sized.where(F.col("__bs") <= max_bucket).drop("__bs")
 
-    a = bounded.alias("a")
-    b = bounded.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("shingles").alias("shingles_b"),
-        F.col("band_key"),
-    ).alias("b")
+    b = bounded.select(F.col("doc_id").alias("doc_id_b"), F.col("band_key"))
+    # Dedup BARE id pairs (a pair can collide in several bands), THEN
+    # re-attach the shingle arrays via two equi-joins — the dedup
+    # shuffle carries ids only, never the shingle payloads. The
+    # re-joins are hinted SHUFFLE_HASH: auto-broadcast would ship the
+    # materialized shingle arrays (~100 bytes/shingle as JVM strings,
+    # GBs at scale) to every task — measured 10x slower even at sf0.1.
     pairs = (
-        a.join(b, "band_key")
-        .where(F.col("a.doc_id") < F.col("doc_id_b"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("doc_id_b").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("shingles_b").alias("sh_b"),
-        )
+        bounded.join(b, "band_key")
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("id_a"), F.col("doc_id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sh_store.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+            .hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            sh_store.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+            .hint("shuffle_hash"),
+            "id_b",
+        )
     )
     return (
         pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
@@ -216,20 +236,21 @@ def ngram_jaccard_pairs(
 
 def simhash_from_shingles(sh: Column) -> Column:
     """64-bit SimHash from a *materialized* shingle-array column: one
-    pass hashes each shingle to its 64-char binary string, one fold
-    accumulates per-bit counts, one fold packs the majority vote into a
-    bigint. O(n·64) cheap ops instead of 64 full array scans. (Bit
-    order follows ``bin()``'s MSB-first string — a fixed permutation,
-    so Hamming distances are preserved.)"""
-    hashes = F.transform(sh, lambda s: F.lpad(F.bin(F.xxhash64(s)), 64, "0"))
+    pass hashes each shingle to a long, one fold accumulates per-bit
+    counts via shift/mask (pure integer ops — the earlier bin()-string
+    variant spent its time splitting 64-char strings), one fold packs
+    the majority vote into a bigint. Bit order is MSB-first (bit 63
+    first), identical to the previous string encoding. The xxhash64 is
+    computed once per shingle (materialized into ``hashes`` — the
+    shift/mask lambdas read the bound long, never re-hash)."""
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, bstr: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.filter(F.split(bstr, "(?!^)"), lambda c: c != ""),
-                lambda c: c.cast("long"),
+            F.array(
+                *[F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") for b in range(63, -1, -1)]
             ),
             lambda a, x: a + x,
         ),
@@ -457,19 +478,21 @@ def embedding_near_dup_lsh(
     )
 
     dims = coord_plane_dims(dim, bits, sets, seed)
-    base = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        F.explode(coord_sign_buckets(F.col(vec_col), dims)).alias("bucket"),
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    base = vecs.select(
+        "vid", F.explode(coord_sign_buckets(F.col("vec"), dims)).alias("bucket")
     )
-    b = base.select(
-        F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b"), F.col("bucket")
-    )
+    b = base.select(F.col("vid").alias("vid_b"), F.col("bucket"))
+    # Dedup BARE id pairs first (a pair sharing k buckets appears k
+    # times) — the dedup shuffle then carries two ids, not two 64-float
+    # payloads; vectors re-attach afterwards via two equi-joins.
     pairs = (
         base.join(b, "bucket")
         .where(F.col("vid") < F.col("vid_b"))
-        .select("vid", "vec", "vid_b", "vec_b")
+        .select("vid", "vid_b")
         .dropDuplicates(["vid", "vid_b"])
+        .join(vecs, "vid")
+        .join(vecs.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b")), "vid_b")
     )
     return (
         pairs.withColumn("cosine", F.round(cosine(F.col("vec"), F.col("vec_b")), 4))

@@ -327,29 +327,29 @@ class GraphStore:
         self._commit_manifest(table, v, {"partitions": parts, "deletes": []})
         return v
 
+    _METRICS_DDL = "op string, update_tag long, wall_ts double, counters map<string,long>"
+
     def _record_metrics(self, op: str, update_tag: int, counters: dict[str, int]) -> None:
         """Per-operation metrics row (reference analog: statement counters
         harvested to statsd, ``graph/statement.py:105-120`` + per-sync
-        ``ModuleSyncMetadata``, ``util.py:136-174``)."""
+        ``ModuleSyncMetadata``, ``util.py:136-174``). Appended as one
+        JSONL line like the manifests (a 1-row Spark parquet append
+        costs seconds of job overhead per mutation — metrics are
+        metadata, not data; they stay queryable via read_metrics)."""
         row = {
             "op": op,
             "update_tag": int(update_tag),
             "wall_ts": float(time.time()),
             "counters": {k: int(v) for k, v in counters.items()},
         }
-        df = self.spark.createDataFrame(
-            [row],
-            "op string, update_tag long, wall_ts double, counters map<string,long>",
-        )
-        df.coalesce(1).write.mode("append").parquet(os.path.join(self.root, "metrics"))
+        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     def read_metrics(self) -> DataFrame:
-        path = os.path.join(self.root, "metrics")
-        if not os.path.isdir(path):
-            return self.spark.createDataFrame(
-                [], "op string, update_tag long, wall_ts double, counters map<string,long>"
-            )
-        return self.spark.read.parquet(path)
+        path = os.path.join(self.root, "metrics.jsonl")
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], self._METRICS_DDL)
+        return self.spark.read.schema(self._METRICS_DDL).json(path)
 
     # ---------- MERGE ----------
 
