@@ -95,8 +95,18 @@ spark = get_spark(app_name=f"kernel-{{cores}}", cores=cores, shuffle_partitions=
 docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 def job(m, nh):
     big = docs.crossJoin(spark.range(m)).repartition(cores * 4)
-    staged = big.select(F.col("doc_id"), char_shingles("text", 3).alias("sh")) \
-        .withColumn("sig", minhash_signature(F.col("sh"), nh, "xxhash64"))
+    # production form (operators/dedup.py): shingle array let-bound via a
+    # 1-element transform so the nh hash lambdas never re-tokenize
+    staged = big.select(
+        F.col("doc_id"),
+        F.element_at(
+            F.transform(
+                F.array(char_shingles("text", 3)),
+                lambda sh: minhash_signature(sh, nh, "xxhash64"),
+            ),
+            1,
+        ).alias("sig"),
+    )
     return staged.select(F.md5(F.concat_ws(",", "sig")).alias("h")).agg(F.min("h").alias("m"))
 job(2, 8).collect()  # warmup
 t0 = time.time(); job(mult, 16).collect()
@@ -141,51 +151,57 @@ def main() -> None:
     # shows random multi-second steal bursts with zero local load, so a
     # single sample can invert the comparison. Best-of-k measures the
     # engine, not the neighbors; all samples are retained in the JSON.
-    runs8: list[dict] = []
-    runs32: list[dict] = []
-    k8: list[dict] = []
-    k32: list[dict] = []
+    runs: dict[int, list[dict]] = {8: [], 16: [], 32: []}
+    kruns: dict[int, list[dict]] = {8: [], 16: [], 32: []}
     kernel_mult = int(os.environ.get("SPARK_GRAFT_KERNEL_MULT", "20"))
     for i in range(repeats):
-        runs8.append(run_level(8, n))
-        runs32.append(run_level(32, n))
+        for c in (8, 16, 32):
+            runs[c].append(run_level(c, n))
         if i < 2:  # kernel runs are long; 2 samples suffice (low variance)
-            k8.append(run_kernel(8, kernel_mult))
-            k32.append(run_kernel(32, kernel_mult))
-    r8 = min(runs8, key=lambda r: r["wall_sec"])
-    r32 = min(runs32, key=lambda r: r["wall_sec"])
-    eff = (r32["triples_per_sec"] / r8["triples_per_sec"]) / 4.0
-    kb8 = min(k8, key=lambda r: r["wall_sec"])
-    kb32 = min(k32, key=lambda r: r["wall_sec"])
-    keff = (kb32["docs_per_sec"] / kb8["docs_per_sec"]) / 4.0
+            for c in (8, 16, 32):
+                kruns[c].append(run_kernel(c, kernel_mult))
+    best = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
+    kbest = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in kruns.items()}
+    eff = (best[32]["triples_per_sec"] / best[8]["triples_per_sec"]) / 4.0
+    eff16 = (best[16]["triples_per_sec"] / best[8]["triples_per_sec"]) / 2.0
+    keff = (kbest[32]["docs_per_sec"] / kbest[8]["docs_per_sec"]) / 4.0
+    keff16 = (kbest[16]["docs_per_sec"] / kbest[8]["docs_per_sec"]) / 2.0
     result = {
         "kernel": {
             "job": "minhash_lsh_signatures (compute-bound engine kernel)",
-            "N": kb8,
-            "4N": kb32,
+            "N": kbest[8],
+            "2N": kbest[16],
+            "4N": kbest[32],
             "scaling_efficiency": round(keff, 3),
+            "scaling_efficiency_N_to_2N": round(keff16, 3),
             "bar": 0.8,
             "pass": keff >= 0.8,
         },
         "pipeline": {
             "job": "pages_parquet -> arrow_extract -> jvm_triples -> spo_agg",
             "input_pages": n,
-            "N": r8,
-            "4N": r32,
+            "N": best[8],
+            "2N": best[16],
+            "4N": best[32],
             "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency_N_to_2N": round(eff16, 3),
             "note": (
                 "byte-streaming stages are bounded by this single VM's memory "
                 "fabric (~24 GB/s aggregate, saturated by 8 workers, degrading "
-                "at 32 — measured, see BASELINE.md §4); on a multi-node cluster "
-                "the bandwidth ceiling is per node, not global"
+                "at 32 — measured, see BASELINE.md §4; the 16-worker point pins "
+                "the curve); on a multi-node cluster the bandwidth ceiling is "
+                "per node, not global"
             ),
         },
         "protocol": (
-            f"taskset-pinned local[8] (CPUs 0-7) vs local[32] (CPUs 0-31), "
-            f"ParallelGC, best of {repeats} interleaved runs per level "
-            f"(host steal-burst mitigation)"
+            f"taskset-pinned local[8] (CPUs 0-7) vs local[16] (0-15) vs "
+            f"local[32] (0-31), ParallelGC, best of {repeats} interleaved runs "
+            f"per level (host steal-burst mitigation)"
         ),
-        "all_runs": {"N": runs8, "4N": runs32, "kernel_N": k8, "kernel_4N": k32},
+        "all_runs": {
+            "N": runs[8], "2N": runs[16], "4N": runs[32],
+            "kernel_N": kruns[8], "kernel_2N": kruns[16], "kernel_4N": kruns[32],
+        },
     }
     with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
