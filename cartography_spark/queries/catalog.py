@@ -608,6 +608,32 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
 
 
+def text_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after exact dedup (min doc_id per text hash wins) — the
+    survivors view a training-data pipeline materializes after the
+    group-level report."""
+    from cartography_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_exact_duplicates(docs, "doc_id", "text").select("doc_id", "lang")
+
+
+def web_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-analog) corpus report: volume, token mass,
+    language spread, exact-duplicate rate — the per-domain triage
+    aggregation every web-scale ingest runs before filtering."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.round(
+            1.0 - F.countDistinct(F.md5("text")) / F.count("*"), 4
+        ).alias("dup_rate"),
+    )
+
+
 def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.similarity import brute_force_topk
 
@@ -722,6 +748,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
+    "text_dedup_survivors": text_dedup_survivors,
+    "web_source_stats": web_source_stats,
     "dedup_simhash": dedup_simhash,
     "sim_topk_brute": sim_topk_brute,
     "sim_lsh_topk": sim_lsh_topk,

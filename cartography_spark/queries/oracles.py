@@ -482,6 +482,24 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 5
 """
 
+ORACLES["text_dedup_survivors"] = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) t
+WHERE rn = 1
+"""
+
+ORACLES["web_source_stats"] = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       ROUND(AVG(len(text)), 2)::DOUBLE AS avg_chars,
+       ROUND(1.0 - COUNT(DISTINCT md5(text)) / COUNT(*), 4)::DOUBLE AS dup_rate
+FROM documents GROUP BY source
+"""
+
 ORACLES["sim_topk_brute"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

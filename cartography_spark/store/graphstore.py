@@ -312,9 +312,17 @@ class GraphStore:
         for entry in os.listdir(path):
             if entry.startswith(prefix):
                 pval = urllib.parse.unquote(entry[len(prefix):])
+                pdir = os.path.join(path, entry)
+                files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+                # Per-partition lineage: which write produced this dir
+                # and what it weighs (Iceberg manifest-entry analog;
+                # resumability/debugging reads this without touching
+                # data). Row counts live in the metrics JSONL.
                 parts[pval] = {
                     "dir": os.path.join("data", table, version, entry),
                     "seq": seq,
+                    "files": len(files),
+                    "bytes": sum(os.path.getsize(os.path.join(pdir, f)) for f in files),
                 }
         return parts
 
@@ -563,6 +571,42 @@ class GraphStore:
         return {"edges_deleted": deleted}
 
     # ---------- maintenance ----------
+
+    def expire_versions(self, keep_last: int = 3) -> dict[str, list[str]]:
+        """Retention GC (Iceberg expire_snapshots analog): drop all but
+        the newest ``keep_last`` manifests per table, then delete every
+        data-version dir and tombstone file no kept manifest references.
+        Time travel keeps working across the retained window; the
+        current pointer is always retained (it is the newest)."""
+        import shutil
+
+        removed: dict[str, list[str]] = {}
+        for table in ("nodes", "edges"):
+            mdir = os.path.join(self.root, "manifests", table)
+            if not os.path.isdir(mdir):
+                continue
+            versions = sorted(os.path.splitext(f)[0] for f in os.listdir(mdir))
+            doomed = versions[:-keep_last] if keep_last else versions
+            kept = [v for v in versions if v not in doomed]
+            ref_data: set[str] = set()
+            ref_del: set[str] = set()
+            for v in kept:
+                man = self._manifest(table, v)
+                for p in man["partitions"].values():
+                    ref_data.add(p["dir"].split("/")[2])
+                for d in man.get("deletes", []):
+                    ref_del.add(d["path"].split("/")[2])
+            for v in doomed:
+                os.remove(self._manifest_path(table, v))
+            for kind, refs in (("data", ref_data), ("deletes", ref_del)):
+                root = os.path.join(self.root, kind, table)
+                if not os.path.isdir(root):
+                    continue
+                for entry in os.listdir(root):
+                    if entry not in refs:
+                        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            removed[table] = doomed
+        return removed
 
     def compact(self, table: str | None = None) -> dict[str, str]:
         """Fold tombstones into a fresh full snapshot (Iceberg

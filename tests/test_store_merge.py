@@ -194,6 +194,38 @@ def test_compact_folds_tombstones(spark, store):
     assert store._manifest("nodes")["deletes"] == []
 
 
+def test_manifest_partition_lineage(spark, store):
+    store.merge_nodes(_nodes_df(spark, [("A", "a1", None, {}), ("B", "b1", None, {})]), 1)
+    man = store._manifest("nodes")
+    for pval in ("A", "B"):
+        entry = man["partitions"][pval]
+        assert entry["files"] >= 1 and entry["bytes"] > 0
+        assert entry["seq"] == int(store._pointer()["nodes"][1:])
+
+
+def test_expire_versions_gc(spark, store):
+    import os
+
+    for tag in (1, 2, 3, 4, 5):
+        store.merge_nodes(_nodes_df(spark, [("X", f"x{tag}", None, {})]), tag)
+    assert len(store.node_versions()) == 5
+    removed = store.expire_versions(keep_last=2)
+    assert len(removed["nodes"]) == 3
+    versions = store.node_versions()
+    assert len(versions) == 2
+    # current still reads fine; retained time travel works
+    assert store.read_nodes().count() == 5
+    assert store.read_nodes(version=versions[0]).count() == 4
+    # unreferenced data dirs are gone, referenced ones survive
+    data_dirs = set(os.listdir(os.path.join(store.root, "data", "nodes")))
+    referenced = {
+        p["dir"].split("/")[2]
+        for v in versions
+        for p in store._manifest("nodes", v)["partitions"].values()
+    }
+    assert data_dirs == referenced
+
+
 def test_merge_single_pass_counters(spark, store):
     """Counters fold into the write pass via Observation: a merge runs a
     bounded number of Spark jobs (touched-partition collect + write +
