@@ -146,6 +146,21 @@ def cmd_analysis(args) -> int:
     return 0
 
 
+def cmd_store(args) -> int:
+    """Store maintenance: compact (fold merge-on-read tombstones) and
+    expire (retention GC) — the Iceberg rewrite_data_files /
+    expire_snapshots analogs."""
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = _spark(args)
+    store = GraphStore(spark, args.store)
+    if args.store_command == "compact":
+        print(json.dumps(store.compact()))
+    else:
+        print(json.dumps(store.expire_versions(keep_last=args.keep_last)))
+    return 0
+
+
 def cmd_drift(args) -> int:
     """Drift-detect workflow (reference: ``cartography/driftdetect/cli.py``
     get-state / add-shortcut / get-drift subcommands)."""
@@ -201,6 +216,16 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--scope", required=True)
     w.add_argument("--update-tag", type=int, required=True)
     w.set_defaults(fn=cmd_sweep)
+
+    st = sub.add_parser("store", help="store maintenance (compact / expire)")
+    stsub = st.add_subparsers(dest="store_command", required=True)
+    sc = stsub.add_parser("compact", help="fold tombstones into a fresh snapshot")
+    sc.add_argument("--store", required=True)
+    se = stsub.add_parser("expire", help="retention GC of old versions")
+    se.add_argument("--store", required=True)
+    se.add_argument("--keep-last", type=int, default=3)
+    for sp in (sc, se):
+        sp.set_defaults(fn=cmd_store)
 
     d = sub.add_parser("drift", help="drift-detect state workflow")
     dsub = d.add_subparsers(dest="drift_command", required=True)

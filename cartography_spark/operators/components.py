@@ -53,8 +53,10 @@ def connected_components(
         .select(F.col("a").alias("id"), F.least(F.col("comp"), F.col("a")).alias("comp"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # (1) neighbor-min: comp(v) <- min(comp(v), min over neighbors)
         nbr = (
             sym.join(labels.withColumnRenamed("id", "b"), "b")
@@ -68,6 +70,12 @@ def connected_components(
         # (2) pointer-jump (doubling): comp(v) <- comp(comp(v)); combined
         # with (1) this converges in O(log n) rounds on long chains,
         # where neighbor-min alone needs O(diameter).
+        # Convergence metric rides the checkpoint materialization via
+        # Observation (no separate aggregate job per round): per-row
+        # labels only ever decrease, so the label multiset changes iff
+        # any row changed; compare an exact decimal sum of per-row label
+        # hashes (type-agnostic, overflow-free).
+        obs = Observation(f"cc_round_{it}")
         jumped = (
             stepped.alias("x")
             .join(
@@ -81,15 +89,13 @@ def connected_components(
                 "id",
                 F.least(F.col("comp"), F.coalesce(F.col("root"), F.col("comp"))).alias("comp"),
             )
+            .observe(
+                obs,
+                F.sum(F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")).alias("s"),
+            )
             .localCheckpoint()
         )
-        # Convergence: per-row labels only ever decrease, so the label
-        # multiset changes iff any row changed; compare an exact decimal
-        # sum of per-row label hashes (type-agnostic, overflow-free) —
-        # one cheap aggregate per round instead of a join.
-        new_sum = jumped.agg(
-            F.sum(F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        new_sum = obs.get["s"]
         labels = jumped
         if prev_sum is not None and new_sum == prev_sum:
             break

@@ -226,6 +226,23 @@ def test_expire_versions_gc(spark, store):
     assert data_dirs == referenced
 
 
+def test_cli_store_compact_and_expire(spark, tmp_path, capsys):
+    import json as _json
+
+    from cartography_spark.cli import main
+
+    root = str(tmp_path / "g")
+    store = GraphStore(spark, root)
+    for tag in (1, 2, 3, 4):
+        store.merge_nodes(_nodes_df(spark, [("X", f"x{tag}", None, {})]), tag)
+    assert main(["--cores", "8", "store", "compact", "--store", root]) == 0
+    assert main(["--cores", "8", "store", "expire", "--store", root, "--keep-last", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert "nodes" in _json.loads(out[-1])
+    assert len(GraphStore(spark, root).node_versions()) == 2
+    assert GraphStore(spark, root).read_nodes().count() == 4
+
+
 def test_merge_single_pass_counters(spark, store):
     """Counters fold into the write pass via Observation: a merge runs a
     bounded number of Spark jobs (touched-partition collect + write +
