@@ -75,7 +75,7 @@ def dedup_simhash_prod(spark, sf_dir):
     from cartography_spark.operators.dedup import simhash_pairs
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return simhash_pairs(docs, "doc_id", "text", shingle_n=3, max_hamming=3)
+    return simhash_pairs(docs, "doc_id", "text", shingle_n=3, max_hamming=3, engine="arrow")
 
 
 def kg_cc_cooccurrence(spark, sf_dir):

