@@ -32,6 +32,7 @@ HEADLINE = [
     "kg_matchlink_j7",
     "kg_cc_canonical",
     "kg_cc_cooccurrence",
+    "kg_entity_linking",
     "kg_exposure_analysis_n1",
     "kg_bigram_triples",
     "agg_events_a1",

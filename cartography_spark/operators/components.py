@@ -40,11 +40,16 @@ def connected_components(
     in edges gets a label.
     """
     spark = edges.sparkSession
+    # sym is referenced by EVERY iteration's neighbor-min join — without
+    # a checkpoint each round re-executes the full upstream plan that
+    # produced the edges (e.g. the LSH blocking pipeline: measured 5x
+    # the total runtime on the entity-linking loop).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     # label(v) = current component candidate, init = min(v, min neighbor)
     labels = (
