@@ -51,7 +51,7 @@ HEADLINE = [
     "multimodal_features",
 ]
 
-FLAGSHIP_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+FLAGSHIP_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "500000"))
 
 
 def dedup_minhash_lsh_prod(spark, sf_dir):
@@ -104,26 +104,45 @@ def materialize(df) -> None:
 
 
 def run_flagship(spark, n_pages: int) -> dict:
-    """pages -> text -> triples -> canonical edge weights; returns
-    throughput numbers for the north rule."""
+    """pages table -> text -> triples -> canonical edge weights; returns
+    throughput numbers for the north rule.
+
+    The deterministic page generator is test scaffolding, not the
+    engine, so pages are MATERIALIZED to parquet first (the Iceberg
+    pages-table stand-in, same methodology as scripts/bench_scaling.py)
+    and only the read->extract->triples->agg pipeline is timed."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import Observation
 
-    from cartography_spark.pipeline.flagship import page_triples_fused
+    from cartography_spark.functions.textextract import extract_text
+    from cartography_spark.functions.triples import extract_triples_jvm
+    from cartography_spark.sources.pages import synthesize_pages
 
-    t0 = time.time()
-    obs = Observation("triples")
-    triples = page_triples_fused(spark, n_pages, seed=42).observe(
-        obs, F.count(F.lit(1)).alias("n")
-    )
-    agg = triples.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n"))
-    materialize(agg)
-    wall = time.time() - t0
-    n_triples = obs.get["n"]
+    pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    try:
+        synthesize_pages(spark, n_pages, seed=42, partitions=64).drop("text").write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
+        pages = spark.read.parquet(pages_dir)
+        # warmup: python workers + codegen on a slice
+        materialize(extract_text(pages.limit(5000), "html", "text"))
+        t0 = time.time()
+        obs = Observation("triples")
+        triples = extract_triples_jvm(extract_text(pages, "html", "text")).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        agg = triples.groupBy("subj", "pred", "obj").agg(F.count("*").alias("n"))
+        materialize(agg)
+        wall = time.time() - t0
+        n_triples = obs.get["n"]
+    finally:
+        shutil.rmtree(pages_dir, ignore_errors=True)
 
     # North-rule P/R vs the reference extraction (triples from the
     # generator's golden text) — not timed, reported for the record.
-    from cartography_spark.functions.triples import extract_triples_jvm
-    from cartography_spark.sources.pages import synthesize_pages
+    from cartography_spark.pipeline.flagship import page_triples_fused
 
     pages = synthesize_pages(spark, min(n_pages, 20000), seed=42)
     reference = extract_triples_jvm(pages.select("url", "warc_ts", "text"))
