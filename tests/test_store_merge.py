@@ -226,6 +226,89 @@ def test_expire_versions_gc(spark, store):
     assert data_dirs == referenced
 
 
+def test_sweep_twice_is_idempotent(spark, store):
+    from cartography_spark.pipeline.sync import load
+    from cartography_spark.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+
+    tenant = NodeSchema(label="Tenant", properties={"id": PropertyRef("tid")})
+    user = NodeSchema(
+        label="User",
+        properties={"id": PropertyRef("uid")},
+        sub_resource_relationship=RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="Tenant",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        ),
+    )
+    load(store, tenant, spark.createDataFrame([("t1",)], "tid string"), 1)
+    load(store, user, spark.createDataFrame([("u1",), ("u2",)], "uid string"), 100, TENANT_ID="t1")
+    load(store, user, spark.createDataFrame([("u1",)], "uid string"), 200, TENANT_ID="t1")
+    c1 = store.sweep(user, 200, scope_id="t1")
+    assert c1["nodes_deleted"] == 1
+    # tombstoned rows are gone from reads, so a second sweep dooms nothing
+    c2 = store.sweep(user, 200, scope_id="t1")
+    assert c2 == {"nodes_deleted": 0, "edges_deleted": 0}
+    assert {r["id"] for r in store.read_nodes().where("label='User'").collect()} == {"u1"}
+
+
+def test_drift_sees_tombstoned_rows(spark, store):
+    """Version time travel must cross merge-on-read deletes: a version
+    captured BEFORE a sweep still shows the later-tombstoned rows, and
+    node_drift between the versions reports them as removed."""
+    from cartography_spark.operators.drift import node_drift
+    from cartography_spark.pipeline.sync import load
+    from cartography_spark.schema import (
+        LinkDirection,
+        NodeSchema,
+        PropertyRef,
+        RelSchema,
+        TargetNodeMatcher,
+    )
+
+    tenant = NodeSchema(label="Tenant", properties={"id": PropertyRef("tid")})
+    user = NodeSchema(
+        label="User",
+        properties={"id": PropertyRef("uid")},
+        sub_resource_relationship=RelSchema(
+            rel_label="RESOURCE",
+            target_node_label="Tenant",
+            target_node_matcher=TargetNodeMatcher(
+                {"id": PropertyRef("TENANT_ID", set_in_kwargs=True)}
+            ),
+            direction=LinkDirection.INWARD,
+        ),
+    )
+    load(store, tenant, spark.createDataFrame([("t1",)], "tid string"), 1)
+    load(store, user, spark.createDataFrame([("u1",), ("u2",)], "uid string"), 100, TENANT_ID="t1")
+    v_before = store._pointer()["nodes"]
+    load(store, user, spark.createDataFrame([("u1",)], "uid string"), 200, TENANT_ID="t1")
+    store.sweep(user, 200, scope_id="t1")
+    assert store.read_nodes(version=v_before).where("label='User'").count() == 2
+    drift = {(r["id"], r["change"]) for r in node_drift(store, v_before, label="User").collect()}
+    assert drift == {("u2", "removed")}
+
+
+def test_merge_after_compact(spark, store):
+    store.merge_nodes(_nodes_df(spark, [("A", "a1", None, {"k": "1"})]), 1)
+    doomed = store.read_nodes().where("id='a1'").select("label", "id")
+    store._write_deletes("nodes", doomed)
+    store.compact("nodes")
+    r = store.merge_nodes(_nodes_df(spark, [("A", "a1", None, {"k": "2"})]), 2)
+    assert r["created"] == 1  # a1 was deleted+compacted away -> fresh create
+    rows = store.read_nodes().collect()
+    assert len(rows) == 1 and rows[0]["props"]["k"] == "2"
+    assert int(rows[0]["firstseen"].timestamp()) == 2
+
+
 def test_cli_store_compact_and_expire(spark, tmp_path, capsys):
     import json as _json
 
