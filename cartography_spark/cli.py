@@ -95,7 +95,12 @@ def cmd_sync(args) -> int:
         return out
 
     def stage_sweep(st, tag, **p):
-        return st.sweep(entity, tag, scope_id=args.crawl_id)
+        out = st.sweep(entity, tag, scope_id=args.crawl_id)
+        # bound merge-on-read debt across repeated syncs
+        compacted = st.maybe_compact()
+        if compacted:
+            out["compacted"] = list(compacted)
+        return out
 
     sync = Sync(store)
     sync.add_stage("seed", stage_seed)

@@ -608,6 +608,18 @@ class GraphStore:
             removed[table] = doomed
         return removed
 
+    def maybe_compact(self, max_delete_files: int = 8) -> dict[str, str]:
+        """Bound merge-on-read debt: compact any table whose manifest
+        references more than ``max_delete_files`` tombstone files (each
+        adds an anti-join to every read). Call after sweeps on a
+        schedule — the Iceberg maintenance-job analog."""
+        out: dict[str, str] = {}
+        for t in ("nodes", "edges"):
+            man = self._manifest(t)
+            if man is not None and len(man.get("deletes", [])) > max_delete_files:
+                out.update(self.compact(t))
+        return out
+
     def compact(self, table: str | None = None) -> dict[str, str]:
         """Fold tombstones into a fresh full snapshot (Iceberg
         rewrite_data_files + rewrite_position_delete_files analog). Run

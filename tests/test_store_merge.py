@@ -297,6 +297,21 @@ def test_drift_sees_tombstoned_rows(spark, store):
     assert drift == {("u2", "removed")}
 
 
+def test_maybe_compact_bounds_tombstones(spark, store):
+    store.merge_nodes(
+        _nodes_df(spark, [("A", f"a{i}", None, {}) for i in range(12)]), 1
+    )
+    for i in range(10):
+        doomed = store.read_nodes().where(f"id='a{i}'").select("label", "id")
+        store._write_deletes("nodes", doomed)
+    assert len(store._manifest("nodes")["deletes"]) == 10
+    assert store.maybe_compact(max_delete_files=8) != {}
+    assert store._manifest("nodes")["deletes"] == []
+    assert store.read_nodes().count() == 2
+    # under the threshold: no-op
+    assert store.maybe_compact(max_delete_files=8) == {}
+
+
 def test_merge_after_compact(spark, store):
     store.merge_nodes(_nodes_df(spark, [("A", "a1", None, {"k": "1"})]), 1)
     doomed = store.read_nodes().where("id='a1'").select("label", "id")
