@@ -61,6 +61,75 @@ def stream_triple_counts(
     )
 
 
+def stream_to_store(
+    triples: DataFrame,
+    store,
+    checkpoint_dir: str,
+    update_tag: int,
+    timeout: int | None = None,
+) -> dict[str, int]:
+    """Close the streaming loop into the graph store: each micro-batch
+    of (subj, pred, obj) triples MERGEs entity nodes and aggregated
+    co-occurrence edges with the full idempotent semantics
+    (firstseen-on-create, lastupdated=update_tag). The source
+    checkpoint makes catch-up runs exactly-once per input file; MERGE
+    key-dedup makes batch replays idempotent — together: restartable
+    ingestion, the streaming analog of the Sync ledger.
+
+    Returns the summed merge counters across batches."""
+    from pyspark.sql import functions as F
+
+    totals = {"nodes_created": 0, "nodes_updated": 0, "edges_created": 0, "edges_updated": 0}
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        nodes = (
+            batch.select(F.col("subj").alias("name"))
+            .union(batch.select(F.col("obj").alias("name")))
+            .distinct()
+            .select(
+                F.lit("Entity").alias("label"),
+                F.col("name").alias("id"),
+                F.lit(None).cast("array<string>").alias("extra_labels"),
+                F.lit(None).cast("string").alias("scope_id"),
+                F.expr("map()").cast("map<string,string>").alias("props"),
+            )
+        )
+        n = store.merge_nodes(nodes, update_tag)
+        edges = (
+            batch.groupBy("subj", "pred", "obj")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.col("pred").alias("rel_label"),
+                F.col("subj").alias("src"),
+                F.col("obj").alias("dst"),
+                F.lit("Entity").alias("src_label"),
+                F.lit("Entity").alias("dst_label"),
+                F.lit(None).cast("string").alias("scope_id"),
+                F.create_map(F.lit("n"), F.col("n").cast("string")).alias("props"),
+            )
+        )
+        e = store.merge_edges(edges, update_tag)
+        totals["nodes_created"] += n["created"]
+        totals["nodes_updated"] += n["updated"]
+        totals["edges_created"] += e["created"]
+        totals["edges_updated"] += e["updated"]
+
+    q = (
+        triples.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if timeout is not None:
+        q.awaitTermination(timeout=timeout)
+    else:
+        q.awaitTermination()
+    return totals
+
+
 def run_to_table(
     counts: DataFrame,
     output_dir: str,

@@ -76,6 +76,46 @@ def test_windowed_counts_emit_open_windows(spark, tmp_path):
     )
 
 
+def test_stream_to_store_matches_batch_load(spark, tmp_path):
+    """Streaming MERGE into the graph store ≡ the batch load of the same
+    pages, and a catch-up rerun over the same checkpoint is a no-op
+    (exactly-once per input file + idempotent MERGE)."""
+    from cartography_spark.store.graphstore import GraphStore
+    from cartography_spark.streaming.stream import stream_to_store
+
+    pages_dir = str(tmp_path / "pages")
+    synthesize_pages(spark, 120, seed=7, partitions=3).write.parquet(pages_dir)
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    totals = stream_to_store(
+        stream_pages_to_triples(spark, pages_dir),
+        store, str(tmp_path / "ckpt"), update_tag=100, timeout=120,
+    )
+    assert totals["nodes_created"] > 0 and totals["edges_created"] > 0
+
+    # batch twin over the same pages
+    batch = extract_triples_jvm(
+        extract_text(spark.read.parquet(pages_dir).drop("text"), "html", "text")
+    )
+    batch_nodes = {
+        r["name"]
+        for r in batch.selectExpr("subj AS name").union(batch.selectExpr("obj AS name")).distinct().collect()
+    }
+    got_nodes = {r["id"] for r in store.read_nodes().where("label='Entity'").collect()}
+    assert got_nodes == batch_nodes
+    batch_edges = batch.groupBy("subj", "pred", "obj").count().count()
+    assert store.read_edges().count() == batch_edges
+
+    # rerun: checkpoint marks every file processed -> nothing merges
+    totals2 = stream_to_store(
+        stream_pages_to_triples(spark, pages_dir),
+        store, str(tmp_path / "ckpt"), update_tag=200, timeout=120,
+    )
+    assert totals2 == {"nodes_created": 0, "nodes_updated": 0,
+                      "edges_created": 0, "edges_updated": 0}
+    assert store.read_nodes().where("label='Entity'").count() == len(batch_nodes)
+
+
 def test_stream_incremental_new_files(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     out_dir = str(tmp_path / "out")
