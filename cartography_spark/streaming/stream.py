@@ -61,6 +61,52 @@ def stream_triple_counts(
     )
 
 
+def stream_dedup_first_seen(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): streaming
+    exact dedup — emit each key's FIRST occurrence only, across
+    micro-batches, with per-key GroupState remembering what has been
+    seen. The streaming form of :func:`operators.dedup.
+    drop_exact_duplicates` for continuous training-data ingestion: a
+    document whose content hash arrived in ANY earlier batch is
+    suppressed.
+
+    Output columns: (key, id) of the surviving first occurrence. State
+    per key is one boolean — bounded by the number of distinct keys
+    (shard it by key range / TTL in production via
+    ``GroupStateTimeout`` if the key space is unbounded)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def first_only(key, pdfs, state):
+        if state.exists:
+            for _ in pdfs:  # drain; key already emitted in a prior batch
+                pass
+            yield pd.DataFrame({"key": [], "id": []})
+            return
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf) and first_id is None:
+                first_id = pdf["id"].iloc[0]
+        state.update((True,))
+        yield pd.DataFrame({"key": [key[0]], "id": [first_id]})
+
+    return (
+        df.select(F.col(key_col).alias("key"), F.col(id_col).alias("id"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            first_only,
+            outputStructType="key string, id string",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_to_store(
     triples: DataFrame,
     store,

@@ -116,6 +116,51 @@ def test_stream_to_store_matches_batch_load(spark, tmp_path):
     assert store.read_nodes().where("label='Entity'").count() == len(batch_nodes)
 
 
+def test_stream_stateful_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: duplicates arriving in
+    LATER micro-batches are suppressed by per-key GroupState; exactly
+    one survivor per distinct content hash, and the survivor is from
+    the batch where the key first appeared."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cartography_spark.streaming.stream import stream_dedup_first_seen
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # file 1: a,b ; file 2: b again (dup) + c — one file per batch
+    spark.createDataFrame(
+        [("d1", "textA"), ("d2", "textB")], "doc_id string, text string"
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+    spark.createDataFrame(
+        [("d3", "textB"), ("d4", "textC")], "doc_id string, text string"
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_dedup_first_seen(stream, "h", "doc_id")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    rows = spark.read.parquet(out_dir).where("id IS NOT NULL").collect()
+    got = {r["id"] for r in rows}
+    assert len(rows) == 3  # one survivor per distinct hash
+    assert "d1" in got and "d4" in got
+    assert ("d2" in got) != ("d3" in got)  # exactly one textB survivor
+
+
 def test_stream_incremental_new_files(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     out_dir = str(tmp_path / "out")
