@@ -634,6 +634,32 @@ def web_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data filter funnel as ONE scan + one aggregation:
+    per source, how many docs survive each gate (langid=en ->
+    quality >= 0.5 -> exact-unique). Conditional aggregation keeps the
+    funnel in a single pass — no per-stage jobs."""
+    from cartography_spark.functions.textstats import langid, quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(langid(docs))
+    is_en = F.col("lang_pred") == "en"
+    is_q = is_en & (F.col("quality_score") >= 0.5)
+    first = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ) == 1
+    return (
+        feats.withColumn("__uniq", first)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(is_en.cast("long")).alias("n_en"),
+            F.sum(is_q.cast("long")).alias("n_quality"),
+            F.sum((is_q & F.col("__uniq")).cast("long")).alias("n_survivors"),
+        )
+    )
+
+
 def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.similarity import brute_force_topk
 
@@ -750,6 +776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_token_count,
     "text_dedup_survivors": text_dedup_survivors,
     "web_source_stats": web_source_stats,
+    "text_quality_funnel": text_quality_funnel,
     "dedup_simhash": dedup_simhash,
     "sim_topk_brute": sim_topk_brute,
     "sim_lsh_topk": sim_lsh_topk,

@@ -500,6 +500,46 @@ SELECT source,
 FROM documents GROUP BY source
 """
 
+# Filter-funnel twin: langid + quality formulas identical to the
+# text_langid / text_quality oracles, composed into per-source
+# survivor counts (en -> quality>=0.5 -> exact-unique).
+ORACLES["text_quality_funnel"] = """
+WITH c AS (
+  SELECT doc_id, source, text,
+    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','is','to','in','that','it','with'))) AS lid_en,
+    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS lid_de,
+    len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','las','es','un','una','con','por','que'))) AS lid_es,
+    len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','est','une','des','dans','pour','pas','avec'))) AS lid_fr,
+    len(list_filter(string_split(text,' '), t -> t IN ('de','shi','le','zai','you','wo','ta','men','zhe','bu'))) AS lid_zh,
+    CAST(len(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+    len(list_filter(string_split(text, ' '),
+        t -> t IN ('the','a','of','and','is','to','in','that','it','with',
+                   'was','for','on','as','are','at','be'))) AS stop
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, text,
+    CASE WHEN lid_en >= lid_de AND lid_en >= lid_es AND lid_en >= lid_fr AND lid_en >= lid_zh THEN 'en'
+         WHEN lid_de >= lid_es AND lid_de >= lid_fr AND lid_de >= lid_zh THEN 'de'
+         WHEN lid_es >= lid_fr AND lid_es >= lid_zh THEN 'es'
+         WHEN lid_fr >= lid_zh THEN 'fr'
+         ELSE 'zh' END AS lang_pred,
+    ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+          + least(ROUND(stop / n_tokens, 4) * 5.0, 1.0) * 0.4
+          + (1.0 - least(ROUND(punct / n_chars, 4) * 10.0, 1.0)) * 0.1, 4) AS q,
+    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS uniq
+  FROM c
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(SUM(CASE WHEN lang_pred = 'en' AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN lang_pred = 'en' AND q >= 0.5 AND uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM f GROUP BY source
+"""
+
 ORACLES["sim_topk_brute"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
