@@ -1,6 +1,12 @@
 from cartography_spark.streaming.stream import (
+    run_to_table,
+    stream_dedup_first_seen,
     stream_pages_to_triples,
+    stream_to_store,
     stream_triple_counts,
 )
 
-__all__ = ["stream_pages_to_triples", "stream_triple_counts"]
+__all__ = [
+    "stream_pages_to_triples", "stream_triple_counts", "run_to_table",
+    "stream_to_store", "stream_dedup_first_seen",
+]
