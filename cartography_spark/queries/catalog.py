@@ -409,6 +409,32 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a deliberately skewed key
+    (event_type mod-bucketed so one bucket holds most rows): the
+    skew-safe shape for non-broadcastable hot keys. Identical output to
+    a plain GROUP BY for decomposable aggregates — which is exactly
+    what the oracle verifies."""
+    from cartography_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hot_key",
+        F.when(F.col("event_type").isin("click", "view", "error"), F.lit("hot"))
+        .otherwise(F.col("event_type")),
+    )
+    out = salted_agg(
+        ev,
+        ["hot_key"],
+        {
+            "n": ("count", "event_id"),
+            "total": ("sum", "value"),
+            "first_user": ("min", "user_id"),
+        },
+        buckets=16,
+    )
+    return out.select("hot_key", "n", F.round("total", 2).alias("total"), "first_user")
+
+
 def agg_dedup_lastwins_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 dedup-by-key last-wins: the latest event per user wins."""
     ev = _t(spark, sf_dir, "events")
@@ -760,6 +786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_pricing_summary": agg_pricing_summary,
     "agg_cube_rollup": agg_cube_rollup,
     "window_running_total": window_running_total,
+    "agg_salted_skew": agg_salted_skew,
     "agg_dedup_lastwins_a2": agg_dedup_lastwins_a2,
     "agg_window_topk_o1": agg_window_topk_o1,
     "join_multihop_j8": join_multihop_j8,

@@ -205,6 +205,15 @@ SELECT o_custkey, o_orderkey,
 FROM orders WHERE o_custkey < 50
 """
 
+ORACLES["agg_salted_skew"] = """
+SELECT CASE WHEN event_type IN ('click','view','error') THEN 'hot'
+            ELSE event_type END AS hot_key,
+       COUNT(event_id) AS n,
+       ROUND(SUM(value), 2)::DOUBLE AS total,
+       MIN(user_id) AS first_user
+FROM events GROUP BY 1
+"""
+
 ORACLES["agg_dedup_lastwins_a2"] = """
 SELECT user_id AS user_id, event_type AS last_event_type,
        ROUND(value, 2)::DOUBLE AS last_value
