@@ -686,6 +686,22 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup blocked by IVF lists (nprobe=2 on both sides):
+    candidates share a centroid list — the partition-pruned near-dup
+    shape when an IVF index already exists. Deterministic seed
+    centroids make the DuckDB twin exact."""
+    from cartography_spark.operators.dedup import embedding_near_dup_pairs
+    from cartography_spark.operators.similarity import assign_ivf_buckets, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    assigned = assign_ivf_buckets(emb, "embedding", cents, nprobe=2)
+    return embedding_near_dup_pairs(
+        assigned, "vec_id", "embedding", threshold=0.45, block_col="ivf_bucket"
+    )
+
+
 def sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.operators.similarity import brute_force_topk
 
@@ -808,6 +824,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_brute": sim_topk_brute,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_near_dup": sim_ivf_near_dup,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "kg_entity_linking": kg_entity_linking,
     "kg_flagship_pipeline": kg_flagship_pipeline,

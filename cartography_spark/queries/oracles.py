@@ -549,6 +549,26 @@ SELECT source,
 FROM f GROUP BY source
 """
 
+# IVF-blocked near-dup twin: same centroid assignment sort key as
+# sim_ivf_topk, nprobe=2 on every vector, candidates share a list.
+ORACLES["sim_ivf_near_dup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY -list_dot_product(e.v, c.cv) / sqrt(list_dot_product(e.v, e.v)), c.cid) AS rn
+    FROM e, cents c) t WHERE rn <= 2
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)::DOUBLE AS cosine
+FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.45
+"""
+
 ORACLES["sim_topk_brute"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
