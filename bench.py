@@ -47,7 +47,10 @@ HEADLINE = [
     "sim_topk_brute",
     "sim_lsh_topk",
     "sim_embedding_near_dup",
+    "sim_ivf_near_dup",
     "kg_policy_allow_deny",
+    "agg_salted_skew",
+    "text_quality_funnel",
     "multimodal_features",
 ]
 

@@ -471,23 +471,30 @@ def embedding_near_dup_pairs(
     for small/broadcastable inputs. Columns: id_a, id_b, cosine."""
     from cartography_spark.operators.similarity import cosine
 
-    base = df.select(
-        *( [F.col(block_col).alias("block")] if block_col else [] ),
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-    )
-    b = base.select(
-        *( [F.col("block")] if block_col else [] ),
-        F.col("vid").alias("vid_b"),
-        F.col("vec").alias("vec_b"),
-    )
-    joined = base.join(b, "block") if block_col else base.crossJoin(b)
+    if block_col:
+        # Bare-id pair dedup BEFORE the verify (a pair sharing several
+        # blocks would otherwise be cosine-verified once per block);
+        # vectors re-attach via equi-joins, so the dedup shuffle never
+        # carries float payloads.
+        vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).dropDuplicates(["vid"])
+        base = df.select(F.col(block_col).alias("block"), F.col(id_col).alias("vid"))
+        b = base.select("block", F.col("vid").alias("vid_b"))
+        joined = (
+            base.join(b, "block")
+            .where(F.col("vid") < F.col("vid_b"))
+            .select("vid", "vid_b")
+            .dropDuplicates(["vid", "vid_b"])
+            .join(vecs, "vid")
+            .join(vecs.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b")), "vid_b")
+        )
+    else:
+        base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+        b = base.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b"))
+        joined = base.crossJoin(b).where(F.col("vid") < F.col("vid_b"))
     return (
-        joined.where(F.col("vid") < F.col("vid_b"))
-        .withColumn("cosine", F.round(cosine(F.col("vec"), F.col("vec_b")), 4))
+        joined.withColumn("cosine", F.round(cosine(F.col("vec"), F.col("vec_b")), 4))
         .where(F.col("cosine") >= threshold)
         .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -31,8 +31,14 @@ Operator coverage map (SURVEY §2 row -> query):
   N1 exposure analysis   -> kg_exposure_analysis_n1
   N2/CC canonicalization -> kg_cc_canonical
   T2 fan-out extraction  -> kg_bigram_triples, kg_mention_triples
-  Training-data ops      -> dedup_*, text_*, sim_*
-  (rows-only, non-SQL)   -> kg_flagship_pipeline, multimodal_features
+  T5/J6 policy lists     -> kg_policy_allow_deny (+ kg_policy_eval_j6)
+  Skew (salted agg)      -> agg_salted_skew
+  Training-data ops      -> dedup_* (exact/minhash/simhash/ngram/embedding),
+                            text_* (+ text_dedup_survivors, web_source_stats,
+                            text_quality_funnel), sim_* (brute/LSH/IVF top-k,
+                            LSH- and IVF-blocked near-dup)
+  (rows-only, non-SQL)   -> kg_flagship_pipeline, kg_entity_linking,
+                            multimodal_features
 """
 
 from __future__ import annotations
