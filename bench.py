@@ -5,9 +5,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
    "triples_per_sec": ..., "pages_per_sec": ...}
 
-The KG flagship (synthesize pages -> byte-exact text extraction ->
-triple extraction -> aggregate) reports the north-rule throughput
-(triples/sec); the catalog headliners cover the operator families.
+The KG flagship (materialized pages table -> byte-exact text
+extraction -> triple extraction -> aggregate; generator untimed,
+best-of-2 timed runs) reports the north-rule throughput (triples/sec);
+the catalog headliners cover the operator families.
 Results are materialized with the noop sink (full execution, no driver
 collect).
 """
