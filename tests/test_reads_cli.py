@@ -69,3 +69,57 @@ def test_cli_sync_and_resweep(spark, tmp_path, capsys):
                "--update-tag", "111"])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all(v == "skipped(resume)" for v in out2["stages"].values())
+
+
+def test_multi_round_lifecycle_with_drift_and_gc(spark, tmp_path, capsys):
+    """Capstone: three sync rounds through the CLI with a shrinking
+    corpus, drift-state snapshots between rounds, and retention GC at
+    the end — the full operate-it-for-a-while story."""
+    import json as _json
+
+    from cartography_spark.cli import main
+    from cartography_spark.operators.driftstate import (
+        load_state,
+        perform_drift_detection,
+    )
+
+    store_dir = str(tmp_path / "g")
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "template.json").write_text(_json.dumps({
+        "name": "entities",
+        "validation_query": "SELECT id FROM graph_nodes WHERE label = 'Entity' ORDER BY id",
+        "properties": [], "results": [],
+    }))
+
+    def sync(pages, tag):
+        assert main(["--cores", "8", "sync", "--store", store_dir,
+                     "--pages", str(pages), "--update-tag", str(tag)]) == 0
+
+    def snapshot(fname):
+        assert main(["--cores", "8", "drift", "get-state", "--store", store_dir,
+                     "--query-directory", str(qdir), "--filename", fname]) == 0
+
+    sync(300, 101)
+    snapshot("r1.json")
+    sync(300, 102)  # same corpus: no drift
+    snapshot("r2.json")
+    sync(20, 103)  # much smaller corpus: rare entities vanish, sweep retires them
+    snapshot("r3.json")
+    capsys.readouterr()
+
+    new12, missing12 = perform_drift_detection(
+        load_state(str(qdir), "r1.json"), load_state(str(qdir), "r2.json"))
+    assert new12 == [] and missing12 == []
+    new23, missing23 = perform_drift_detection(
+        load_state(str(qdir), "r2.json"), load_state(str(qdir), "r3.json"))
+    assert len(missing23) > 0  # entities only present in the larger corpus
+    assert new23 == []         # seed-fixed generator: smaller run adds nothing
+
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, store_dir)
+    n_before = store.read_nodes().count()
+    store.expire_versions(keep_last=2)
+    assert store.read_nodes().count() == n_before  # GC never changes current reads
+    assert len(store.node_versions()) == 2

@@ -84,3 +84,27 @@ def test_matchlink_schema_validates():
             target_node_matcher=TargetNodeMatcher({"id": PropertyRef("b")}),
             properties={"lastupdated": PropertyRef("x")},
         )
+
+
+def test_extra_node_labels_flow_to_store(spark, tmp_path):
+    """extra_node_labels (the reference's secondary Cypher labels,
+    models/core/nodes.py) land in the store's extra_labels column and
+    are queryable with array_contains — the MATCH (n:Extra) analog."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.pipeline.sync import load
+    from cartography_spark.schema import NodeSchema, PropertyRef
+    from cartography_spark.store.graphstore import GraphStore
+
+    schema = NodeSchema(
+        label="Host",
+        properties={"id": PropertyRef("hid")},
+        extra_node_labels=("Asset", "Computer"),
+    )
+    store = GraphStore(spark, str(tmp_path / "g"))
+    load(store, schema, spark.createDataFrame([("h1",)], "hid string"), 100)
+    rows = store.read_nodes().where(
+        F.array_contains("extra_labels", "Asset")
+    ).collect()
+    assert [r["id"] for r in rows] == ["h1"]
+    assert list(rows[0]["extra_labels"]) == ["Asset", "Computer"]
