@@ -1,0 +1,148 @@
+"""Property-based check of the staleness sweep against an independent
+Python model of the reference's cleanup matrix
+(``cleanupbuilder.py:16-77``) including Cypher NULL semantics
+(``n.x <> $v`` never matches NULL -> rows with NULL scope/lastupdated
+are KEPT). Random node/edge states are written directly into the store
+(bypassing MERGE so NULL lastupdated states are reachable), swept, and
+compared key-for-key."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cartography_spark.schema import (
+    LinkDirection,
+    NodeSchema,
+    PropertyRef,
+    RelSchema,
+    TargetNodeMatcher,
+)
+
+TAG = 200
+LABEL = "X"
+REL = "R"
+
+SUB_REL = RelSchema(
+    rel_label=REL,
+    target_node_label="Tenant",
+    target_node_matcher=TargetNodeMatcher({"id": PropertyRef("T", set_in_kwargs=True)}),
+    direction=LinkDirection.INWARD,
+)
+
+SCHEMAS = {
+    "sub_scoped": NodeSchema(
+        label=LABEL, properties={"id": PropertyRef("id")}, sub_resource_relationship=SUB_REL
+    ),
+    "rel_only": NodeSchema(
+        label=LABEL,
+        properties={"id": PropertyRef("id")},
+        other_relationships=(
+            RelSchema(
+                rel_label=REL,
+                target_node_label=LABEL,
+                target_node_matcher=TargetNodeMatcher({"id": PropertyRef("o")}),
+            ),
+        ),
+        scoped_cleanup=True,
+    ),
+    "unscoped": NodeSchema(
+        label=LABEL,
+        properties={"id": PropertyRef("id")},
+        other_relationships=(
+            RelSchema(
+                rel_label=REL,
+                target_node_label=LABEL,
+                target_node_matcher=TargetNodeMatcher({"id": PropertyRef("o")}),
+            ),
+        ),
+        scoped_cleanup=False,
+    ),
+}
+
+
+def _model_sweep(nodes, edges, case, scope_id):
+    """Surviving (label,id) node keys and (rel,src,dst) edge keys."""
+    has_sub = case == "sub_scoped"
+    delete_nodes = has_sub or case == "unscoped"
+
+    def stale_edge(e):
+        rel, src, dst, sl, dl, sc, lu = e
+        if rel != REL or (sl != LABEL and dl != LABEL):
+            return False
+        if lu is None or lu == TAG:
+            return False  # NULL / fresh: kept
+        if has_sub:
+            return sc is not None and sc == scope_id
+        return True
+
+    def stale_node(n):
+        lbl, nid, sc, lu = n
+        if lbl != LABEL or lu is None or lu == TAG:
+            return False
+        if has_sub:
+            return sc is not None and sc == scope_id
+        return True
+
+    doomed = {(n[0], n[1]) for n in nodes if delete_nodes and stale_node(n)}
+    live_nodes = {(n[0], n[1]) for n in nodes} - doomed
+    live_edges = set()
+    for e in edges:
+        rel, src, dst, sl, dl, sc, lu = e
+        if stale_edge(e):
+            continue
+        if (sl, src) in {(l, i) for l, i in doomed} or (dl, dst) in {(l, i) for l, i in doomed}:
+            continue
+        live_edges.add((rel, src, dst))
+    return live_nodes, live_edges
+
+
+_node = st.tuples(
+    st.sampled_from(["X", "Y"]),                       # label
+    st.sampled_from(["n1", "n2", "n3", "n4"]),         # id
+    st.sampled_from(["s1", "s2", None]),               # scope_id
+    st.sampled_from([100, TAG, None]),                 # lastupdated
+)
+_edge = st.tuples(
+    st.sampled_from(["R", "S"]),                       # rel_label
+    st.sampled_from(["n1", "n2", "n3", "n4"]),         # src
+    st.sampled_from(["n1", "n2", "n3", "n4"]),         # dst
+    st.sampled_from(["X", "Y"]),                       # src_label
+    st.sampled_from(["X", "Y"]),                       # dst_label
+    st.sampled_from(["s1", "s2", None]),               # scope_id
+    st.sampled_from([100, TAG, None]),                 # lastupdated
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow,
+                                                                 HealthCheck.function_scoped_fixture])
+@given(
+    nodes=st.lists(_node, min_size=1, max_size=6, unique_by=lambda n: (n[0], n[1])),
+    edges=st.lists(_edge, min_size=0, max_size=6, unique_by=lambda e: (e[0], e[1], e[2])),
+    case=st.sampled_from(list(SCHEMAS)),
+)
+def test_sweep_matches_cleanup_matrix_model(spark, tmp_path_factory, nodes, edges, case):
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("sweepprop")))
+    ndf = spark.createDataFrame(
+        [(l, i, None, sc, None, lu, {}) for l, i, sc, lu in nodes],
+        "label string, id string, extra_labels array<string>, scope_id string, "
+        "firstseen timestamp, lastupdated long, props map<string,string>",
+    )
+    store._write("nodes", ndf)
+    if edges:
+        edf = spark.createDataFrame(
+            [(r, s, d, sl, dl, sc, None, lu, {}) for r, s, d, sl, dl, sc, lu in edges],
+            "rel_label string, src string, dst string, src_label string, dst_label string, "
+            "scope_id string, firstseen timestamp, lastupdated long, props map<string,string>",
+        )
+        store._write("edges", edf)
+
+    store.sweep(SCHEMAS[case], TAG, scope_id="s1" if case == "sub_scoped" else None)
+
+    want_nodes, want_edges = _model_sweep(nodes, edges, case, "s1")
+    got_nodes = {(r["label"], r["id"]) for r in store.read_nodes().collect()}
+    got_edges = {(r["rel_label"], r["src"], r["dst"]) for r in store.read_edges().collect()}
+    assert got_nodes == want_nodes
+    assert got_edges == want_edges
