@@ -92,20 +92,35 @@ STATEMENTS_DDL = (
 )
 
 
-def clause_regex(clause: Column) -> Column:
-    """Reference-exact wildcard->regex compilation
-    (``permission_relationships.py:225-251``): escape only ``.``,
-    ``*`` -> ``.*``, ``?`` -> ``.?``, anchored, case-insensitive."""
-    esc = F.replace(clause, F.lit("."), F.lit("\\."))
-    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
-    esc = F.replace(esc, F.lit("?"), F.lit(".?"))
-    return F.concat(F.lit("(?i)^"), esc, F.lit("$"))
+def _compile_clause(clause: str) -> str:
+    """Python-side clause->regex with the reference's error degradation
+    (``compile_regex``, ``permission_relationships.py:225-251``): an
+    invalid clause (e.g. ``(`` or ``[``) becomes ``re.compile("")`` there,
+    whose ``fullmatch`` matches only an EMPTY target — here the anchored
+    equivalent ``(?i)^$``. Without this, one malformed clause would throw
+    from ``regexp_like`` at runtime and fail the whole job."""
+    rx = (
+        "(?i)^"
+        + clause.replace(".", "\\.").replace("*", ".*").replace("?", ".?")
+        + "$"
+    )
+    try:
+        re.compile(rx)
+        return rx
+    except re.error:
+        return "(?i)^$"
 
 
 def _rx_array(clauses: Column) -> Column:
-    """Precompile a clause array to a regex array (done once on the tiny
-    broadcast statement dim, not per resource row)."""
-    return F.transform(clauses, clause_regex)
+    """Precompile a clause array to a validated regex array. Runs as a
+    Python UDF ONCE PER STATEMENT on the tiny broadcast statement dim
+    (not per resource row) so each clause can be ``re``-validated and
+    degraded exactly as the reference does on a bad pattern."""
+    compile_udf = F.udf(
+        lambda arr: None if arr is None else [_compile_clause(c) for c in arr],
+        "array<string>",
+    )
+    return compile_udf(clauses)
 
 
 def _any_match(rx_arr: Column, target: Column) -> Column:
@@ -127,9 +142,15 @@ def statement_permission_matrix(statements: DataFrame, permissions: list[str]) -
     - ``notaction`` matching the permission -> statement skipped;
     - missing ``action`` -> applies to every permission;
     - else some ``action`` clause must match.
+
+    Statements whose effect is not exactly ``Allow`` or ``Deny`` are
+    dropped — the reference partitions into allow/deny lists by exact
+    string compare (``evaluate_policy_for_permissions``,
+    ``permission_relationships.py:125-126``), so a malformed effect
+    (e.g. lowercase ``allow``) lands in neither list and is ignored.
     """
     perms = F.array(*[F.lit(p) for p in permissions])
-    sp = statements.select(
+    sp = statements.where(F.col("effect").isin("Allow", "Deny")).select(
         "*",
         F.posexplode(perms).alias("perm_idx", "permission"),
     )

@@ -33,10 +33,6 @@ from pyspark.sql import Column, DataFrame, functions as F
 from cartography_spark.schema.common import PropertyRef
 
 
-def _norm(col: Column, ref: PropertyRef) -> Column:
-    return F.lower(col) if (ref.ignore_case or ref.fuzzy_and_ignore_case) else col
-
-
 def matcher_join(
     items: DataFrame,
     targets: DataFrame,
@@ -64,20 +60,26 @@ def matcher_join(
 
     conds = []
     it = items
+    # Flag precedence mirrors the reference's elif chain exactly
+    # (querybuilder.py:147-163): ignore_case, then fuzzy_and_ignore_case,
+    # then one_to_many, then exact — so ignore_case + one_to_many both
+    # set resolves to a case-insensitive SCALAR match, as it does there.
     for k, ref in keys.items():
         tcol = F.col(f"__t_key_{k}")
-        if ref.one_to_many:
-            # item field is an array of target ids: explode -> equi-join
-            it = it.withColumn(f"__i_key_{k}", F.explode(ref.to_column(params)))
-            conds.append(F.col(f"__i_key_{k}") == tcol)
+        if ref.ignore_case:
+            it = it.withColumn(f"__i_key_{k}", F.lower(ref.to_column(params)))
+            conds.append(F.col(f"__i_key_{k}") == F.lower(tcol))
         elif ref.fuzzy_and_ignore_case:
             # target key CONTAINS item value, case-insensitive (theta-join;
             # requires a broadcastable side — use lsh_blocked_join at scale)
             conds.append(F.instr(F.lower(tcol), F.lower(ref.to_column(params))) > 0)
+        elif ref.one_to_many:
+            # item field is an array of target ids: explode -> equi-join
+            it = it.withColumn(f"__i_key_{k}", F.explode(ref.to_column(params)))
+            conds.append(F.col(f"__i_key_{k}") == tcol)
         else:
-            icol = _norm(ref.to_column(params), ref)
-            it = it.withColumn(f"__i_key_{k}", icol)
-            conds.append(F.col(f"__i_key_{k}") == _norm(tcol, ref))
+            it = it.withColumn(f"__i_key_{k}", ref.to_column(params))
+            conds.append(F.col(f"__i_key_{k}") == tcol)
 
     cond = conds[0]
     for c in conds[1:]:

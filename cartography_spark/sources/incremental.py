@@ -61,7 +61,17 @@ def incremental_read(
     wm = last_watermark(store, source)
     out = df
     if wm is not None:
-        out = df.where(F.unix_micros(F.col(ts_col)) > F.lit(wm))
-    row = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("m")).collect()[0]
+        # Compare the BARE column against a timestamp literal (not
+        # unix_micros(ts) > wm): wrapping the column in a function makes
+        # the predicate un-pushable; this form lands in PushedFilters and
+        # prunes parquet files/row-groups by ts min/max.
+        out = df.where(F.col(ts_col) > F.timestamp_micros(F.lit(int(wm))))
+    # Candidate watermark over the FILTERED window, not the full source:
+    # max(ts) over rows with ts > wm equals max(ts) over all rows unless
+    # the window is empty (then the old watermark stands) — and the
+    # ``ts > wm`` predicate is pushed into the scan, so file/partition
+    # pruning applies to the watermark aggregate too instead of a full
+    # table scan (the exact thing the watermark exists to avoid).
+    row = out.agg(F.max(F.unix_micros(F.col(ts_col))).alias("m")).collect()[0]
     new_wm = int(row["m"]) if row["m"] is not None else wm
     return out, new_wm

@@ -577,16 +577,19 @@ class GraphStore:
         the newest ``keep_last`` manifests per table, then delete every
         data-version dir and tombstone file no kept manifest references.
         Time travel keeps working across the retained window; the
-        current pointer is always retained (it is the newest)."""
+        current pointer is always retained (it is the newest) —
+        ``keep_last`` is clamped to >= 1 so the CURRENT manifest and
+        the data it references can never be GC'd."""
         import shutil
 
+        keep_last = max(1, int(keep_last))
         removed: dict[str, list[str]] = {}
         for table in ("nodes", "edges"):
             mdir = os.path.join(self.root, "manifests", table)
             if not os.path.isdir(mdir):
                 continue
             versions = sorted(os.path.splitext(f)[0] for f in os.listdir(mdir))
-            doomed = versions[:-keep_last] if keep_last else versions
+            doomed = versions[:-keep_last]
             kept = [v for v in versions if v not in doomed]
             ref_data: set[str] = set()
             ref_del: set[str] = set()

@@ -117,18 +117,42 @@ def stream_to_store(
     """Close the streaming loop into the graph store: each micro-batch
     of (subj, pred, obj) triples MERGEs entity nodes and aggregated
     co-occurrence edges with the full idempotent semantics
-    (firstseen-on-create, lastupdated=update_tag). The source
-    checkpoint makes catch-up runs exactly-once per input file; MERGE
-    key-dedup makes batch replays idempotent — together: restartable
-    ingestion, the streaming analog of the Sync ledger.
+    (firstseen-on-create, lastupdated=update_tag). The co-occurrence
+    weight prop ``n`` ACCUMULATES across micro-batches (stored count +
+    batch count), so the final weight is independent of micro-batch
+    file grouping. The source checkpoint makes catch-up runs
+    exactly-once per input file; an epoch ledger in the store metrics
+    makes mid-batch replays no-ops — together: restartable ingestion,
+    the streaming analog of the Sync ledger.
 
     Returns the summed merge counters across batches."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
     totals = {"nodes_created": 0, "nodes_updated": 0, "edges_created": 0, "edges_updated": 0}
+    # Batch-replay guard: edge weights ACCUMULATE (see below), so a
+    # replayed epoch (crash between the store commit and the streaming
+    # checkpoint commit) must not double-add. Completed epochs are
+    # recorded in the store's metrics ledger keyed by (stream, epoch);
+    # a replay sees its epoch already committed and skips.
+    stream_id = int(hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:15], 16)
+
+    def _epoch_done(epoch_id: int) -> bool:
+        m = store.read_metrics()
+        return (
+            m.where(
+                (F.col("op") == "stream_epoch")
+                & (F.element_at("counters", "stream_id") == F.lit(stream_id))
+                & (F.element_at("counters", "epoch") == F.lit(int(epoch_id)))
+            ).limit(1).count()
+            > 0
+        )
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
+            return
+        if _epoch_done(epoch_id):
             return
         nodes = (
             batch.select(F.col("subj").alias("name"))
@@ -143,20 +167,44 @@ def stream_to_store(
             )
         )
         n = store.merge_nodes(nodes, update_tag)
+        # Edge weight 'n' ACCUMULATES across micro-batches: MERGE's prop
+        # overwrite is last-win, so writing the per-batch count would
+        # make the final weight depend on micro-batch file grouping. Add
+        # the stored count (a key-join against current edges — the
+        # read-modify-write every streaming upsert-with-aggregate needs;
+        # the store read prunes to the touched rel_label partitions).
+        batch_counts = batch.groupBy("subj", "pred", "obj").agg(F.count("*").alias("__n"))
+        prev = store.read_edges().select(
+            F.col("rel_label"),
+            F.col("src"),
+            F.col("dst"),
+            F.element_at("props", "n").cast("long").alias("__prev_n"),
+        )
         edges = (
-            batch.groupBy("subj", "pred", "obj")
-            .agg(F.count("*").alias("n"))
-            .select(
+            batch_counts.select(
                 F.col("pred").alias("rel_label"),
                 F.col("subj").alias("src"),
                 F.col("obj").alias("dst"),
+                F.col("__n"),
+            )
+            .join(prev, ["rel_label", "src", "dst"], "left")
+            .select(
+                "rel_label",
+                "src",
+                "dst",
                 F.lit("Entity").alias("src_label"),
                 F.lit("Entity").alias("dst_label"),
                 F.lit(None).cast("string").alias("scope_id"),
-                F.create_map(F.lit("n"), F.col("n").cast("string")).alias("props"),
+                F.create_map(
+                    F.lit("n"),
+                    (F.col("__n") + F.coalesce(F.col("__prev_n"), F.lit(0))).cast("string"),
+                ).alias("props"),
             )
         )
         e = store.merge_edges(edges, update_tag)
+        store._record_metrics(
+            "stream_epoch", update_tag, {"stream_id": stream_id, "epoch": int(epoch_id)}
+        )
         totals["nodes_created"] += n["created"]
         totals["nodes_updated"] += n["updated"]
         totals["edges_created"] += e["created"]

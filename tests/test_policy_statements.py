@@ -180,3 +180,29 @@ def test_full_policy_allow_multiple_principals(spark):
     res = spark.createDataFrame([(ARN,)], "resource_arn string")
     out = permission_relationships(stmts, res, ["S3:GetObject"]).collect()
     assert [(r["principal_id"], r["resource_arn"]) for r in out] == [("alice", ARN)]
+
+
+def test_malformed_effect_is_ignored(spark):
+    """Statements whose effect is not exactly Allow/Deny land in neither
+    of the reference's allow/deny lists (``evaluate_policy_for_permissions``,
+    ``permission_relationships.py:125-126``) — lowercase 'allow' must not
+    grant access."""
+    s = [{"action": ["*"], "resource": ["*"], "effect": "allow"}]
+    assert _verdict(spark, s, ["s3:GetObject"]) is None
+    mixed = [
+        {"action": ["*"], "resource": ["*"], "effect": "allow"},
+        {"action": ["s3:*"], "resource": ["*"], "effect": "Allow"},
+    ]
+    assert _verdict(spark, mixed, ["s3:GetObject"]) is False
+
+
+def test_invalid_clause_degrades_to_match_nothing(spark):
+    """The reference's ``compile_regex`` catches ``re.error`` on a bad
+    clause (e.g. '(') and degrades to ``re.compile("")`` — fullmatch of a
+    non-empty target then fails (``permission_relationships.py:225-251``).
+    Here the bad clause must neither throw nor match."""
+    s = [{"action": ["("], "resource": ["*"], "effect": "Allow"}]
+    assert _verdict(spark, s, ["s3:GetObject"]) is None
+    # a bad clause must not suppress a sibling good clause
+    s2 = [{"action": ["(", "s3:*"], "resource": ["*"], "effect": "Allow"}]
+    assert _verdict(spark, s2, ["s3:GetObject"]) is False

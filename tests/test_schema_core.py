@@ -108,3 +108,21 @@ def test_extra_node_labels_flow_to_store(spark, tmp_path):
     ).collect()
     assert [r["id"] for r in rows] == ["h1"]
     assert list(rows[0]["extra_labels"]) == ["Asset", "Computer"]
+
+
+def test_matcher_precedence_ignorecase_before_one_to_many(spark):
+    """The reference's elif chain (``querybuilder.py:147-163``) checks
+    ``ignore_case`` BEFORE ``one_to_many``: both flags set resolves to a
+    case-insensitive SCALAR equality match, not a list-membership join.
+    An item whose field is the scalar string 'ALPHA' must match target
+    key 'alpha'; no explode happens."""
+    from cartography_spark.operators.linking import matcher_join
+    from cartography_spark.schema.common import PropertyRef
+
+    items = spark.createDataFrame([("i1", "ALPHA")], "item_id string, ref string")
+    targets = spark.createDataFrame(
+        [("alpha", "t1"), ("beta", "t2")], "key string, tid string"
+    )
+    ref = PropertyRef("ref", ignore_case=True, one_to_many=True)
+    got = matcher_join(items, targets, {"key": ref}).collect()
+    assert len(got) == 1 and got[0]["__t_tid"] == "t1"

@@ -153,3 +153,25 @@ def test_quarantine_isolates_poison_rows(spark):
     assert sorted(r["y"] for r in good.collect()) == [2, 6]
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "negative" in bad_rows[0]["error"]
+
+
+def test_incremental_window_filter_is_pushed_down(spark, tmp_path):
+    """The watermark window predicate must reach the parquet scan as a
+    PushedFilters entry (bare-column comparison against a timestamp
+    literal, not unix_micros(ts) > wm), and the new candidate watermark
+    is computed over the FILTERED window so the same pruning applies to
+    the max() scan."""
+    import pandas as pd
+
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01", "2024-06-01"]), "v": [1, 2]})
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    _, wm1 = incremental_read(store, df, "evp", "ts")
+    commit_watermark(store, "evp", 1, wm1)
+    out, wm2 = incremental_read(store, df, "evp", "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(ts), GreaterThan(ts" in plan
+    assert out.count() == 0 and wm2 == wm1  # empty window keeps the watermark

@@ -365,3 +365,13 @@ def test_merge_single_pass_counters(spark, store):
     assert r["created"] == 1 and r["updated"] == 1
     # touched-partition collect + merged write + metrics append
     assert len(jobs) <= 4
+
+
+def test_expire_versions_never_dooms_current(spark, store):
+    """keep_last is clamped to >= 1: even keep_last=0 (reachable from the
+    CLI) must retain the CURRENT manifest and its data."""
+    store.merge_nodes(_nodes_df(spark, [("P", "p1", "s1", {"a": "1"})]), 100)
+    store.merge_nodes(_nodes_df(spark, [("P", "p2", "s1", {"a": "2"})]), 200)
+    store.expire_versions(keep_last=0)
+    assert sorted(r["id"] for r in store.read_nodes().collect()) == ["p1", "p2"]
+    assert len(store.node_versions()) == 1

@@ -187,3 +187,27 @@ def test_stream_incremental_new_files(spark, tmp_path):
     catch_up()
     n2 = spark.read.parquet(out_dir).count()
     assert n2 > n1
+
+
+def test_stream_to_store_edge_weight_accumulates_across_batches(spark, tmp_path):
+    """The co-occurrence weight 'n' must be the TOTAL count across all
+    micro-batches, not the last batch's count: with maxFilesPerTrigger=1
+    the same triple arriving in two files lands in two batches, and MERGE
+    prop overwrite alone would leave n=1."""
+    from cartography_spark.store.graphstore import GraphStore
+    from cartography_spark.streaming.stream import stream_to_store
+
+    tdir = tmp_path / "triples"
+    one = spark.createDataFrame([("a", "REL", "b")], "subj string, pred string, obj string")
+    one.coalesce(1).write.parquet(str(tdir / "f1"))
+    one.union(one).coalesce(1).write.parquet(str(tdir / "f2"))
+    stream = (
+        spark.readStream.schema("subj string, pred string, obj string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir) + "/*")
+    )
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    stream_to_store(stream, store, str(tmp_path / "ckpt"), update_tag=100, timeout=120)
+    rows = store.read_edges().collect()
+    assert len(rows) == 1
+    assert rows[0]["props"]["n"] == "3"
