@@ -35,6 +35,14 @@ key deleted then re-merged is NOT re-deleted at read time).
 - Every mutation writes a new manifest and atomically swaps the CURRENT
   pointer (os.replace) — snapshot isolation + time travel, which is
   what drift detection (§2.7 X2) and resume read.
+- Commits are OPTIMISTICALLY CONCURRENT: the pointer swap is a
+  compare-and-swap on the seq the mutation's snapshot was read at,
+  under a cross-process file lock; a losing writer gets
+  :class:`CommitConflict` and retries against the winner's snapshot,
+  so no commit is ever silently lost (Iceberg's commit protocol; the
+  reference gets this from Neo4j ACID transactions,
+  ``client/core/tx.py:178-213``). CURRENT carries a ``format`` field
+  (:data:`STORE_FORMAT`) so incompatible layouts fail fast.
 
 On a real deployment both tables are Iceberg and ``merge_nodes`` is
 ``MERGE INTO nodes t USING s ON t.label=s.label AND t.id=s.id`` with
@@ -59,13 +67,34 @@ deletes such rows either).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
 import urllib.parse
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window
+
+#: On-disk layout version, stamped into CURRENT. Bumped when the layout
+#: breaks (v2 = manifests + data/ dirs + metrics.jsonl + md5 watermark
+#: keys; the pre-manifest layout had no format field at all). A store
+#: written by a different format fails fast with a clear error instead
+#: of a FileNotFoundError or a silent full re-read.
+STORE_FORMAT = 2
+
+_COMMIT_RETRIES = 5
+
+
+class CommitConflict(Exception):
+    """Another writer committed between this writer's snapshot read and
+    its pointer swap (optimistic concurrency, Iceberg-style). Mutation
+    ops catch this and retry against the new current snapshot."""
+
+
+class StoreFormatError(Exception):
+    """CURRENT was written by an incompatible store layout version."""
 
 NODES_SCHEMA = T.StructType(
     [
@@ -174,28 +203,61 @@ class GraphStore:
         # Declared-props-overwrite semantics rely on LAST_WIN map merge.
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
-    # ---------- version pointer ----------
+    # ---------- version pointer / commit protocol ----------
+    #
+    # Optimistic concurrency (Iceberg-style): a mutation reads the
+    # current pointer seq, builds its new data + manifest off-line, then
+    # commits under an exclusive file lock IF AND ONLY IF the seq is
+    # still the one it read (compare-and-swap). A concurrent commit in
+    # between raises :class:`CommitConflict` and the op retries against
+    # the new snapshot — no commit is ever silently last-wins-lost. The
+    # reference gets the same guarantee from Neo4j ACID transactions
+    # (``cartography/client/core/tx.py:178-213``). flock is per-fd, so
+    # the mutual exclusion holds across threads AND processes.
+
+    @contextmanager
+    def _commit_lock(self):
+        fd = os.open(os.path.join(self.root, ".lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _pointer(self) -> dict:
         p = os.path.join(self.root, "CURRENT")
         if not os.path.exists(p):
-            return {"nodes": None, "edges": None, "seq": 0}
+            return {"nodes": None, "edges": None, "seq": 0, "format": STORE_FORMAT}
         with open(p) as f:
-            return json.load(f)
+            cur = json.load(f)
+        if cur.get("format") != STORE_FORMAT:
+            raise StoreFormatError(
+                f"store at {self.root} has layout format {cur.get('format')!r}, "
+                f"this engine reads format {STORE_FORMAT} — rebuild the store "
+                "(no migration path from pre-manifest layouts)"
+            )
+        return cur
 
-    def _swap_pointer(self, updates: dict) -> None:
-        cur = self._pointer()
-        cur.update(updates)
-        cur["seq"] = cur.get("seq", 0) + 1
-        tmp = os.path.join(self.root, "CURRENT.tmp")
-        with open(tmp, "w") as f:
-            json.dump(cur, f)
-        os.replace(tmp, os.path.join(self.root, "CURRENT"))
-
-    def _new_version(self, table: str) -> str:
-        cur = self._pointer()
-        n = int((cur.get(table) or "v0")[1:]) + 1
-        return f"v{n:06d}"
+    def _allocate_version(self, table: str) -> str:
+        """Allocate a globally unique, monotonically increasing version
+        name for ``table`` under the commit lock, so racing writers never
+        write to the same immutable data directory. Allocation is
+        durable (counter file) — an aborted writer's version is simply
+        orphaned and GC'd by ``expire_versions``."""
+        with self._commit_lock():
+            cpath = os.path.join(self.root, f".vcounter_{table}")
+            used = 0
+            if os.path.exists(cpath):
+                with open(cpath) as f:
+                    used = int(f.read().strip() or 0)
+            used = max(used, int((self._pointer().get(table) or "v0")[1:]))
+            n = used + 1
+            tmp = cpath + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(n))
+            os.replace(tmp, cpath)
+            return f"v{n:06d}"
 
     # ---------- manifests ----------
 
@@ -209,23 +271,56 @@ class GraphStore:
         with open(self._manifest_path(table, v)) as f:
             return json.load(f)
 
-    def _commit_manifest(self, table: str, version: str, manifest: dict) -> None:
-        """Write manifest then swap the pointer (write-then-publish:
+    def _commit_manifest(
+        self, table: str, version: str, manifest: dict, expected_seq: int | None = None
+    ) -> int:
+        """Write manifest then CAS-swap the pointer (write-then-publish:
         readers of the old pointer never see a half-written manifest).
+        ``expected_seq`` is the pointer seq this mutation's snapshot was
+        read at; if another writer committed since, raises
+        :class:`CommitConflict` (nothing published — the data/manifest
+        files written so far are orphans for GC). Returns the new seq.
         Delete entries older than every live partition prune away."""
-        parts = manifest["partitions"]
-        manifest["deletes"] = [
-            d
-            for d in manifest.get("deletes", [])
-            if any(p["seq"] < d["seq"] for p in parts.values())
-        ]
-        path = self._manifest_path(table, version)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, path)
-        self._swap_pointer({table: version})
+        return self._commit_manifests({table: (version, manifest)}, expected_seq)
+
+    def _commit_manifests(
+        self, commits: dict[str, tuple[str, dict]], expected_seq: int | None = None
+    ) -> int:
+        """Atomically publish manifests for one or MORE tables in a
+        single CAS pointer swap — a multi-table transaction (the sweep
+        uses it so node tombstones and their DETACH edge tombstones
+        become visible together, like the reference's single
+        ``DETACH DELETE`` transaction)."""
+        for _, manifest in commits.values():
+            parts = manifest["partitions"]
+            manifest["deletes"] = [
+                d
+                for d in manifest.get("deletes", [])
+                if any(p["seq"] < d["seq"] for p in parts.values())
+            ]
+        with self._commit_lock():
+            cur = self._pointer()
+            if expected_seq is not None and cur.get("seq", 0) != expected_seq:
+                raise CommitConflict(
+                    f"commit of {sorted(commits)}: pointer seq is "
+                    f"{cur.get('seq', 0)}, expected {expected_seq} (concurrent "
+                    "writer) — retry from the new snapshot"
+                )
+            for table, (version, manifest) in commits.items():
+                path = self._manifest_path(table, version)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f, indent=1)
+                os.replace(tmp, path)
+                cur[table] = version
+            cur["seq"] = cur.get("seq", 0) + 1
+            cur["format"] = STORE_FORMAT
+            ptmp = os.path.join(self.root, "CURRENT.tmp")
+            with open(ptmp, "w") as f:
+                json.dump(cur, f)
+            os.replace(ptmp, os.path.join(self.root, "CURRENT"))
+            return cur["seq"]
 
     def node_versions(self) -> list[str]:
         d = os.path.join(self.root, "manifests", "nodes")
@@ -326,13 +421,49 @@ class GraphStore:
                 }
         return parts
 
-    def _write(self, table: str, df: DataFrame, partition_col: str | None = None) -> str:
+    def _write(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_col: str | None = None,
+        expected_seq: int | None = None,
+    ) -> str:
         """Full-snapshot write: every partition fresh, tombstones folded
-        in (the compaction path; also used by analysis jobs, which
-        rewrite node props table-wide by design)."""
-        v = self._new_version(table)
+        in (the compaction path). Raises :class:`CommitConflict` when
+        ``expected_seq`` is given and stale — the caller rebuilds ``df``
+        from the new snapshot and retries."""
+        v = self._allocate_version(table)
         parts = self._write_data(table, v, df)
-        self._commit_manifest(table, v, {"partitions": parts, "deletes": []})
+        self._commit_manifest(table, v, {"partitions": parts, "deletes": []}, expected_seq)
+        return v
+
+    def replace_partitions(
+        self,
+        table: str,
+        df: DataFrame,
+        partitions: list[str],
+        expected_seq: int | None = None,
+    ) -> str:
+        """Partial rewrite: ``df`` is the complete new content of the
+        named ``partitions``; every OTHER partition carries forward by
+        manifest reference — zero copy (the same shape ``_merge`` uses;
+        exposed for analysis jobs, whose rewrites touch a few labels of
+        a 100 TB table). Existing tombstone files carry forward: they
+        are older than the new data version, so by sequence-number
+        semantics they keep applying to untouched partitions and stop
+        applying to the rewritten ones (whose content already folded
+        them in at read time)."""
+        manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
+        v = self._allocate_version(table)
+        new_parts = self._write_data(table, v, df)
+        parts = {k: p for k, p in manifest["partitions"].items() if k not in set(partitions)}
+        parts.update(new_parts)
+        self._commit_manifest(
+            table,
+            v,
+            {"partitions": parts, "deletes": list(manifest.get("deletes", []))},
+            expected_seq,
+        )
         return v
 
     _METRICS_DDL = "op string, update_tag long, wall_ts double, counters map<string,long>"
@@ -395,37 +526,54 @@ class GraphStore:
         touched = [
             r[0] for r in new.select(partition_col).distinct().collect() if r[0] is not None
         ]
-        manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
-        old = self._read_manifest_df(table, schema, manifest, only_partitions=touched)
 
         from pyspark.sql import Observation
 
-        obs = Observation(f"merge_{table}")
-        result = (
-            merge_frames(old, new, key, cols, update_tag, with_flags=True)
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.col("__created").cast("long")).alias("created"),
-                F.sum(F.col("__updated").cast("long")).alias("updated"),
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            # Snapshot seq MUST be read before the manifest: a commit
+            # landing between the two reads then makes the manifest
+            # NEWER than the seq, so the CAS fails safe (retry) rather
+            # than publishing a merge built on a stale base.
+            seq0 = self._pointer().get("seq", 0)
+            manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
+            old = self._read_manifest_df(table, schema, manifest, only_partitions=touched)
+            v = self._allocate_version(table)
+            obs = Observation(f"merge_{table}_{v}")
+            result = (
+                merge_frames(old, new, key, cols, update_tag, with_flags=True)
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("__created").cast("long")).alias("created"),
+                    F.sum(F.col("__updated").cast("long")).alias("updated"),
+                )
+                .drop("__created", "__updated")
             )
-            .drop("__created", "__updated")
-        )
-        v = self._new_version(table)
-        new_parts = self._write_data(table, v, result)  # counters fold into this one job
-        parts = dict(manifest["partitions"])
-        parts.update(new_parts)
-        self._commit_manifest(
-            table, v, {"partitions": parts, "deletes": list(manifest.get("deletes", []))}
-        )
-        got = obs.get
-        counters = {
-            "rows_total": int(got["rows"] or 0),
-            "created": int(got["created"] or 0),
-            "updated": int(got["updated"] or 0),
-        }
-        self._record_metrics(f"merge_{table}", update_tag, counters)
-        return {**counters, "version": v}
+            new_parts = self._write_data(table, v, result)  # counters fold into this job
+            parts = dict(manifest["partitions"])
+            parts.update(new_parts)
+            try:
+                self._commit_manifest(
+                    table,
+                    v,
+                    {"partitions": parts, "deletes": list(manifest.get("deletes", []))},
+                    expected_seq=seq0,
+                )
+            except CommitConflict as e:
+                # Another writer won the race: re-merge against the new
+                # snapshot (the written data dir is an orphan for GC).
+                last = e
+                continue
+            got = obs.get
+            counters = {
+                "rows_total": int(got["rows"] or 0),
+                "created": int(got["created"] or 0),
+                "updated": int(got["updated"] or 0),
+            }
+            self._record_metrics(f"merge_{table}", update_tag, counters)
+            return {**counters, "version": v}
+        raise last  # type: ignore[misc]
 
     def merge_nodes(self, updates: DataFrame, update_tag: int) -> dict[str, int]:
         """Idempotent node upsert (U1). ``updates`` columns: label, id,
@@ -438,28 +586,48 @@ class GraphStore:
 
     # ---------- merge-on-read deletes ----------
 
-    def _write_deletes(self, table: str, keys: DataFrame) -> tuple[int, str | None]:
-        """Append one tombstone key file and commit a manifest that
-        references it. Returns (rows_deleted, new_version). No data
-        directory is touched — sweep cost is the key scan plus a
-        key-sized write, independent of table size."""
+    def _prepare_deletes(
+        self, table: str, keys: DataFrame
+    ) -> tuple[int, str | None, dict | None]:
+        """Write one tombstone key file and return the updated manifest
+        WITHOUT committing — the caller publishes (possibly for several
+        tables atomically) via ``_commit_manifests``. Returns
+        (rows_deleted, new_version, manifest). No data directory is
+        touched — sweep cost is the key scan plus a key-sized write,
+        independent of table size."""
         from pyspark.sql import Observation
 
         manifest = self._manifest(table)
         if manifest is None:
-            return 0, None
-        v = self._new_version(table)
+            return 0, None, None
+        v = self._allocate_version(table)
         path = os.path.join(self.root, "deletes", table, v)
         obs = Observation(f"delete_{table}_{v}")
         keys.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
         n = int(obs.get["n"] or 0)
         if n == 0:
-            return 0, None
+            return 0, None, None
         manifest["deletes"] = list(manifest.get("deletes", [])) + [
             {"path": os.path.join("deletes", table, v), "seq": int(v[1:])}
         ]
-        self._commit_manifest(table, v, manifest)
-        return n, v
+        return n, v, manifest
+
+    def _write_deletes(self, table: str, keys: DataFrame) -> tuple[int, str | None]:
+        """Single-table tombstone write: prepare + CAS commit with
+        retry. (The sweep instead prepares both tables and publishes
+        them in ONE atomic multi-table commit.)"""
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            seq0 = self._pointer().get("seq", 0)
+            n, v, man = self._prepare_deletes(table, keys)
+            if n == 0:
+                return 0, None
+            try:
+                self._commit_manifests({table: (v, man)}, expected_seq=seq0)
+                return n, v
+            except CommitConflict as e:
+                last = e
+        raise last  # type: ignore[misc]
 
     # ---------- cleanup sweep (C1-C6) ----------
 
@@ -504,56 +672,77 @@ class GraphStore:
         if has_sub and scope_id is None:
             raise ValueError(f"NodeSchema({label}): scoped sweep requires scope_id")
 
-        nodes = self.read_nodes()
-        edges = self.read_edges()
         tag = int(update_tag)
         rel_labels = [r.rel_label for r in rels]
-
-        stale_edge = (
-            F.col("rel_label").isin(rel_labels)
-            & ((F.col("src_label") == label) | (F.col("dst_label") == label))
-            & (F.col("lastupdated") != tag)
-        )
-        if has_sub:
-            stale_edge = stale_edge & (F.col("scope_id") == scope_id)
-        stale_edges = edges.where(~_not_stale(stale_edge))
-
         delete_nodes = has_sub or not node_schema.scoped_cleanup
-        nodes_deleted = 0
-        doomed_edges = stale_edges.select(*_EDGE_KEY)
-        if delete_nodes:
-            stale_node = (F.col("label") == label) & (F.col("lastupdated") != tag)
+
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            seq0 = self._pointer().get("seq", 0)
+            nodes = self.read_nodes()
+            edges = self.read_edges()
+
+            stale_edge = (
+                F.col("rel_label").isin(rel_labels)
+                & ((F.col("src_label") == label) | (F.col("dst_label") == label))
+                & (F.col("lastupdated") != tag)
+            )
             if has_sub:
-                stale_node = stale_node & (F.col("scope_id") == scope_id)
-            doomed = nodes.where(~_not_stale(stale_node)).select(*_NODE_KEY)
-            nodes_deleted, dv = self._write_deletes("nodes", doomed)
-            if nodes_deleted:
-                # DETACH DELETE: tombstone every edge touching a deleted
-                # node. Read the just-written (small) key file back so
-                # the doomed set is computed once, then two semi-joins.
-                dn = self.spark.read.parquet(
-                    os.path.join(self.root, "deletes", "nodes", dv)
-                )
-                det_src = edges.join(
-                    dn.select(F.col("id").alias("src"), F.col("label").alias("src_label")),
-                    ["src", "src_label"],
-                    "left_semi",
-                )
-                det_dst = edges.join(
-                    dn.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
-                    ["dst", "dst_label"],
-                    "left_semi",
-                )
-                doomed_edges = (
-                    det_src.select(*_EDGE_KEY)
-                    .unionByName(det_dst.select(*_EDGE_KEY))
-                    .unionByName(doomed_edges)
-                    .dropDuplicates(_EDGE_KEY)
-                )
-        edges_deleted, _ = self._write_deletes("edges", doomed_edges)
-        counters = {"nodes_deleted": nodes_deleted, "edges_deleted": edges_deleted}
-        self._record_metrics(f"sweep_{label}", update_tag, counters)
-        return counters
+                stale_edge = stale_edge & (F.col("scope_id") == scope_id)
+            stale_edges = edges.where(~_not_stale(stale_edge))
+
+            nodes_deleted = 0
+            commits: dict[str, tuple[str, dict]] = {}
+            doomed_edges = stale_edges.select(*_EDGE_KEY)
+            if delete_nodes:
+                stale_node = (F.col("label") == label) & (F.col("lastupdated") != tag)
+                if has_sub:
+                    stale_node = stale_node & (F.col("scope_id") == scope_id)
+                doomed = nodes.where(~_not_stale(stale_node)).select(*_NODE_KEY)
+                nodes_deleted, dv, nman = self._prepare_deletes("nodes", doomed)
+                if nodes_deleted:
+                    commits["nodes"] = (dv, nman)
+                    # DETACH DELETE: tombstone every edge touching a
+                    # deleted node. Read the just-written (small) key
+                    # file back so the doomed set is computed once, then
+                    # two semi-joins.
+                    dn = self.spark.read.parquet(
+                        os.path.join(self.root, "deletes", "nodes", dv)
+                    )
+                    det_src = edges.join(
+                        dn.select(F.col("id").alias("src"), F.col("label").alias("src_label")),
+                        ["src", "src_label"],
+                        "left_semi",
+                    )
+                    det_dst = edges.join(
+                        dn.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                        ["dst", "dst_label"],
+                        "left_semi",
+                    )
+                    doomed_edges = (
+                        det_src.select(*_EDGE_KEY)
+                        .unionByName(det_dst.select(*_EDGE_KEY))
+                        .unionByName(doomed_edges)
+                        .dropDuplicates(_EDGE_KEY)
+                    )
+            edges_deleted, ev, eman = self._prepare_deletes("edges", doomed_edges)
+            if edges_deleted:
+                commits["edges"] = (ev, eman)
+            try:
+                if commits:
+                    # ONE atomic publish: node tombstones and their
+                    # DETACH edge tombstones become visible together —
+                    # a conflict retries the WHOLE sweep, so a stale set
+                    # recomputed from the winner's snapshot stays
+                    # consistent (no orphaned detach edges).
+                    self._commit_manifests(commits, expected_seq=seq0)
+            except CommitConflict as e:
+                last = e
+                continue
+            counters = {"nodes_deleted": nodes_deleted, "edges_deleted": edges_deleted}
+            self._record_metrics(f"sweep_{label}", update_tag, counters)
+            return counters
+        raise last  # type: ignore[misc]
 
     def sweep_matchlink(self, matchlink, update_tag: int, scope_id: str) -> dict[str, int]:
         """MatchLink cleanup (C5): delete stale rels of this label within
@@ -563,26 +752,46 @@ class GraphStore:
             & (F.col("scope_id") == scope_id)
             & (F.col("lastupdated") != int(update_tag))
         )
-        doomed = self.read_edges().where(~_not_stale(stale)).select(*_EDGE_KEY)
-        deleted, _ = self._write_deletes("edges", doomed)
-        self._record_metrics(
-            f"sweep_link_{matchlink.rel_label}", update_tag, {"edges_deleted": deleted}
-        )
-        return {"edges_deleted": deleted}
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            seq0 = self._pointer().get("seq", 0)
+            doomed = self.read_edges().where(~_not_stale(stale)).select(*_EDGE_KEY)
+            deleted, v, man = self._prepare_deletes("edges", doomed)
+            try:
+                if deleted:
+                    self._commit_manifests({"edges": (v, man)}, expected_seq=seq0)
+            except CommitConflict as e:
+                last = e
+                continue
+            self._record_metrics(
+                f"sweep_link_{matchlink.rel_label}", update_tag, {"edges_deleted": deleted}
+            )
+            return {"edges_deleted": deleted}
+        raise last  # type: ignore[misc]
 
     # ---------- maintenance ----------
 
-    def expire_versions(self, keep_last: int = 3) -> dict[str, list[str]]:
+    def expire_versions(
+        self, keep_last: int = 3, orphan_grace_sec: float = 3600.0
+    ) -> dict[str, list[str]]:
         """Retention GC (Iceberg expire_snapshots analog): drop all but
         the newest ``keep_last`` manifests per table, then delete every
         data-version dir and tombstone file no kept manifest references.
         Time travel keeps working across the retained window; the
         current pointer is always retained (it is the newest) —
         ``keep_last`` is clamped to >= 1 so the CURRENT manifest and
-        the data it references can never be GC'd."""
+        the data it references can never be GC'd.
+
+        Version dirs no manifest EVER referenced are either aborted
+        commits (safe to drop) or an in-flight writer's not-yet-committed
+        data — indistinguishable on disk, so true orphans are only
+        removed once older than ``orphan_grace_sec`` (Iceberg's
+        remove_orphan_files retention-age rule); dirs that committed
+        manifests referenced are removed immediately with them."""
         import shutil
 
         keep_last = max(1, int(keep_last))
+        now = time.time()
         removed: dict[str, list[str]] = {}
         for table in ("nodes", "edges"):
             mdir = os.path.join(self.root, "manifests", table)
@@ -593,12 +802,18 @@ class GraphStore:
             kept = [v for v in versions if v not in doomed]
             ref_data: set[str] = set()
             ref_del: set[str] = set()
-            for v in kept:
+            ever_ref: set[str] = set()
+            for v in versions:
                 man = self._manifest(table, v)
                 for p in man["partitions"].values():
-                    ref_data.add(p["dir"].split("/")[2])
+                    ever_ref.add(p["dir"].split("/")[2])
                 for d in man.get("deletes", []):
-                    ref_del.add(d["path"].split("/")[2])
+                    ever_ref.add(d["path"].split("/")[2])
+                if v in kept:
+                    for p in man["partitions"].values():
+                        ref_data.add(p["dir"].split("/")[2])
+                    for d in man.get("deletes", []):
+                        ref_del.add(d["path"].split("/")[2])
             for v in doomed:
                 os.remove(self._manifest_path(table, v))
             for kind, refs in (("data", ref_data), ("deletes", ref_del)):
@@ -606,8 +821,16 @@ class GraphStore:
                 if not os.path.isdir(root):
                     continue
                 for entry in os.listdir(root):
-                    if entry not in refs:
-                        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                    if entry in refs:
+                        continue
+                    path = os.path.join(root, entry)
+                    if entry not in ever_ref:  # true orphan: age-gate it
+                        try:
+                            if now - os.path.getmtime(path) < orphan_grace_sec:
+                                continue
+                        except OSError:
+                            continue
+                    shutil.rmtree(path, ignore_errors=True)
             removed[table] = doomed
         return removed
 
@@ -626,9 +849,21 @@ class GraphStore:
     def compact(self, table: str | None = None) -> dict[str, str]:
         """Fold tombstones into a fresh full snapshot (Iceberg
         rewrite_data_files + rewrite_position_delete_files analog). Run
-        periodically, off the sync critical path."""
+        periodically, off the sync critical path. CAS-committed: a
+        concurrent mutation wins and the compaction re-reads the new
+        snapshot (never clobbers a racing merge/sweep)."""
         out: dict[str, str] = {}
         for t in [table] if table else ["nodes", "edges"]:
-            if self._manifest(t) is not None:
-                out[t] = self._write(t, self._read(t, _SCHEMA[t]))
+            last: CommitConflict | None = None
+            for _ in range(_COMMIT_RETRIES):
+                seq0 = self._pointer().get("seq", 0)
+                if self._manifest(t) is None:
+                    break
+                try:
+                    out[t] = self._write(t, self._read(t, _SCHEMA[t]), expected_seq=seq0)
+                    break
+                except CommitConflict as e:
+                    last = e
+            else:
+                raise last  # type: ignore[misc]
         return out
