@@ -11,6 +11,16 @@ the steps sequentially and commits ONE new store version at the end
 (the reference commits per statement; one commit keeps the rewrite
 atomic).
 
+Scale shape: the reference runs analysis after EVERY sync
+(``cartography/sync.py:85-86``), so at 100 TB an analysis job must not
+rewrite the table. The job derives the set of node labels its
+statements can touch (cheap column-pruned scans of the predicate
+columns), reads ONLY those partitions, and commits a partial rewrite —
+every untouched partition carries forward by manifest reference, and
+the edge table is not written at all unless a step declares it touches
+edges (the declarative vocabulary never does). Rewrite cost is
+proportional to touched partitions, not table size.
+
 :func:`exposure_propagation` is the N1 demo: seed a boolean flag from a
 predicate, propagate it K hops along chosen rel labels with a
 list-append provenance column — the reference's internet-exposure
@@ -26,15 +36,29 @@ from typing import Any, Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from cartography_spark.store.graphstore import GraphStore
+from cartography_spark.store.graphstore import (
+    _COMMIT_RETRIES,
+    NODES_SCHEMA,
+    CommitConflict,
+    GraphStore,
+)
 
 StepFn = Callable[[DataFrame, DataFrame, Mapping[str, Any]], tuple[DataFrame, DataFrame]]
+#: Returns the node labels a step can modify, given the FULL node/edge
+#: frames (cheap label-column scans) — or None for "unknown: rewrite all".
+TouchedFn = Callable[[DataFrame, DataFrame, Mapping[str, Any]], set | None]
 
 
 @dataclass
 class AnalysisStep:
     name: str
     fn: StepFn
+    #: None = unknown (forces a full-table rewrite, the conservative
+    #: default for arbitrary code steps); otherwise a derivation of the
+    #: labels this step can modify.
+    touched_fn: TouchedFn | None = None
+    #: Code steps may rewrite edges; the declarative ops never do.
+    touches_edges: bool = True
 
 
 @dataclass
@@ -46,29 +70,116 @@ class AnalysisJob:
     # harvested into per-statement counters after the write action.
     _observations: list = field(default_factory=list)
 
-    def add_step(self, name: str, fn: StepFn) -> "AnalysisJob":
-        self.steps.append(AnalysisStep(name, fn))
+    def add_step(
+        self,
+        name: str,
+        fn: StepFn,
+        labels: Sequence[str] | None = None,
+        touches_edges: bool = True,
+    ) -> "AnalysisJob":
+        """Add a code step. ``labels``: statically declare the node
+        labels the step can modify (enables the partial-rewrite path);
+        omit for the conservative full rewrite. ``touches_edges=False``
+        skips the edge-table write entirely when no step needs it."""
+        touched_fn = None
+        if labels is not None:
+            declared = set(labels)
+            touched_fn = lambda nodes, edges, params: declared  # noqa: E731
+        self.steps.append(AnalysisStep(name, fn, touched_fn, touches_edges))
         return self
+
+    def _touched_labels(
+        self, nodes: DataFrame, edges: DataFrame, params: Mapping[str, Any]
+    ) -> set | None:
+        """Union of every step's touched labels, or None when any step
+        can't bound its write set (forces the legacy full rewrite)."""
+        out: set = set()
+        for step in self.steps:
+            if step.touched_fn is None:
+                return None
+            got = step.touched_fn(nodes, edges, params)
+            if got is None:
+                return None
+            out |= {g for g in got if g is not None}
+        return out
 
     def run(
         self, store: GraphStore, update_tag: int, params: Mapping[str, Any] | None = None
     ) -> dict[str, Any]:
         params = dict(params or {})
-        self._observations = []
-        nodes, edges = store.read_nodes(), store.read_edges()
-        for step in self.steps:
-            nodes, edges = step.fn(nodes, edges, params)
-        store._write("nodes", nodes, "label")
-        store._write("edges", edges, "rel_label")
-        # Per-statement counters (reference: GraphStatement counters
-        # harvested to statsd, ``graph/statement.py:105-120``) — the
-        # observations materialized during the write above, so this is
-        # the SAME pass, not extra jobs.
-        counters: dict[str, int] = {"steps": len(self.steps)}
-        for name, obs in self._observations:
-            counters[name] = int(obs.get.get("matched") or 0)
-        store._record_metrics(f"analysis_{self.short_name or self.name}", update_tag, counters)
-        return {"job": self.name, "steps": [s.name for s in self.steps], "counters": counters}
+        touches_edges = any(s.touches_edges for s in self.steps)
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            self._observations = []
+            seq0 = store._pointer().get("seq", 0)
+            full_nodes, edges = store.read_nodes(), store.read_edges()
+            touched = self._touched_labels(full_nodes, edges, params)
+            manifest = store._manifest("nodes") or {"partitions": {}, "deletes": []}
+            if touched is None:
+                nodes = full_nodes
+            else:
+                # Partial-rewrite path: read ONLY the partitions the
+                # statements can modify; unmodified rows of touched
+                # labels pass through the steps unchanged, and every
+                # untouched partition carries forward by reference.
+                nodes = store._read_manifest_df(
+                    "nodes", NODES_SCHEMA, manifest, only_partitions=sorted(touched)
+                )
+            for step in self.steps:
+                nodes, edges = step.fn(nodes, edges, params)
+
+            commits: dict[str, tuple[str, dict]] = {}
+            if touched is None:
+                nv = store._allocate_version("nodes")
+                nparts = store._write_data("nodes", nv, nodes)
+                commits["nodes"] = (nv, {"partitions": nparts, "deletes": []})
+            elif touched:
+                nv = store._allocate_version("nodes")
+                nparts = store._write_data("nodes", nv, nodes)
+                parts = {
+                    k: p for k, p in manifest["partitions"].items() if k not in touched
+                }
+                parts.update(nparts)
+                commits["nodes"] = (
+                    nv,
+                    {"partitions": parts, "deletes": list(manifest.get("deletes", []))},
+                )
+            # touched == set(): no statement matches any label -> no node write
+            if touches_edges:
+                ev = store._allocate_version("edges")
+                eparts = store._write_data("edges", ev, edges)
+                commits["edges"] = (ev, {"partitions": eparts, "deletes": []})
+            try:
+                if commits:
+                    # ONE atomic commit for the whole job (the reference
+                    # commits per statement; one commit keeps the
+                    # rewrite atomic), CAS'd against the snapshot seq.
+                    store._commit_manifests(commits, expected_seq=seq0)
+            except CommitConflict as e:
+                last = e
+                continue
+            # Per-statement counters (reference: GraphStatement counters
+            # harvested to statsd, ``graph/statement.py:105-120``) — the
+            # observations materialized during the write above, so this
+            # is the SAME pass, not extra jobs.
+            counters: dict[str, int] = {"steps": len(self.steps)}
+            if touched is not None:
+                counters["labels_touched"] = len(touched)
+            # Observation.get blocks until its plan executed — when no
+            # node write ran (zero touched labels) nothing matched.
+            nodes_written = "nodes" in commits
+            for name, obs in self._observations:
+                counters[name] = int(obs.get.get("matched") or 0) if nodes_written else 0
+            store._record_metrics(
+                f"analysis_{self.short_name or self.name}", update_tag, counters
+            )
+            return {
+                "job": self.name,
+                "steps": [s.name for s in self.steps],
+                "counters": counters,
+                "touched_labels": sorted(touched) if touched is not None else None,
+            }
+        raise last  # type: ignore[misc]
 
     # ---------------- declarative (serialized) jobs ----------------
     #
@@ -94,9 +205,16 @@ class AnalysisJob:
         data = json.loads(blob)
         job = cls(data["name"], short_name=short_name)
         for idx, stmt in enumerate(data["statements"]):
-            job.add_step(
-                stmt.get("__comment", f"stmt_{idx}"),
-                job._compile_statement(idx, stmt),
+            # Declarative ops only ever rewrite node props, and their
+            # write set is derivable from the statement itself — every
+            # JSON job takes the partial-rewrite path automatically.
+            job.steps.append(
+                AnalysisStep(
+                    stmt.get("__comment", f"stmt_{idx}"),
+                    job._compile_statement(idx, stmt),
+                    touched_fn=job._compile_touched(idx, stmt),
+                    touches_edges=False,
+                )
             )
         return job
 
@@ -118,6 +236,68 @@ class AnalysisJob:
         short_name: str | None = None,
     ) -> dict[str, Any]:
         return cls.from_json(blob, short_name).run(store, update_tag, params)
+
+    def _compile_touched(self, idx: int, stmt: Mapping[str, Any]) -> TouchedFn:
+        """Derive the node labels a declarative statement can modify —
+        the write-set bound that makes the partial rewrite safe.
+
+        - ``set_prop``/``remove_prop`` modify exactly the rows matching
+          ``where``: touched = distinct labels of matching rows (a
+          column-pruned scan of the predicate columns + label, no
+          rewrite).
+        - ``propagate`` modifies (a) rows matching ``seed_where``,
+          (b) every row currently carrying the flag (it CLEARS first),
+          and (c) rows reachable from seeds within ``hops`` along
+          ``rel_labels`` — bounded at label granularity by walking the
+          tiny distinct (src_label, dst_label) label graph.
+        """
+        op = stmt["op"]
+
+        def touched(nodes: DataFrame, edges: DataFrame, params: Mapping[str, Any]):
+            def sub(s: str) -> str:
+                return Template(s).safe_substitute(params)
+
+            def labels_of(df: DataFrame, pred: F.Column) -> set:
+                return {
+                    r[0]
+                    for r in df.where(pred).select("label").distinct().collect()
+                    if r[0] is not None
+                }
+
+            if op != "propagate":
+                return labels_of(nodes, F.expr(sub(stmt["where"])))
+
+            flag = sub(stmt.get("flag", "exposed"))
+            seed_labels = labels_of(nodes, F.expr(sub(stmt["seed_where"])))
+            # clear pass touches every row that carries the flag today
+            carrying = labels_of(
+                nodes,
+                F.element_at("props", flag).isNotNull()
+                | F.element_at("props", f"{flag}_via").isNotNull(),
+            )
+            rels = [sub(r) for r in stmt["rel_labels"]]
+            label_graph = [
+                (r["src_label"], r["dst_label"])
+                for r in edges.where(F.col("rel_label").isin(rels))
+                .select("src_label", "dst_label")
+                .distinct()
+                .collect()
+            ]
+            if any(s is None or d is None for s, d in label_graph):
+                # Edges without endpoint labels (e.g. merged outside the
+                # schema compiler) can reach ANY label — the write set
+                # is unboundable, fall back to the full rewrite.
+                return None
+            reach = set(seed_labels)
+            frontier = set(seed_labels)
+            for _ in range(int(stmt["hops"])):
+                frontier = {d for s, d in label_graph if s in frontier}
+                if frontier <= reach:
+                    break
+                reach |= frontier
+            return seed_labels | carrying | reach
+
+        return touched
 
     def _compile_statement(self, idx: int, stmt: Mapping[str, Any]) -> StepFn:
         op = stmt["op"]

@@ -162,3 +162,96 @@ def test_cli_analysis_job(spark, tmp_path, capsys):
     assert out["counters"]["stmt0_matched"] == 1
     got = {r["id"]: dict(r["props"]) for r in store.read_nodes().collect()}
     assert got["c1"].get("exposed") == "true"
+
+
+def test_analysis_rewrites_only_touched_partitions(spark, tmp_path):
+    """Round-3 done-criterion: a set_prop touching one label must
+    rewrite ONLY that label's partition — every other partition carries
+    forward by manifest reference (same data dir, same seq) — and the
+    edge table must not be written at all (the declarative vocabulary
+    never touches edges)."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    labels = [f"L{i}" for i in range(6)]
+    nodes = spark.createDataFrame(
+        [(lab, f"{lab}-n{j}", {"x": str(j)}) for lab in labels for j in range(4)],
+        "label string, id string, props map<string,string>",
+    )
+    store.merge_nodes(nodes, 100)
+    before_nodes = store._manifest("nodes")["partitions"]
+    before_edges_version = store._pointer()["edges"]
+
+    job = AnalysisJob.from_json(
+        json.dumps(
+            {
+                "name": "tag L2",
+                "statements": [
+                    {
+                        "op": "set_prop",
+                        "where": "label = 'L2'",
+                        "prop": "tagged",
+                        "value": "yes",
+                    }
+                ],
+            }
+        )
+    )
+    out = job.run(store, 200)
+    assert out["touched_labels"] == ["L2"]
+
+    after = store._manifest("nodes")["partitions"]
+    for lab in labels:
+        if lab == "L2":
+            assert after[lab]["seq"] > before_nodes[lab]["seq"]
+        else:  # untouched partitions: byte-identical carry-forward
+            assert after[lab] == before_nodes[lab]
+    # edge table untouched: pointer version unchanged
+    assert store._pointer()["edges"] == before_edges_version
+    # semantics intact
+    rows = {r["id"]: r["props"] for r in store.read_nodes().collect()}
+    assert rows["L2-n1"].get("tagged") == "yes"
+    assert rows["L3-n1"].get("tagged") is None
+
+
+def test_propagate_partial_rewrite_with_labeled_edges(spark, tmp_path):
+    """Propagate over schema-labeled edges bounds its write set via the
+    label graph: labels outside seed∪reach∪carrying carry forward."""
+    store = GraphStore(spark, str(tmp_path / "g"))
+    nodes = spark.createDataFrame(
+        [
+            ("Region", "r1", {"name": "EUROPE"}),
+            ("Nation", "n1", {}),
+            ("Other", "o1", {}),
+        ],
+        "label string, id string, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("HAS_NATION", "r1", "n1", "Region", "Nation")],
+        "rel_label string, src string, dst string, src_label string, dst_label string",
+    )
+    store.merge_nodes(nodes, 100)
+    store.merge_edges(edges, 100)
+    before = store._manifest("nodes")["partitions"]
+    out = AnalysisJob.run_from_json(
+        store,
+        json.dumps(
+            {
+                "name": "prop",
+                "statements": [
+                    {
+                        "op": "propagate",
+                        "seed_where": "label = 'Region' AND element_at(props, 'name') = 'EUROPE'",
+                        "rel_labels": ["HAS_NATION"],
+                        "hops": 1,
+                        "flag": "exposed",
+                    }
+                ],
+            }
+        ),
+        200,
+    )
+    assert sorted(out["touched_labels"]) == ["Nation", "Region"]
+    after = store._manifest("nodes")["partitions"]
+    assert after["Other"] == before["Other"]
+    got = {r["id"]: dict(r["props"]) for r in store.read_nodes().collect()}
+    assert got["n1"].get("exposed") == "true"
+    assert "exposed" not in got["o1"]
