@@ -180,41 +180,91 @@ def hyperplane_lsh_topk(
 def assign_ivf_buckets(
     df: DataFrame,
     vec_col: str,
-    centroids: list[tuple[int, list[float]]],
+    centroids: DataFrame,
     out_col: str = "ivf_bucket",
     nprobe: int = 1,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each row to its ``nprobe`` nearest centroids (one output
-    row per probe). Centroid list is tiny → pure broadcast literals."""
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
-                    / norm(F.col(vec_col))
-                ).alias("negs"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in centroids
-        ]
+    row per probe).
+
+    ``centroids`` is a SMALL DataFrame ``(cid, cvec)`` joined by
+    broadcast — NOT plan literals: at a realistic 4k-65k centroids a
+    literal expansion explodes the plan, while a broadcast
+    nested-loop join stays O(plan)=constant and ships the centroid
+    table once per executor. The per-row nearest-centroid reduction is
+    a ``min_by`` aggregation (constant-size partial state, map-side
+    combined — the broadcast join emits each row's centroid copies
+    consecutively in one partition, so the partial agg collapses
+    locally and the shuffle carries one row per input row).
+
+    Ranking key is ``(-dot/norm, cid)`` — deterministic tie-break, and
+    the exact sort key the DuckDB oracle twin replicates.
+
+    ``id_cols`` identifies a row (defaults to every non-vector column);
+    remaining columns ride along via ``first`` (all copies of a row are
+    identical)."""
+    if id_cols is None:
+        id_cols = [c for c in df.columns if c != vec_col]
+    other = [c for c in df.columns if c not in id_cols]
+    cents = centroids.select(
+        F.col("cid").alias("__cent_id"), F.col("cvec").alias("__cent_vec")
     )
-    ranked = F.slice(F.array_sort(scored), 1, nprobe)
-    return df.withColumn(out_col, F.explode(F.transform(ranked, lambda s: s["cid"])))
+    sc = F.struct(
+        (-dot(F.col(vec_col), F.col("__cent_vec")) / norm(F.col(vec_col))).alias("negs"),
+        F.col("__cent_id").alias("cid"),
+    )
+    keyed = df.crossJoin(F.broadcast(cents)).select(*df.columns, sc.alias("__sc"))
+    aggs = [F.first(F.col(c)).alias(c) for c in other]
+    if nprobe == 1:
+        aggs.append(F.min_by(F.col("__sc.cid"), F.col("__sc")).alias(out_col))
+        return keyed.groupBy(*id_cols).agg(*aggs).select(*df.columns, out_col)
+    aggs.append(F.slice(F.array_sort(F.collect_list("__sc")), 1, nprobe).alias("__top"))
+    return (
+        keyed.groupBy(*id_cols)
+        .agg(*aggs)
+        .withColumn(out_col, F.explode(F.transform(F.col("__top"), lambda s: s["cid"])))
+        .select(*df.columns, out_col)
+    )
 
 
 def ivf_centroids(
     corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16
-) -> list[tuple[int, list[float]]]:
-    """Deterministic seed centroids: the n lowest-id vectors (a cheap,
-    reproducible stand-in for k-means training; at real scale run
-    pyspark.ml KMeans and persist the centers)."""
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
+) -> DataFrame:
+    """Deterministic seed centroids as a small ``(cid, cvec)``
+    DataFrame: the n lowest-id vectors (a cheap, reproducible stand-in
+    for k-means training — see :func:`train_ivf_centroids` for the real
+    trainer). Stays distributed: no driver collect; the consumer
+    broadcasts it."""
+    return (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
         .limit(n_centroids)
-        .collect()
     )
-    return [(int(r["i"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 256,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train real IVF centroids with distributed k-means
+    (``pyspark.ml.clustering.KMeans``) and return them in the same
+    ``(cid, cvec)`` shape :func:`assign_ivf_buckets` consumes. The
+    model's centers are k x dim — driver-small by construction."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(vecs)
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid long, cvec array<float>",
+    )
 
 
 def ivf_topk(

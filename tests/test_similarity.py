@@ -84,3 +84,41 @@ def test_ivf_topk_recall(spark, corpus):
     # top-1 recall with 4/8 lists probed on well-separated clusters
     hits = sum(1 for q, n in by_q.items() if n[0] == _np_topk(rows_all, q, 1)[0])
     assert hits >= 3
+
+
+def test_ivf_assignment_is_broadcast_join_not_literals(spark):
+    """Round-3 done-criterion: centroid assignment must be a
+    broadcast-join against a (cid, cvec) frame, not plan-literal
+    expansion — a 1000-centroid assignment completes with a sane plan
+    (the literal form would embed 1000 x DIM doubles in the plan) and
+    assigns every row to exactly one list."""
+    import numpy as np
+
+    from cartography_spark.operators.similarity import assign_ivf_buckets, ivf_centroids
+
+    rng = np.random.default_rng(11)
+    big = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(DIM)]) for i in range(2000)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids(big, "vec_id", "embedding", n_centroids=1000)
+    assigned = assign_ivf_buckets(big, "embedding", cents, nprobe=1)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert len(plan) < 200_000  # literal expansion would be megabytes
+    assert assigned.count() == 2000
+    assert assigned.select("vec_id").distinct().count() == 2000
+
+
+def test_train_ivf_centroids_shape(spark, corpus):
+    """The k-means trainer returns the same (cid, cvec) contract the
+    assigner consumes and its buckets cover the corpus."""
+    pytest.importorskip("pyspark.ml")
+    from cartography_spark.operators.similarity import assign_ivf_buckets, train_ivf_centroids
+
+    cents = train_ivf_centroids(corpus, "embedding", n_centroids=4, seed=7, max_iter=5)
+    rows = cents.collect()
+    assert len(rows) == 4 and len(rows[0]["cvec"]) == DIM
+    assigned = assign_ivf_buckets(corpus, "embedding", cents, nprobe=1)
+    assert assigned.count() == N
+    assert assigned.select("ivf_bucket").distinct().count() >= 2
