@@ -129,10 +129,14 @@ class AnalysisJob:
                 nodes, edges = step.fn(nodes, edges, params)
 
             commits: dict[str, tuple[str, dict]] = {}
+            promoted = list(manifest.get("columns", []))  # carry schema evolution
             if touched is None:
                 nv = store._allocate_version("nodes")
                 nparts = store._write_data("nodes", nv, nodes)
-                commits["nodes"] = (nv, {"partitions": nparts, "deletes": []})
+                commits["nodes"] = (
+                    nv,
+                    {"partitions": nparts, "deletes": [], "columns": promoted},
+                )
             elif touched:
                 nv = store._allocate_version("nodes")
                 nparts = store._write_data("nodes", nv, nodes)
@@ -142,7 +146,11 @@ class AnalysisJob:
                 parts.update(nparts)
                 commits["nodes"] = (
                     nv,
-                    {"partitions": parts, "deletes": list(manifest.get("deletes", []))},
+                    {
+                        "partitions": parts,
+                        "deletes": list(manifest.get("deletes", [])),
+                        "columns": promoted,
+                    },
                 )
             # touched == set(): no statement matches any label -> no node write
             if touches_edges:

@@ -11,8 +11,11 @@ Match-time modifiers mirror the reference exactly:
 - ``fuzzy_and_ignore_case`` -> substring containment join  (``common.py:44-47``)
 - ``one_to_many``     -> the row field is a *list* of target ids; the plan
   explodes it and equi-joins (``common.py:48-66``)
-- ``extra_index``     -> layout hint (sort/Z-order key), no Spark index exists
-  (``common.py:26-32``)
+- ``extra_index``     -> the property is PROMOTED to a typed top-level
+  ``_p_<name>`` column in the node table (store schema evolution); matcher
+  joins read it instead of ``element_at(props, name)``, recovering the
+  stats-pruned lookups the reference gets from auto-created indexes
+  (``common.py:26-32``; ``querybuilder.py:490-551``)
 """
 
 from __future__ import annotations

@@ -14,8 +14,11 @@ input DataFrame compiles to
 
 There is no index-ensure step (``querybuilder.py:490-551``): in columnar
 land the equivalent is table layout — the store partitions by label /
-rel_label and relies on parquet min-max pruning; ``extra_index`` refs are
-layout hints only.
+rel_label and relies on parquet min-max pruning. ``extra_index`` refs
+PROMOTE the property to a typed top-level ``_p_<name>`` column (store
+schema evolution), so matcher joins against it get stats-based
+row-group pruning — the columnar replacement for the reference's
+auto-created matcher-key indexes.
 """
 
 from __future__ import annotations
@@ -58,24 +61,45 @@ def compile_node_updates(
     schema: NodeSchema, df: DataFrame, params: Mapping[str, Any] | None = None
 ) -> DataFrame:
     """Input rows -> store-shaped node updates (label, id, extra_labels,
-    scope_id, props)."""
+    scope_id, props [, _p_<key> promoted columns]).
+
+    Properties declared with ``extra_index=True`` are ADDITIONALLY
+    emitted as top-level ``_p_<name>`` columns — the store evolves the
+    node table schema and later matcher joins read the typed column
+    instead of ``element_at(props, name)``, so the lookup gets parquet
+    min/max row-group pruning (the reference auto-indexes every matcher
+    key, ``querybuilder.py:490-551``; a map lookup has no stats)."""
     id_ref = schema.properties["id"]
     other = {k: v for k, v in schema.properties.items() if k != "id"}
+    promoted = [
+        ref.to_column(params).cast("string").alias(f"_p_{name}")
+        for name, ref in other.items()
+        if ref.extra_index
+    ]
     return df.select(
         F.lit(schema.label).alias("label"),
         id_ref.to_column(params).cast("string").alias("id"),
         F.lit(list(schema.extra_node_labels)).cast("array<string>").alias("extra_labels"),
         _scope_value(schema, params).alias("scope_id"),
         _props_map(other, params).alias("props"),
+        *promoted,
     ).where(F.col("id").isNotNull())
 
 
-def _node_key_col(name: str) -> F.Column:
-    """Accessor for a matcher key on a stored target node: promoted column
-    if engine-managed, else the props map."""
-    if name in ("id", "label", "scope_id"):
-        return F.col(name)
-    return F.element_at(F.col("props"), name)
+def _node_key_col_for(targets: DataFrame):
+    """Accessor factory for matcher keys on stored target nodes:
+    engine-managed columns directly; a promoted ``_p_<name>`` column
+    when the table has one (typed, stats-pruned); else the props map."""
+    available = set(targets.columns)
+
+    def accessor(name: str) -> F.Column:
+        if name in ("id", "label", "scope_id"):
+            return F.col(name)
+        if f"_p_{name}" in available:
+            return F.col(f"_p_{name}")
+        return F.element_at(F.col("props"), name)
+
+    return accessor
 
 
 def compile_edge_updates(
@@ -113,7 +137,7 @@ def compile_edge_updates(
             targets,
             dict(rel.target_node_matcher.keys),
             params,
-            target_key_col=_node_key_col,
+            target_key_col=_node_key_col_for(targets),
         )
         item_id, tgt_id = F.col("__item_id"), F.col("__t_id")
         if rel.direction == LinkDirection.OUTWARD:
@@ -150,12 +174,12 @@ def compile_matchlink(
     if scope_id is None:
         raise ValueError("MatchLink load requires scope_id (cleanup scope)")
     src_nodes = nodes.where(F.col("label") == link.source_node_label)
-    j1 = matcher_join(df, src_nodes, dict(link.source_node_matcher.keys), params, _node_key_col)
+    j1 = matcher_join(df, src_nodes, dict(link.source_node_matcher.keys), params, _node_key_col_for(src_nodes))
     j1 = j1.withColumnRenamed("__t_id", "__src_id").select(
         "__src_id", *[c for c in df.columns]
     )
     tgt_nodes = nodes.where(F.col("label") == link.target_node_label)
-    j2 = matcher_join(j1, tgt_nodes, dict(link.target_node_matcher.keys), params, _node_key_col)
+    j2 = matcher_join(j1, tgt_nodes, dict(link.target_node_matcher.keys), params, _node_key_col_for(tgt_nodes))
     src, dst = F.col("__src_id"), F.col("__t_id")
     if link.direction == LinkDirection.INWARD:
         src, dst = dst, src

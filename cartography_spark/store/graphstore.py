@@ -328,6 +328,27 @@ class GraphStore:
 
     # ---------- reads ----------
 
+    @staticmethod
+    def _with_promoted(schema: T.StructType, manifest: dict | None) -> T.StructType:
+        """Extend a base table schema with the promoted matcher columns
+        the manifest declares (``columns``) — the store's schema
+        evolution. Promoted columns are typed top-level copies of
+        matcher-key props (``_p_<name>``): parquet keeps min/max stats
+        for them, so matcher lookups prune row-groups the way the
+        reference's auto-created indexes serve matcher keys
+        (``querybuilder.py:490-551``); ``element_at(props, k)`` gets no
+        stats at all. Older data files lacking a later-promoted column
+        read as NULL (parquet missing-column fill)."""
+        if not manifest:
+            return schema
+        have = {f.name for f in schema.fields}
+        extra = [
+            T.StructField(c, T.StringType(), True)
+            for c in manifest.get("columns", [])
+            if c not in have
+        ]
+        return T.StructType(list(schema.fields) + extra) if extra else schema
+
     def _empty(self, schema: T.StructType) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
@@ -347,6 +368,7 @@ class GraphStore:
         sequence-number semantics."""
         if manifest is None:
             return self._empty(schema)
+        schema = self._with_promoted(schema, manifest)
         parts = manifest["partitions"]
         if only_partitions is not None:
             parts = {k: v for k, v in parts.items() if k in only_partitions}
@@ -434,7 +456,13 @@ class GraphStore:
         from the new snapshot and retries."""
         v = self._allocate_version(table)
         parts = self._write_data(table, v, df)
-        self._commit_manifest(table, v, {"partitions": parts, "deletes": []}, expected_seq)
+        promoted = sorted(c for c in df.columns if c.startswith("_p_"))
+        self._commit_manifest(
+            table,
+            v,
+            {"partitions": parts, "deletes": [], "columns": promoted},
+            expected_seq,
+        )
         return v
 
     def replace_partitions(
@@ -458,10 +486,18 @@ class GraphStore:
         new_parts = self._write_data(table, v, df)
         parts = {k: p for k, p in manifest["partitions"].items() if k not in set(partitions)}
         parts.update(new_parts)
+        promoted = sorted(
+            set(manifest.get("columns", []))
+            | {c for c in df.columns if c.startswith("_p_")}
+        )
         self._commit_manifest(
             table,
             v,
-            {"partitions": parts, "deletes": list(manifest.get("deletes", []))},
+            {
+                "partitions": parts,
+                "deletes": list(manifest.get("deletes", [])),
+                "columns": promoted,
+            },
             expected_seq,
         )
         return v
@@ -512,12 +548,15 @@ class GraphStore:
         update_tag: int,
         partition_col: str,
     ) -> dict[str, int]:
-        cols = [f.name for f in schema.fields]
         managed = {"firstseen", "lastupdated"}
         new = self._dedupe(updates, key)
         for f in schema.fields:
             if f.name not in new.columns and f.name not in managed:
                 new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
+        # Promoted matcher columns (``_p_<name>``) in the update trigger
+        # schema evolution: the table's column set is the union of what
+        # the manifest already declares and what this update carries.
+        new_promoted = sorted(c for c in new.columns if c.startswith("_p_"))
 
         # Partition pruning: only the partitions named by the update are
         # read, merged, and rewritten; everything else carries forward by
@@ -537,7 +576,14 @@ class GraphStore:
             # than publishing a merge built on a stale base.
             seq0 = self._pointer().get("seq", 0)
             manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
+            promoted = sorted(set(manifest.get("columns", [])) | set(new_promoted))
+            cols = [f.name for f in schema.fields] + promoted
             old = self._read_manifest_df(table, schema, manifest, only_partitions=touched)
+            for c in promoted:  # newly-introduced promoted cols: NULL in old
+                if c not in old.columns:
+                    old = old.withColumn(c, F.lit(None).cast("string"))
+                if c not in new.columns:
+                    new = new.withColumn(c, F.lit(None).cast("string"))
             v = self._allocate_version(table)
             obs = Observation(f"merge_{table}_{v}")
             result = (
@@ -557,7 +603,11 @@ class GraphStore:
                 self._commit_manifest(
                     table,
                     v,
-                    {"partitions": parts, "deletes": list(manifest.get("deletes", []))},
+                    {
+                        "partitions": parts,
+                        "deletes": list(manifest.get("deletes", [])),
+                        "columns": promoted,
+                    },
                     expected_seq=seq0,
                 )
             except CommitConflict as e:
