@@ -38,19 +38,22 @@ def candidate_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """LSH-blocked, Jaccard-verified equivalence pairs (src < dst).
 
     Delegates to the bounded self-join form (``minhash_lsh_pairs``):
     staged signatures, band-bucket size cap (a hot band key with B rows
     yields B² candidates — buckets beyond ``max_bucket`` are dropped;
-    true pairs still surface via their other bands w.h.p.)."""
+    true pairs still surface via their other bands w.h.p.).
+    ``family``: ``xxhash64`` (production, JVM-fast) or ``md5`` (hex
+    strings a single-node SQL oracle replicates byte-identically)."""
     from cartography_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
         entities, id_col, text_col,
         shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
-        threshold=threshold, family="xxhash64", max_bucket=max_bucket,
+        threshold=threshold, family=family, max_bucket=max_bucket,
     ).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
     )

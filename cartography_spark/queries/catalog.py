@@ -758,13 +758,18 @@ def kg_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full entity-linking loop over the documents corpus: MinHash-LSH
     blocking -> Jaccard verify -> connected-components canonical ids.
-    No SQL oracle (iterative CC is not SQL-expressible); rows-only
-    check — semantics are pinned by tests/test_entity_linking.py."""
+    md5 hash family so the DuckDB oracle replicates the blocking
+    byte-identically, then a WITH RECURSIVE transitive closure stands
+    in for the iterative large-star/small-star CC (round-3 gap close:
+    this query was rows-only)."""
     from cartography_spark.operators.components import canonicalize
     from cartography_spark.pipeline.linking import candidate_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = candidate_pairs(docs, "doc_id", "text", threshold=0.6, num_hashes=32, bands=4)
+    pairs = candidate_pairs(
+        docs, "doc_id", "text",
+        threshold=0.6, num_hashes=8, bands=4, family="md5", max_bucket=100000,
+    )
     nodes = docs.select(F.col("doc_id").alias("id"))
     return (
         canonicalize(nodes, pairs, "id")

@@ -621,3 +621,68 @@ WHERE ROUND(list_dot_product(ea.v, eb.v)
 
 
 ORACLES["sim_embedding_near_dup"] = _near_dup_lsh_oracle()
+
+# Entity-linking twin (round-3 gap close — this query was rows-only):
+# the md5 MinHash-LSH blocking replicated exactly as in
+# dedup_minhash_lsh (8 hashes, 4 bands of 2, char-3-grams, Jaccard
+# verify at 0.6), then the iterative large-star/small-star connected
+# components replaced by a WITH RECURSIVE transitive closure —
+# canonical_id = min id reachable, identical by definition. Cluster
+# sizes count every doc in the component (docs in no pair are
+# singletons and filtered by cluster_size > 1 on both sides).
+ORACLES["kg_entity_linking"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), i, 3)
+                        FOR i IN generate_series(1, greatest(len(text) - 2, 1))]) AS sh
+  FROM documents
+),
+sg AS (
+  SELECT doc_id,
+         [list_min([md5(CAST(h AS VARCHAR) || ':' || s) FOR s IN sh])
+          FOR h IN generate_series(0, 7)] AS sig
+  FROM d
+),
+bd AS (
+  SELECT doc_id,
+         unnest([md5(CAST(b AS VARCHAR) || '|' || sig[2 * b + 1] || '|' || sig[2 * b + 2])
+                 FOR b IN generate_series(0, 3)]) AS band_key
+  FROM sg
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN d da ON da.doc_id = c.id_a
+  JOIN d db ON db.doc_id = c.id_b
+  WHERE ROUND(len(list_intersect(da.sh, db.sh))::DOUBLE
+              / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.6
+),
+-- MATERIALIZED: the recursive term below references e2 every iteration;
+-- without it DuckDB re-inlines (and re-runs) the whole MinHash pipeline
+-- per recursion step
+e2 AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, comp) AS (
+  SELECT DISTINCT a, a FROM e2
+  UNION
+  -- propagate only DECREASING labels: a label >= the receiving node can
+  -- never be its component min (the true min m is < every other member,
+  -- so m's propagation is never pruned) — this cuts the closure from
+  -- O(sum component^2) rows to near-linear on near-dup families
+  SELECT e2.b, reach.comp FROM reach JOIN e2 ON e2.a = reach.id
+  WHERE reach.comp < e2.b
+),
+canon AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
+SELECT canonical_id, COUNT(*) AS cluster_size
+FROM canon
+GROUP BY canonical_id
+HAVING COUNT(*) > 1
+ORDER BY cluster_size DESC, canonical_id
+"""
