@@ -97,10 +97,30 @@ def kg_cc_cooccurrence(spark, sf_dir):
     return connected_components(edges)
 
 
+def kg_entity_linking_prod(spark, sf_dir):
+    """Production entity linking: xxhash64 blocking (32 hashes, 4
+    bands), same loop as the catalog query. The catalog entry switched
+    to the md5 family for its round-3 recursive-closure oracle; this
+    keeps the bench line like-for-like with earlier rounds."""
+    from cartography_spark.operators.components import canonicalize
+    from cartography_spark.pipeline.linking import candidate_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = candidate_pairs(docs, "doc_id", "text", threshold=0.6, num_hashes=32, bands=4)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return (
+        canonicalize(nodes, pairs, "id")
+        .groupBy("canonical_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .where(F.col("cluster_size") > 1)
+    )
+
+
 BENCH_QUERIES = dict(QUERIES)
 BENCH_QUERIES["dedup_minhash_lsh_prod"] = dedup_minhash_lsh_prod
 BENCH_QUERIES["dedup_simhash_prod"] = dedup_simhash_prod
 BENCH_QUERIES["kg_cc_cooccurrence"] = kg_cc_cooccurrence
+BENCH_QUERIES["kg_entity_linking"] = kg_entity_linking_prod
 
 
 def materialize(df) -> None:
@@ -205,10 +225,30 @@ def run_store_bench(spark) -> dict:
         t0 = time.time()
         store.merge_nodes(touched, 200)
         touched_sec = time.time() - t0
+
+        # Round-3: analysis jobs ride the same partial-rewrite path — a
+        # set_prop touching ONE of 8 labels must cost a fraction of the
+        # bulk load (was: full rewrite of BOTH tables per job).
+        from cartography_spark.pipeline.analysis import AnalysisJob
+
+        job = json.dumps(
+            {
+                "name": "bench touch L0",
+                "statements": [
+                    {"op": "set_prop", "where": "label = 'L0'",
+                     "prop": "tagged", "value": "y"}
+                ],
+            }
+        )
+        t0 = time.time()
+        AnalysisJob.run_from_json(store, job, 300)
+        analysis_sec = time.time() - t0
         return {
             "bulk_load_sec": round(bulk_sec, 3),
             "touched_merge_sec": round(touched_sec, 3),
             "touched_over_bulk": round(touched_sec / bulk_sec, 3),
+            "analysis_touched_sec": round(analysis_sec, 3),
+            "analysis_over_bulk": round(analysis_sec / bulk_sec, 3),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

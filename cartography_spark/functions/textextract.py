@@ -9,7 +9,7 @@ Contract (BASELINE.json input_hint): the extracted ``text`` must be
 byte-identical per url across runs, Arrow batch boundaries, and
 parallelism levels. The implementation is pure string processing with
 no locale, hash-order, or RNG dependence, and is pinned by golden
-byte-hash tests (tests/test_extract.py).
+byte-hash tests (tests/test_triples_paths.py).
 
 Scale: runs as ``mapInPandas`` so html bytes stream through Arrow in
 columnar batches; the html column is never shuffled (extraction happens

@@ -109,10 +109,62 @@ def test_media_kinds_metadata(spark):
         assert r["byte_len"] > 0
 
 
-def test_media_real_codec_is_stubbed(spark):
+def test_media_real_codec_gates_missing_libs(spark):
+    """Random-byte payloads are not PNG/WAV: the real codec's optional
+    PIL/soundfile imports gate with NotImplementedError at the exact
+    binding call site (goes live where the libs exist)."""
     media = synthesize_media(spark, 3, seed=1)
-    with pytest.raises(Exception, match="NotImplementedError|not present"):
+    with pytest.raises(Exception, match="NotImplementedError|not installed"):
         decode_media(media, codec="real").collect()
+
+
+def test_media_real_codec_decodes_png_and_wav(spark):
+    """codec='real' is LIVE for stdlib-expressible formats: PNG header
+    probe for dimensions, wave module for WAV duration — same
+    FEATURES_SCHEMA as the fake codec."""
+    import io
+    import struct
+    import wave as wavemod
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 360, 8, 2, 0, 0, 0)
+    )
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 4000)  # 0.5 s
+    wav = buf.getvalue()
+    media = spark.createDataFrame(
+        [("p1", "image", bytearray(png), {}), ("a1", "audio", bytearray(wav), {})],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    got = {r["media_id"]: r for r in decode_media(media, codec="real").collect()}
+    assert (got["p1"]["width"], got["p1"]["height"]) == (640, 360)
+    assert got["a1"]["duration_ms"] == 500 and got["a1"]["width"] == 0
+    fake_cols = decode_media(media, codec="fake").columns
+    assert decode_media(media, codec="real").columns == fake_cols
+
+
+def test_media_real_codec_with_pil_jpeg(spark):
+    """Import-gated live path for non-PNG images — runs wherever PIL is
+    installed (skipped otherwise)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16)).save(buf, format="JPEG")
+    media = spark.createDataFrame(
+        [("j1", "image", bytearray(buf.getvalue()), {})],
+        "media_id string, kind string, payload binary, meta map<string,string>",
+    )
+    r = decode_media(media, codec="real").collect()[0]
+    assert (r["width"], r["height"]) == (32, 16)
 
 
 def test_frame_sample_fanout(spark):

@@ -375,3 +375,24 @@ def test_expire_versions_never_dooms_current(spark, store):
     store.expire_versions(keep_last=0)
     assert sorted(r["id"] for r in store.read_nodes().collect()) == ["p1", "p2"]
     assert len(store.node_versions()) == 1
+
+
+def test_read_cost_bounded_across_twenty_sweeps(spark, store):
+    """Round-3 done-criterion for tombstone debt: each delete file adds
+    an anti-join to reads, so 20 sweep rounds with maybe_compact in the
+    loop (as the CLI sync runs it) must keep the manifest's tombstone
+    count — and therefore the read plan — bounded, with reads staying
+    correct throughout."""
+    store.merge_nodes(
+        _nodes_df(spark, [("A", f"a{i}", None, {}) for i in range(30)]), 1
+    )
+    for i in range(20):
+        doomed = store.read_nodes().where(f"id='a{i}'").select("label", "id")
+        store._write_deletes("nodes", doomed)
+        store.maybe_compact(max_delete_files=4)
+    assert len(store._manifest("nodes")["deletes"]) <= 4
+    rows = sorted(r["id"] for r in store.read_nodes().collect())
+    assert rows == sorted(f"a{i}" for i in range(20, 30))
+    # plan shape: bounded number of anti-joins folded into the read
+    plan = store.read_nodes()._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") <= 5
