@@ -191,7 +191,12 @@ def policy_verdicts(
     but here it streams, never shuffles the resource side, and both
     aggregations are partial (map-side combine).
     """
-    sp = F.broadcast(statement_permission_matrix(statements, permissions))
+    # localCheckpoint materializes the tiny matrix AFTER its Python
+    # regex-validation stage: the broadcast side becomes plain rows, so
+    # the big-side crossJoin+filter stays whole-stage-codegen JVM (a
+    # Python UDF left in the broadcast branch measured 2x on the whole
+    # query — it blocks codegen of the join stage).
+    sp = F.broadcast(statement_permission_matrix(statements, permissions).localCheckpoint())
     arn = F.col(resource_col)
     resource_ok = F.col("resource").isNotNull() & _any_match(F.col("__resource_rx"), arn)
     notresource_hit = F.col("notresource").isNotNull() & _any_match(
