@@ -14,6 +14,7 @@ from cartography_spark.operators.dedup import (
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     exact_dedup_groups,
+    minhash_lsh_join,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -38,7 +39,7 @@ from cartography_spark.operators.similarity import (
 __all__ = [
     "matcher_join", "lsh_blocked_join", "ngram_shingles", "minhash_signature",
     "connected_components", "canonicalize",
-    "exact_dedup_groups", "drop_exact_duplicates", "minhash_lsh_pairs",
+    "exact_dedup_groups", "drop_exact_duplicates", "minhash_lsh_pairs", "minhash_lsh_join",
     "ngram_jaccard_pairs", "simhash", "simhash_pairs", "embedding_near_dup_pairs",
     "state_diff", "node_drift", "group_star_edges", "embedding_near_dup_lsh",
     "State", "get_query_state", "load_state", "add_shortcut", "perform_drift_detection",

@@ -195,6 +195,74 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    family: str = "xxhash64",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-frame MinHash-LSH near-duplicate join: pairs (id_l, id_r,
+    jaccard) with id_l from ``left`` and id_r from ``right``.
+
+    This is the INCREMENTAL-linking kernel: when ``left`` is a small
+    new batch and ``right`` the full corpus, cost is ~ O(|new| x
+    bucket), never a corpus self-join — the shape a per-sync linking
+    run needs at 100 TB (re-blocking the whole corpus every run is the
+    table-rewrite anti-pattern in join form). Same staged-signature /
+    bounded-bucket / bare-id-pair-dedup discipline as
+    :func:`minhash_lsh_pairs`; the bucket cap applies to the corpus
+    side (the hot side at scale). Rows whose ids collide across frames
+    (a doc present in both) are excluded."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        staged = df.select(
+            F.col(id_col).alias(out_id),
+            F.element_at(
+                F.transform(
+                    F.array(char_shingles(text_col, shingle_n)),
+                    lambda sh: minhash_signature(sh, num_hashes, family),
+                ),
+                1,
+            ).alias("__sig"),
+        )
+        return staged.select(
+            out_id, F.explode(_band_hashes(F.col("__sig"), bands, rpb, family)).alias("band_key")
+        )
+
+    def shingle_store(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id), char_shingles(text_col, shingle_n).alias(out_sh)
+        )
+
+    lb = banded(left, "id_l")
+    rb = banded(right, "id_r")
+    sized = rb.withColumn("__bs", F.count("*").over(Window.partitionBy("band_key")))
+    rb_bounded = sized.where(F.col("__bs") <= max_bucket).drop("__bs")
+
+    pairs = (
+        lb.join(rb_bounded, "band_key")
+        .where(F.col("id_l") != F.col("id_r"))
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+        .join(shingle_store(left, "id_l", "sh_l").hint("shuffle_hash"), "id_l")
+        .join(shingle_store(right, "id_r", "sh_r").hint("shuffle_hash"), "id_r")
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_l"), F.col("sh_r")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -59,6 +59,89 @@ def candidate_pairs(
     )
 
 
+def link_entities_incremental(
+    store: GraphStore,
+    label: str,
+    text_prop: str,
+    update_tag: int,
+    scope_id: str | None = None,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> dict[str, int]:
+    """Per-sync incremental linking: ONLY the nodes this run touched
+    (``lastupdated == update_tag``, i.e. the just-merged batch) are
+    LSH-blocked against the corpus — cost ~ O(|new batch| x bucket),
+    never a corpus self-join. Existing SAME_AS edges persist in the
+    store; connected components re-run over (existing ∪ new) edges, so
+    transitive merges through new docs are found, and canonical ids
+    stay the component minimum (stable under re-runs).
+
+    Assumes node text is immutable once written (old-old pairs cannot
+    appear after the fact) — the standard contract for content-hashed
+    web corpora. For mutated text, fall back to :func:`link_entities`.
+
+    Equivalence: running this after each batch produces the same
+    canonical ids as one :func:`link_entities` over the final corpus
+    (pinned by test)."""
+    from cartography_spark.operators.dedup import minhash_lsh_join
+
+    nodes = store.read_nodes().where(F.col("label") == label)
+    ents = nodes.select(
+        F.col("id"), F.element_at("props", text_prop).alias("__text")
+    ).where(F.col("__text").isNotNull())
+    new = (
+        nodes.where(F.col("lastupdated") == int(update_tag))
+        .select(F.col("id"), F.element_at("props", text_prop).alias("__text"))
+        .where(F.col("__text").isNotNull())
+    )
+    raw = minhash_lsh_join(
+        new, ents, "id", "__text",
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    # orient src < dst and dedupe (a new-new pair is found in both
+    # directions of the cross-frame join)
+    new_pairs = (
+        raw.select(
+            F.least("id_l", "id_r").alias("src"),
+            F.greatest("id_l", "id_r").alias("dst"),
+            "jaccard",
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    existing = (
+        store.read_edges()
+        .where((F.col("rel_label") == "SAME_AS") & (F.col("src_label") == label))
+        .select("src", "dst")
+    )
+    all_edges = existing.unionByName(new_pairs.select("src", "dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    comp = connected_components(all_edges, "src", "dst")
+    canon_updates = comp.select(
+        F.lit(label).alias("label"),
+        F.col("id"),
+        F.lit(None).cast("array<string>").alias("extra_labels"),
+        F.lit(scope_id).cast("string").alias("scope_id"),
+        F.create_map(F.lit("canonical_id"), F.col("component").cast("string")).alias("props"),
+    )
+    n = store.merge_nodes(canon_updates, update_tag)
+    same_as = new_pairs.select(
+        F.lit("SAME_AS").alias("rel_label"),
+        F.col("src"),
+        F.col("dst"),
+        F.lit(label).alias("src_label"),
+        F.lit(label).alias("dst_label"),
+        F.lit(scope_id).cast("string").alias("scope_id"),
+        F.create_map(F.lit("jaccard"), F.col("jaccard").cast("string")).alias("props"),
+    )
+    e = store.merge_edges(same_as, update_tag)
+    return {
+        "linked_nodes": n["updated"] + n["created"],
+        "new_same_as_edges": e["created"],
+    }
+
+
 def link_entities(
     store: GraphStore,
     label: str,

@@ -780,6 +780,22 @@ def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_incremental_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-linking kernel: a 'new batch' (every 10th doc)
+    LSH-blocked against the FULL corpus via the cross-frame MinHash
+    join — cost ~ O(|new| x bucket), never a corpus self-join. md5
+    family; the oracle replicates the two-sided blocking exactly."""
+    from cartography_spark.operators.dedup import minhash_lsh_join
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    return minhash_lsh_join(
+        new, docs, "doc_id", "text",
+        shingle_n=3, num_hashes=8, bands=4, threshold=0.6,
+        family="md5", max_bucket=100000,
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media decode plumbing (stubbed codec): per-kind feature stats.
     No SQL oracle: binary payloads live only in the generator."""
@@ -838,6 +854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_near_dup": sim_ivf_near_dup,
     "sim_embedding_near_dup": sim_embedding_near_dup,
     "kg_entity_linking": kg_entity_linking,
+    "kg_incremental_link_pairs": kg_incremental_link_pairs,
     "kg_flagship_pipeline": kg_flagship_pipeline,
     "multimodal_features": multimodal_features,
 }

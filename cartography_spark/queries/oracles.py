@@ -686,3 +686,41 @@ GROUP BY canonical_id
 HAVING COUNT(*) > 1
 ORDER BY cluster_size DESC, canonical_id
 """
+
+# Cross-frame (incremental) LSH join twin: the left band frame is the
+# new batch (doc_id % 10 = 0), the right the full corpus; same md5
+# minhash construction as dedup_minhash_lsh, pairs keep left/right
+# orientation (id_l from the new side) and exclude same-doc collisions.
+ORACLES["kg_incremental_link_pairs"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), i, 3)
+                        FOR i IN generate_series(1, greatest(len(text) - 2, 1))]) AS sh
+  FROM documents
+),
+sg AS (
+  SELECT doc_id,
+         [list_min([md5(CAST(h AS VARCHAR) || ':' || s) FOR s IN sh])
+          FOR h IN generate_series(0, 7)] AS sig
+  FROM d
+),
+bd AS (
+  SELECT doc_id,
+         unnest([md5(CAST(b AS VARCHAR) || '|' || sig[2 * b + 1] || '|' || sig[2 * b + 2])
+                 FOR b IN generate_series(0, 3)]) AS band_key
+  FROM sg
+),
+lb AS (SELECT * FROM bd WHERE doc_id % 10 = 0),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_l, r.doc_id AS id_r
+  FROM lb l JOIN bd r ON l.band_key = r.band_key AND l.doc_id <> r.doc_id
+)
+SELECT c.id_l AS id_l, c.id_r AS id_r,
+       ROUND(len(list_intersect(da.sh, db.sh))::DOUBLE
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4)::DOUBLE AS jaccard
+FROM cand c
+JOIN d da ON da.doc_id = c.id_l
+JOIN d db ON db.doc_id = c.id_r
+WHERE ROUND(len(list_intersect(da.sh, db.sh))::DOUBLE
+            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.6
+"""

@@ -74,3 +74,52 @@ def test_link_is_idempotent(store):
         store.read_edges().where("rel_label='SAME_AS'").agg(F.min("lastupdated")).collect()[0][0]
         == 300
     )
+
+
+def test_incremental_linking_matches_full_relink(spark, tmp_path):
+    """Batch-by-batch incremental linking (new-vs-corpus LSH join over
+    existing SAME_AS edges) must converge to the same canonical ids as
+    one full re-link over the final corpus."""
+    from cartography_spark.pipeline.linking import link_entities_incremental
+
+    batches = [NAMES[:2], NAMES[2:4], NAMES[4:]]
+    inc = GraphStore(spark, str(tmp_path / "inc"))
+    for i, batch in enumerate(batches):
+        tag = 100 + i
+        load(inc, ENT, spark.createDataFrame(batch, "eid string, name string"), tag)
+        link_entities_incremental(inc, "Entity", "name", tag, threshold=0.7,
+                                  num_hashes=32, bands=8)
+
+    full = GraphStore(spark, str(tmp_path / "full"))
+    load(full, ENT, spark.createDataFrame(NAMES, "eid string, name string"), 100)
+    link_entities(full, "Entity", "name", 200, threshold=0.7)
+
+    def canon(st):
+        return {
+            r["id"]: (r["props"] or {}).get("canonical_id")
+            for r in st.read_nodes().where("label='Entity'").collect()
+        }
+
+    assert canon(inc) == canon(full)
+    # and the incremental runs found the cross-batch transitive merge:
+    got = canon(inc)
+    assert got["e1"] == got["e2"] == got["e3"] == "e1"
+
+
+def test_incremental_linking_blocks_only_new_side(spark, tmp_path):
+    """Scale contract: the blocking join's LEFT band frame is built from
+    the new batch only (lastupdated == tag), not the corpus — re-linking
+    after a 1-row batch emits no new pairs when nothing matches."""
+    from cartography_spark.pipeline.linking import link_entities_incremental
+
+    st = GraphStore(spark, str(tmp_path / "g"))
+    load(st, ENT, spark.createDataFrame(NAMES, "eid string, name string"), 100)
+    link_entities_incremental(st, "Entity", "name", 100, threshold=0.7,
+                              num_hashes=32, bands=8)
+    n_edges = st.read_edges().where("rel_label='SAME_AS'").count()
+    load(st, ENT, spark.createDataFrame([("e9", "zzz nothing alike")],
+                                        "eid string, name string"), 200)
+    out = link_entities_incremental(st, "Entity", "name", 200, threshold=0.7,
+                                    num_hashes=32, bands=8)
+    assert out["new_same_as_edges"] == 0
+    assert st.read_edges().where("rel_label='SAME_AS'").count() == n_edges
