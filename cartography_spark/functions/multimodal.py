@@ -158,14 +158,14 @@ def frame_sample(df: DataFrame, n_frames: int = 4) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for media_id, raw in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(raw) if raw is not None else b""
                 step = max(len(payload) // n_frames, 1)
                 for i in range(n_frames):
                     chunk = payload[i * step : (i + 1) * step]
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": media_id,
                             "frame_idx": i,
                             "frame_digest": hashlib.md5(chunk).hexdigest(),
                         }
