@@ -63,3 +63,54 @@ def test_merge_matches_python_model(spark, tmp_path_factory, batches):
         assert int(r["firstseen"].timestamp()) == m["firstseen"], nid
         assert r["lastupdated"] == m["lastupdated"], nid
         assert dict(r["props"] or {}) == m["props"], nid
+
+
+# Promoted-column invariants: for ANY batch sequence where batches may
+# or may not carry the promoted column, the stored value equals the
+# LAST non-null value any batch supplied (coalesce-on-update; schema
+# evolution introduces the column as NULL for rows that never had it).
+pbatch = st.dictionaries(
+    ids,
+    st.tuples(props, st.one_of(st.none(), st.sampled_from(["e1", "e2", "e3"]))),
+    min_size=1,
+    max_size=4,
+)
+pbatches = st.lists(pbatch, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=pbatches)
+def test_promoted_column_matches_python_model(spark, tmp_path_factory, batches):
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("g")))
+    model: dict[str, str | None] = {}
+    for i, b in enumerate(batches):
+        tag = 100 + i
+        with_col = {nid: pe for nid, pe in b.items() if pe[1] is not None}
+        without = {nid: pe for nid, pe in b.items() if pe[1] is None}
+        # batches lacking the promoted value entirely omit the column
+        # (schema evolution both directions)
+        if with_col:
+            df = spark.createDataFrame(
+                [("T", nid, p, e) for nid, (p, e) in with_col.items()],
+                "label string, id string, props map<string,string>, _p_email string",
+            )
+            store.merge_nodes(df, tag)
+        if without:
+            df = spark.createDataFrame(
+                [("T", nid, p) for nid, (p, _) in without.items()],
+                "label string, id string, props map<string,string>",
+            )
+            store.merge_nodes(df, tag)
+        for nid, (_, e) in b.items():
+            model.setdefault(nid, None)
+            if e is not None:
+                model[nid] = e
+    got = {
+        r["id"]: r["_p_email"] if "_p_email" in store.read_nodes().columns else None
+        for r in store.read_nodes().collect()
+    }
+    assert got == model
