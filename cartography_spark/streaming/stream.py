@@ -174,7 +174,15 @@ def stream_to_store(
         # read-modify-write every streaming upsert-with-aggregate needs;
         # the store read prunes to the touched rel_label partitions).
         batch_counts = batch.groupBy("subj", "pred", "obj").agg(F.count("*").alias("__n"))
-        prev = store.read_edges().select(
+        # Manifest-level partition pruning: the read-back joins only the
+        # rel_label partitions this batch touches (a distinct over the
+        # batch's few preds), not the whole edge table per micro-batch.
+        from cartography_spark.store.graphstore import EDGES_SCHEMA
+
+        touched_rels = [r[0] for r in batch_counts.select("pred").distinct().collect()]
+        prev = store._read_manifest_df(
+            "edges", EDGES_SCHEMA, store._manifest("edges"), only_partitions=touched_rels
+        ).select(
             F.col("rel_label"),
             F.col("src"),
             F.col("dst"),
