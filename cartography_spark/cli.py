@@ -151,6 +151,25 @@ def cmd_analysis(args) -> int:
     return 0
 
 
+def cmd_link(args) -> int:
+    """Entity linking over a store label (LSH blocking -> Jaccard
+    verify -> connected-components canonical ids -> MERGE).
+    ``--incremental`` blocks only the nodes the given update-tag's sync
+    touched against the corpus (the per-sync shape at scale)."""
+    from cartography_spark.pipeline.linking import link_entities, link_entities_incremental
+    from cartography_spark.store.graphstore import GraphStore
+
+    spark = _spark(args)
+    store = GraphStore(spark, args.store)
+    fn = link_entities_incremental if args.incremental else link_entities
+    out = fn(
+        store, args.label, args.prop, args.update_tag,
+        scope_id=args.scope, threshold=args.threshold,
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_store(args) -> int:
     """Store maintenance: compact (fold merge-on-read tombstones) and
     expire (retention GC) — the Iceberg rewrite_data_files /
@@ -221,6 +240,17 @@ def main(argv: list[str] | None = None) -> int:
     w.add_argument("--scope", required=True)
     w.add_argument("--update-tag", type=int, required=True)
     w.set_defaults(fn=cmd_sweep)
+
+    ln = sub.add_parser("link", help="entity linking over a store label")
+    ln.add_argument("--store", required=True)
+    ln.add_argument("--label", required=True)
+    ln.add_argument("--prop", required=True, help="node prop holding the text to block on")
+    ln.add_argument("--update-tag", type=int, required=True)
+    ln.add_argument("--scope", default=None)
+    ln.add_argument("--threshold", type=float, default=0.8)
+    ln.add_argument("--incremental", action="store_true",
+                    help="block only this update-tag's batch against the corpus")
+    ln.set_defaults(fn=cmd_link)
 
     st = sub.add_parser("store", help="store maintenance (compact / expire)")
     stsub = st.add_subparsers(dest="store_command", required=True)

@@ -123,3 +123,40 @@ def test_multi_round_lifecycle_with_drift_and_gc(spark, tmp_path, capsys):
     store.expire_versions(keep_last=2)
     assert store.read_nodes().count() == n_before  # GC never changes current reads
     assert len(store.node_versions()) == 2
+
+
+def test_cli_link_full_and_incremental(spark, tmp_path, capsys):
+    """The `link` command closes the lifecycle: sync -> link (full),
+    then a second sync batch -> link --incremental; canonical ids
+    appear on near-duplicate entities."""
+    from cartography_spark.cli import main
+    from cartography_spark.pipeline.sync import load
+    from cartography_spark.schema import NodeSchema, PropertyRef
+
+    ent = NodeSchema(
+        label="Brand", properties={"id": PropertyRef("bid"), "name": PropertyRef("name")}
+    )
+    store_dir = str(tmp_path / "g")
+    g = GraphStore(spark, store_dir)
+    load(g, ent, spark.createDataFrame(
+        [("b1", "Acme Rocket Skates"), ("b2", "acme rocket skates")],
+        "bid string, name string"), 100)
+    rc = main(["--cores", "8", "link", "--store", store_dir, "--label", "Brand",
+               "--prop", "name", "--update-tag", "100", "--threshold", "0.7"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["linked_nodes"] >= 2
+
+    load(g, ent, spark.createDataFrame(
+        [("b3", "Acme Rocket Skatez")], "bid string, name string"), 200)
+    rc = main(["--cores", "8", "link", "--store", store_dir, "--label", "Brand",
+               "--prop", "name", "--update-tag", "200", "--threshold", "0.7",
+               "--incremental"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["new_same_as_edges"] >= 1
+    canon = {
+        r["id"]: (r["props"] or {}).get("canonical_id")
+        for r in g.read_nodes().where("label='Brand'").collect()
+    }
+    assert canon["b1"] == canon["b2"] == canon["b3"] == "b1"
