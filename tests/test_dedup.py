@@ -196,3 +196,41 @@ def test_embedding_near_dup_lsh_blocked_no_cartesian(spark):
     # identical vectors share every bucket -> recall 1.0 on exact dups
     for i in range(5):
         assert (i, 100 + i) in got
+
+
+def test_minhash_lsh_join_caps_corpus_buckets(spark):
+    """The bucket cap applies to the CORPUS side: a hot band key with
+    more than max_bucket corpus rows is dropped, so one pathological
+    cluster cannot quadratically blow up the candidate set; distinct
+    texts elsewhere still pair."""
+    from cartography_spark.operators.dedup import minhash_lsh_join
+
+    hot = [(i, "the exact same hot text cluster") for i in range(30)]
+    cold = [(100, "a unique cold document xyz"), (101, "a unique cold document xyzq")]
+    corpus = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(200, "the exact same hot text cluster"), (201, "a unique cold document xyz2")],
+        "doc_id long, text string",
+    )
+    capped = minhash_lsh_join(
+        new, corpus, "doc_id", "text", threshold=0.6, max_bucket=10
+    )
+    got = {(r["id_l"], r["id_r"]) for r in capped.collect()}
+    # hot-cluster band buckets (30 rows) exceed the cap -> no hot pairs
+    assert all(r not in {i for i in range(30)} for (_, r) in got)
+    # the cold near-dups still pair
+    assert (201, 100) in got or (201, 101) in got
+
+
+def test_minhash_lsh_join_excludes_same_id(spark):
+    """A doc present in both frames must not pair with itself."""
+    from cartography_spark.operators.dedup import minhash_lsh_join
+
+    docs = spark.createDataFrame(
+        [(1, "same text here okay"), (2, "same text here okay")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_l"], r["id_r"]) for r in
+           minhash_lsh_join(docs, docs, "doc_id", "text", threshold=0.6).collect()}
+    assert (1, 1) not in got and (2, 2) not in got
+    assert (1, 2) in got and (2, 1) in got
