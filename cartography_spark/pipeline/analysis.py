@@ -92,11 +92,40 @@ class AnalysisJob:
         self, nodes: DataFrame, edges: DataFrame, params: Mapping[str, Any]
     ) -> set | None:
         """Union of every step's touched labels, or None when any step
-        can't bound its write set (forces the legacy full rewrite)."""
+        can't bound its write set (forces the legacy full rewrite).
+
+        All plain-predicate statements (set_prop/remove_prop) are
+        evaluated in ONE conditional-aggregation scan grouped by label
+        — a job with N statements costs one column-pruned pass, not N
+        (the same single-pass funnel trick the text-quality pipeline
+        uses). Propagate statements keep their own derivation (label
+        graph walk)."""
         out: set = set()
-        for step in self.steps:
+        simple: list[tuple[int, str]] = []
+        complex_steps = []
+        for idx, step in enumerate(self.steps):
             if step.touched_fn is None:
                 return None
+            tmpl = getattr(step.touched_fn, "where_template", None)
+            if tmpl is not None:
+                simple.append((idx, tmpl))
+            else:
+                complex_steps.append(step)
+        if simple:
+            aggs = [
+                F.max(
+                    F.when(
+                        F.expr(Template(tmpl).safe_substitute(params)), 1
+                    ).otherwise(0)
+                ).alias(f"__m{idx}")
+                for idx, tmpl in simple
+            ]
+            for row in nodes.groupBy("label").agg(*aggs).collect():
+                if row["label"] is not None and any(
+                    row[f"__m{idx}"] == 1 for idx, _ in simple
+                ):
+                    out.add(row["label"])
+        for step in complex_steps:
             got = step.touched_fn(nodes, edges, params)
             if got is None:
                 return None
@@ -305,6 +334,10 @@ class AnalysisJob:
                 reach |= frontier
             return seed_labels | carrying | reach
 
+        if op != "propagate":
+            # plain predicate: _touched_labels batches every such
+            # statement into one conditional-agg scan via this tag
+            touched.where_template = stmt["where"]
         return touched
 
     def _compile_statement(self, idx: int, stmt: Mapping[str, Any]) -> StepFn:
