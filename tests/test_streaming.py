@@ -211,3 +211,76 @@ def test_stream_to_store_edge_weight_accumulates_across_batches(spark, tmp_path)
     rows = store.read_edges().collect()
     assert len(rows) == 1
     assert rows[0]["props"]["n"] == "3"
+
+
+def test_stream_ingest_with_continuous_entity_linking(spark, tmp_path):
+    """Composition capstone: streaming ingestion MERGEs each
+    micro-batch's entities under its own tag; incremental linking then
+    blocks ONLY the latest batch against the corpus — near-duplicate
+    entity names that arrived in DIFFERENT micro-batches share a
+    canonical id (the continuous-KG-build shape: ingest per batch,
+    link per sync)."""
+    import pyspark.sql.functions as F
+
+    from cartography_spark.pipeline.linking import link_entities_incremental
+    from cartography_spark.store.graphstore import GraphStore
+
+    tdir = tmp_path / "triples"
+    b1 = spark.createDataFrame(
+        [("Apache Spark Engine", "REL", "x")], "subj string, pred string, obj string"
+    )
+    b2 = spark.createDataFrame(
+        [("apache spark enginee", "REL", "y")], "subj string, pred string, obj string"
+    )
+    b1.coalesce(1).write.parquet(str(tdir / "f1"))
+    b2.coalesce(1).write.parquet(str(tdir / "f2"))
+    store = GraphStore(spark, str(tmp_path / "g"))
+
+    stream = (
+        spark.readStream.schema("subj string, pred string, obj string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir) + "/*")
+    )
+    seen_tags = []
+
+    def ingest(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        tag = 100 + int(epoch_id)
+        seen_tags.append(tag)
+        names = batch.select(F.col("subj").alias("name")).union(
+            batch.select(F.col("obj").alias("name"))
+        ).distinct()
+        nodes = names.select(
+            F.lit("Entity").alias("label"),
+            F.col("name").alias("id"),
+            F.lit(None).cast("array<string>").alias("extra_labels"),
+            F.lit(None).cast("string").alias("scope_id"),
+            F.create_map(F.lit("name"), F.col("name")).alias("props"),
+        )
+        store.merge_nodes(nodes, tag)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=300)
+    assert not q.isActive and q.exception() is None
+    assert len(seen_tags) == 2  # one batch per file
+
+    # the per-sync link: block only the LATEST batch against the corpus
+    out = link_entities_incremental(
+        store, "Entity", "name", max(seen_tags), threshold=0.5,
+        num_hashes=16, bands=4,
+    )
+    assert out["new_same_as_edges"] >= 1
+    canon = {
+        r["id"]: (r["props"] or {}).get("canonical_id")
+        for r in store.read_nodes().where("label='Entity'").collect()
+    }
+    # the two name variants arrived in different micro-batches
+    assert canon["Apache Spark Engine"] is not None
+    assert canon["Apache Spark Engine"] == canon["apache spark enginee"]
