@@ -118,7 +118,20 @@ def link_entities_incremental(
         ["src", "dst"]
     )
     comp = connected_components(all_edges, "src", "dst")
-    canon_updates = comp.select(
+    # Write canonical ids ONLY for components a new pair touches: an
+    # untouched component has identical membership and min id as when
+    # its canonical was last written (text immutable, edges only grow
+    # through new-batch pairs), so re-merging it would be a no-op write
+    # proportional to ALL linked nodes instead of the batch's blast
+    # radius. Two semi-joins bound the merge to affected components.
+    new_ids = (
+        new_pairs.select(F.col("src").alias("id"))
+        .unionByName(new_pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    affected = comp.join(new_ids, "id", "left_semi").select("component").distinct()
+    members = comp.join(affected, "component", "left_semi")
+    canon_updates = members.select(
         F.lit(label).alias("label"),
         F.col("id"),
         F.lit(None).cast("array<string>").alias("extra_labels"),
