@@ -84,7 +84,7 @@ def _real_decode_row(kind: str, payload: bytes) -> dict:
         img = Image.open(io.BytesIO(payload))
         return {"width": img.width, "height": img.height, "duration_ms": 0}
     if kind == "audio":
-        if payload[:4] == b"RIFF":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             import wave
 
             with wave.open(io.BytesIO(payload)) as w:

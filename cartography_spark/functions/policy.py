@@ -98,7 +98,14 @@ def _compile_clause(clause: str) -> str:
     invalid clause (e.g. ``(`` or ``[``) becomes ``re.compile("")`` there,
     whose ``fullmatch`` matches only an EMPTY target — here the anchored
     equivalent ``(?i)^$``. Without this, one malformed clause would throw
-    from ``regexp_like`` at runtime and fail the whole job."""
+    from ``regexp_like`` at runtime and fail the whole job.
+
+    Python/Java dialect gaps are normalized so the JVM executes the
+    pattern with Python's (= the reference's) semantics:
+    - ``{,n}`` is a valid 0..n quantifier in Python but a
+      PatternSyntaxException in Java -> rewritten ``{0,n}``;
+    - a ``{`` that does not open a valid quantifier is a literal in
+      Python but rejected by Java -> escaped ``\\{``."""
     rx = (
         "(?i)^"
         + clause.replace(".", "\\.").replace("*", ".*").replace("?", ".?")
@@ -106,9 +113,11 @@ def _compile_clause(clause: str) -> str:
     )
     try:
         re.compile(rx)
-        return rx
     except re.error:
         return "(?i)^$"
+    rx = re.sub(r"\{,(\d*)\}", r"{0,\1}", rx)  # {,n} and {,} are Python quantifiers
+    rx = re.sub(r"\{(?!\d+(?:,\d*)?\})", r"\\{", rx)
+    return rx
 
 
 def _rx_array(clauses: Column) -> Column:

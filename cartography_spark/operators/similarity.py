@@ -183,7 +183,6 @@ def assign_ivf_buckets(
     centroids: DataFrame,
     out_col: str = "ivf_bucket",
     nprobe: int = 1,
-    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each row to its ``nprobe`` nearest centroids (one output
     row per probe).
@@ -198,9 +197,7 @@ def assign_ivf_buckets(
     the broadcast is one row of k x dim floats (~16 MB at 65k x 64).
 
     Ranking key is ``(-dot/norm, cid)`` — deterministic tie-break, and
-    the exact sort key the DuckDB oracle twin replicates. ``id_cols``
-    is accepted for API compatibility; the packed form needs no row
-    identity."""
+    the exact sort key the DuckDB oracle twin replicates."""
     packed = centroids.agg(
         F.collect_list(F.struct(F.col("cid"), F.col("cvec"))).alias("__cents")
     )

@@ -157,14 +157,26 @@ class AnalysisJob:
             for step in self.steps:
                 nodes, edges = step.fn(nodes, edges, params)
 
+            def _evolution(man: dict, df: DataFrame, version: str) -> dict:
+                """Carry the table's promoted-column declarations, plus
+                any new ``_p_`` columns this write introduces (same
+                union rule as the store's own commit paths)."""
+                cols = sorted(
+                    set(man.get("columns", []))
+                    | {c for c in df.columns if c.startswith("_p_")}
+                )
+                seqs = dict(man.get("columns_seq", {}))
+                for c in cols:
+                    seqs.setdefault(c, int(version[1:]))
+                return {"columns": cols, "columns_seq": seqs}
+
             commits: dict[str, tuple[str, dict]] = {}
-            promoted = list(manifest.get("columns", []))  # carry schema evolution
             if touched is None:
                 nv = store._allocate_version("nodes")
                 nparts = store._write_data("nodes", nv, nodes)
                 commits["nodes"] = (
                     nv,
-                    {"partitions": nparts, "deletes": [], "columns": promoted},
+                    {"partitions": nparts, "deletes": [], **_evolution(manifest, nodes, nv)},
                 )
             elif touched:
                 nv = store._allocate_version("nodes")
@@ -178,14 +190,18 @@ class AnalysisJob:
                     {
                         "partitions": parts,
                         "deletes": list(manifest.get("deletes", [])),
-                        "columns": promoted,
+                        **_evolution(manifest, nodes, nv),
                     },
                 )
             # touched == set(): no statement matches any label -> no node write
             if touches_edges:
+                emanifest = store._manifest("edges") or {}
                 ev = store._allocate_version("edges")
                 eparts = store._write_data("edges", ev, edges)
-                commits["edges"] = (ev, {"partitions": eparts, "deletes": []})
+                commits["edges"] = (
+                    ev,
+                    {"partitions": eparts, "deletes": [], **_evolution(emanifest, edges, ev)},
+                )
             try:
                 if commits:
                     # ONE atomic commit for the whole job (the reference

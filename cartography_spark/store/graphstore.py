@@ -378,6 +378,7 @@ class GraphStore:
         groups: dict[int, list[str]] = {}
         for info in parts.values():
             groups.setdefault(info["seq"], []).append(info["dir"])
+        col_seq = manifest.get("columns_seq", {})
         out: DataFrame | None = None
         for seq, dirs in sorted(groups.items()):
             base = os.path.join(self.root, "data", table, f"v{seq:06d}")
@@ -386,6 +387,20 @@ class GraphStore:
                 .schema(schema)
                 .parquet(*[os.path.join(self.root, d) for d in dirs])
             )
+            # Promoted-column fallback ONLY for file groups written
+            # BEFORE the column was declared (their files lack it, the
+            # schema fills NULL, but props holds the truth). Groups at or
+            # after the declaration carry the write-invariant value, so
+            # they read the bare column and filters on it stay PUSHABLE
+            # into those scans.
+            for c in manifest.get("columns", []):
+                if seq < int(col_seq.get(c, 0)):
+                    df = df.withColumn(
+                        c,
+                        F.coalesce(
+                            F.col(c), F.element_at(F.col("props"), c[len("_p_"):])
+                        ),
+                    )
             dels = [d for d in manifest.get("deletes", []) if d["seq"] > seq]
             if dels:
                 keys = self.spark.read.parquet(
@@ -413,7 +428,21 @@ class GraphStore:
         the lookup key (Iceberg ``write.sorted`` analog): parquet
         row-group min/max stats then prune id-range lookups — the layout
         replacement for the reference's index-ensure step
-        (querybuilder.py:490-551)."""
+        (querybuilder.py:490-551).
+
+        WRITE INVARIANT for promoted columns: every ``_p_<name>`` column
+        is re-derived from ``props[<name>]`` here, so in every data file
+        written at/after a column's declaration the promoted copy equals
+        the props value by construction — props stays the single source
+        of truth (a props rewrite, e.g. an analysis set_prop, can never
+        leave a stale index copy), and the read path only needs a
+        props-fallback for files that PREDATE the declaration."""
+        if "props" in df.columns:
+            for c in df.columns:
+                if c.startswith("_p_"):
+                    df = df.withColumn(
+                        c, F.element_at(F.col("props"), c[len("_p_"):])
+                    )
         pcol = _PARTITION_COL[table]
         path = os.path.join(self.root, "data", table, version)
         sort_key = "id" if "id" in df.columns else "src"
@@ -454,13 +483,22 @@ class GraphStore:
         in (the compaction path). Raises :class:`CommitConflict` when
         ``expected_seq`` is given and stale — the caller rebuilds ``df``
         from the new snapshot and retries."""
+        old_man = self._manifest(table) or {}
         v = self._allocate_version(table)
         parts = self._write_data(table, v, df)
         promoted = sorted(c for c in df.columns if c.startswith("_p_"))
+        col_seq = {c: s for c, s in old_man.get("columns_seq", {}).items() if c in promoted}
+        for c in promoted:
+            col_seq.setdefault(c, int(v[1:]))
         self._commit_manifest(
             table,
             v,
-            {"partitions": parts, "deletes": [], "columns": promoted},
+            {
+                "partitions": parts,
+                "deletes": [],
+                "columns": promoted,
+                "columns_seq": col_seq,
+            },
             expected_seq,
         )
         return v
@@ -490,6 +528,9 @@ class GraphStore:
             set(manifest.get("columns", []))
             | {c for c in df.columns if c.startswith("_p_")}
         )
+        col_seq = dict(manifest.get("columns_seq", {}))
+        for c in promoted:
+            col_seq.setdefault(c, int(v[1:]))
         self._commit_manifest(
             table,
             v,
@@ -497,6 +538,7 @@ class GraphStore:
                 "partitions": parts,
                 "deletes": list(manifest.get("deletes", [])),
                 "columns": promoted,
+                "columns_seq": col_seq,
             },
             expected_seq,
         )
@@ -599,6 +641,9 @@ class GraphStore:
             new_parts = self._write_data(table, v, result)  # counters fold into this job
             parts = dict(manifest["partitions"])
             parts.update(new_parts)
+            col_seq = dict(manifest.get("columns_seq", {}))
+            for c in promoted:
+                col_seq.setdefault(c, int(v[1:]))
             try:
                 self._commit_manifest(
                     table,
@@ -607,6 +652,7 @@ class GraphStore:
                         "partitions": parts,
                         "deletes": list(manifest.get("deletes", [])),
                         "columns": promoted,
+                        "columns_seq": col_seq,
                     },
                     expected_seq=seq0,
                 )
@@ -663,21 +709,18 @@ class GraphStore:
         return n, v, manifest
 
     def _write_deletes(self, table: str, keys: DataFrame) -> tuple[int, str | None]:
-        """Single-table tombstone write: prepare + CAS commit with
-        retry. (The sweep instead prepares both tables and publishes
-        them in ONE atomic multi-table commit.)"""
-        last: CommitConflict | None = None
-        for _ in range(_COMMIT_RETRIES):
-            seq0 = self._pointer().get("seq", 0)
-            n, v, man = self._prepare_deletes(table, keys)
-            if n == 0:
-                return 0, None
-            try:
-                self._commit_manifests({table: (v, man)}, expected_seq=seq0)
-                return n, v
-            except CommitConflict as e:
-                last = e
-        raise last  # type: ignore[misc]
+        """Single-table tombstone write: prepare + one CAS commit. A
+        CommitConflict PROPAGATES instead of retrying here: the caller's
+        ``keys`` plan was built against the pre-conflict snapshot, so a
+        blind retry would tombstone rows a concurrent writer just
+        refreshed — the caller must recompute the doomed set from the
+        new snapshot (the sweep paths do exactly that)."""
+        seq0 = self._pointer().get("seq", 0)
+        n, v, man = self._prepare_deletes(table, keys)
+        if n == 0:
+            return 0, None
+        self._commit_manifests({table: (v, man)}, expected_seq=seq0)
+        return n, v
 
     # ---------- cleanup sweep (C1-C6) ----------
 

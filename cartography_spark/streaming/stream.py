@@ -121,9 +121,10 @@ def stream_to_store(
     weight prop ``n`` ACCUMULATES across micro-batches (stored count +
     batch count), so the final weight is independent of micro-batch
     file grouping. The source checkpoint makes catch-up runs
-    exactly-once per input file; an epoch ledger in the store metrics
-    makes mid-batch replays no-ops — together: restartable ingestion,
-    the streaming analog of the Sync ledger.
+    exactly-once per input file; a per-edge (stream, epoch) tag merged
+    ATOMICALLY with the weight makes mid-batch replays no-ops —
+    together: restartable ingestion, the streaming analog of the Sync
+    ledger.
 
     Returns the summed merge counters across batches."""
     import hashlib
@@ -133,27 +134,18 @@ def stream_to_store(
     totals = {"nodes_created": 0, "nodes_updated": 0, "edges_created": 0, "edges_updated": 0}
     # Batch-replay guard: edge weights ACCUMULATE (see below), so a
     # replayed epoch (crash between the store commit and the streaming
-    # checkpoint commit) must not double-add. Completed epochs are
-    # recorded in the store's metrics ledger keyed by (stream, epoch);
-    # a replay sees its epoch already committed and skips.
-    stream_id = int(hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:15], 16)
-
-    def _epoch_done(epoch_id: int) -> bool:
-        m = store.read_metrics()
-        return (
-            m.where(
-                (F.col("op") == "stream_epoch")
-                & (F.element_at("counters", "stream_id") == F.lit(stream_id))
-                & (F.element_at("counters", "epoch") == F.lit(int(epoch_id)))
-            ).limit(1).count()
-            > 0
-        )
+    # checkpoint commit) must not double-add. Each edge carries the
+    # (stream, epoch) tag that last updated it IN THE SAME MERGE as the
+    # weight — a replayed epoch sees its own tag and keeps the stored
+    # count, so the guard is atomic with the update it guards (a
+    # separate ledger write would reopen the crash window between the
+    # two commits).
+    stream_id = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        if _epoch_done(epoch_id):
-            return
+        epoch_tag = f"{stream_id}:{int(epoch_id)}"
         nodes = (
             batch.select(F.col("subj").alias("name"))
             .union(batch.select(F.col("obj").alias("name")))
@@ -187,6 +179,11 @@ def stream_to_store(
             F.col("src"),
             F.col("dst"),
             F.element_at("props", "n").cast("long").alias("__prev_n"),
+            F.element_at("props", "n_epoch").alias("__prev_ep"),
+        )
+        new_n = (
+            F.when(F.col("__prev_ep") == epoch_tag, F.col("__prev_n"))  # replay: no-op
+            .otherwise(F.col("__n") + F.coalesce(F.col("__prev_n"), F.lit(0)))
         )
         edges = (
             batch_counts.select(
@@ -204,15 +201,12 @@ def stream_to_store(
                 F.lit("Entity").alias("dst_label"),
                 F.lit(None).cast("string").alias("scope_id"),
                 F.create_map(
-                    F.lit("n"),
-                    (F.col("__n") + F.coalesce(F.col("__prev_n"), F.lit(0))).cast("string"),
+                    F.lit("n"), new_n.cast("string"),
+                    F.lit("n_epoch"), F.lit(epoch_tag),
                 ).alias("props"),
             )
         )
         e = store.merge_edges(edges, update_tag)
-        store._record_metrics(
-            "stream_epoch", update_tag, {"stream_id": stream_id, "epoch": int(epoch_id)}
-        )
         totals["nodes_created"] += n["created"]
         totals["nodes_updated"] += n["updated"]
         totals["edges_created"] += e["created"]

@@ -66,9 +66,11 @@ def test_merge_matches_python_model(spark, tmp_path_factory, batches):
 
 
 # Promoted-column invariants: for ANY batch sequence where batches may
-# or may not carry the promoted column, the stored value equals the
-# LAST non-null value any batch supplied (coalesce-on-update; schema
-# evolution introduces the column as NULL for rows that never had it).
+# or may not carry the promoted property, the stored ``_p_`` value
+# equals the LAST non-null value any batch supplied — because the
+# write path derives the promoted copy from the merged props map
+# (props is the single source of truth; the compiler always writes the
+# property to both), and props merge is LAST_WIN.
 pbatch = st.dictionaries(
     ids,
     st.tuples(props, st.one_of(st.none(), st.sampled_from(["e1", "e2", "e3"]))),
@@ -95,7 +97,7 @@ def test_promoted_column_matches_python_model(spark, tmp_path_factory, batches):
         # (schema evolution both directions)
         if with_col:
             df = spark.createDataFrame(
-                [("T", nid, p, e) for nid, (p, e) in with_col.items()],
+                [("T", nid, {**p, "email": e}, e) for nid, (p, e) in with_col.items()],
                 "label string, id string, props map<string,string>, _p_email string",
             )
             store.merge_nodes(df, tag)

@@ -206,3 +206,29 @@ def test_invalid_clause_degrades_to_match_nothing(spark):
     # a bad clause must not suppress a sibling good clause
     s2 = [{"action": ["(", "s3:*"], "resource": ["*"], "effect": "Allow"}]
     assert _verdict(spark, s2, ["s3:GetObject"]) is False
+
+
+def test_brace_clauses_match_python_semantics(spark):
+    """Python/Java regex dialect gap: the reference compiles clauses with
+    Python ``re`` where a non-quantifier ``{`` is a literal and ``{,n}``
+    is a 0..n quantifier; Java's Pattern rejects both. The JVM-side
+    evaluation must reproduce the Python (= reference) semantics instead
+    of throwing PatternSyntaxException."""
+    # literal brace: matches itself only
+    s = [{"action": ["s3:get{object}"], "resource": ["*"], "effect": "Allow"}]
+    assert _verdict(spark, s, ["s3:get{object}"]) is False
+    assert _verdict(spark, s, ["s3:getobject"]) is None
+    # valid quantifier preserved
+    s = [{"action": ["ec2:a{2}b"], "resource": ["*"], "effect": "Allow"}]
+    assert _verdict(spark, s, ["ec2:aab"]) is False
+    assert _verdict(spark, s, ["ec2:ab"]) is None
+    # Python-only {,n} = 0..n quantifier, rewritten for the JVM
+    s = [{"action": ["ec2:a{,2}b"], "resource": ["*"], "effect": "Allow"}]
+    assert _verdict(spark, s, ["ec2:b"]) is False
+    assert _verdict(spark, s, ["ec2:ab"]) is False
+    assert _verdict(spark, s, ["ec2:aab"]) is False
+    assert _verdict(spark, s, ["ec2:aaab"]) is None
+    # Python-only {,} = 0..inf quantifier
+    s = [{"action": ["ec2:a{,}b"], "resource": ["*"], "effect": "Allow"}]
+    assert _verdict(spark, s, ["ec2:aaaab"]) is False
+    assert _verdict(spark, s, ["ec2:b"]) is False

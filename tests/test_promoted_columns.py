@@ -106,6 +106,63 @@ def test_matcher_join_prefers_promoted_column(spark, store):
     assert "element_at(props, email)" not in plan
 
 
+def test_promoted_column_derived_from_props_on_write(spark, store):
+    """WRITE INVARIANT regression: the stored ``_p_`` value is re-derived
+    from the merged props map at every write — a batch whose promoted
+    column disagrees with its own props map cannot plant a stale index
+    copy (props is the single source of truth)."""
+    df = spark.createDataFrame(
+        [("Human", "h1", {"email": "truth@x.io"}, "stale@x.io")],
+        "label string, id string, props map<string,string>, _p_email string",
+    )
+    store.merge_nodes(df, 100)
+    row = store.read_nodes().collect()[0]
+    assert row["_p_email"] == "truth@x.io"
+    assert row["props"]["email"] == "truth@x.io"
+
+
+def test_analysis_set_prop_refreshes_promoted_column(spark, store):
+    """Silent-data-loss regression: an analysis job that rewrites a
+    promoted property in the props map must refresh the ``_p_`` copy in
+    the same write — otherwise every later matcher join reads the stale
+    indexed value while props holds the truth."""
+    from cartography_spark.pipeline.analysis import AnalysisJob
+
+    load(store, HUMAN, _humans(spark, [("h1", "old@x.io"), ("h2", "keep@x.io")]), 100)
+    job = AnalysisJob.from_json(
+        """{"name": "rekey", "statements": [
+            {"op": "set_prop",
+             "where": "label = 'Human' AND element_at(props, 'email') = 'old@x.io'",
+             "prop": "email", "value": "new@x.io"}]}"""
+    )
+    job.run(store, 200)
+    got = {r["id"]: (r["_p_email"], r["props"]["email"]) for r in store.read_nodes().collect()}
+    assert got == {"h1": ("new@x.io", "new@x.io"), "h2": ("keep@x.io", "keep@x.io")}
+    # the column declaration survives the analysis commit, and the
+    # post-declaration file group keeps the filter pushable
+    man = store._manifest("nodes")
+    assert man["columns"] == ["_p_email"] and "_p_email" in man["columns_seq"]
+    q = store.read_nodes().where(F.col("_p_email") == "new@x.io")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(_p_email), EqualTo(_p_email,new@x.io)]" in plan
+    assert [r["id"] for r in q.collect()] == ["h1"]
+
+
+def test_promoted_fallback_for_files_predating_declaration(spark, store):
+    """File groups written BEFORE the column declaration lack the
+    physical column; reads must fall back to props for those groups
+    only (the coalesce is gated by the declaration seq)."""
+    plain = spark.createDataFrame(
+        [("Robot", "r0", {"email": "pre@x.io"})],
+        "label string, id string, props map<string,string>",
+    )
+    store.merge_nodes(plain, 100)  # pre-declaration file group
+    # declares _p_email; the Robot partition carries forward untouched
+    load(store, HUMAN, _humans(spark, [("h1", "post@x.io")]), 200)
+    got = {r["id"]: r["_p_email"] for r in store.read_nodes().collect()}
+    assert got == {"r0": "pre@x.io", "h1": "post@x.io"}
+
+
 def test_sweep_works_with_promoted_columns(spark, store):
     """The staleness sweep must be oblivious to evolved schemas."""
     schema = NodeSchema(
