@@ -180,3 +180,63 @@ def test_expire_age_gates_true_orphans(spark, tmp_path):
     store.expire_versions(keep_last=1, orphan_grace_sec=0.0)
     assert not os.path.isdir(orphan)
     assert store.read_nodes().count() == 2
+
+
+def test_two_process_merges_both_survive(spark, tmp_path):
+    """TRUE cross-process race: a child Python process with its OWN
+    Spark JVM commits label Y through the same store root while the
+    parent is mid-merge on label X (after the parent read its base
+    manifest, before its pointer swap). The commit lock is an fcntl
+    flock — only a second OS process actually exercises it — and the
+    parent's CAS must fail and retry so BOTH commits survive."""
+    import subprocess
+    import sys
+    import textwrap
+
+    root = str(tmp_path / "g")
+    a = GraphStore(spark, root)
+    a.merge_nodes(_nodes_df(spark, [("Seed", "s0", None, {})]), 1)
+
+    child = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from cartography_spark.session import get_spark
+        from cartography_spark.store.graphstore import GraphStore
+        spark = get_spark(app_name="child-writer", cores=2, shuffle_partitions=2)
+        st = GraphStore(spark, sys.argv[1])
+        r = st.merge_nodes(
+            spark.createDataFrame(
+                [("Y", "y1", None, {})],
+                "label string, id string, scope_id string, props map<string,string>",
+            ),
+            2,
+        )
+        assert r["created"] == 1, r
+        print("CHILD_OK")
+        """
+    )
+
+    orig = a._write_data
+    fired = {"n": 0}
+
+    def hook(table, version, df):
+        out = orig(table, version, df)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # parent now holds a stale snapshot; the child commits first
+            proc = subprocess.run(
+                [sys.executable, "-c", child, root],
+                capture_output=True,
+                text=True,
+                timeout=300,
+            )
+            assert "CHILD_OK" in proc.stdout, proc.stderr[-2000:]
+        return out
+
+    a._write_data = hook
+    r = a.merge_nodes(_nodes_df(spark, [("X", "x1", None, {})]), 2)
+    assert r["created"] == 1
+    assert fired["n"] == 1  # the parent genuinely raced and retried
+    labels = sorted(set(row["label"] for row in a.read_nodes().collect()))
+    assert labels == ["Seed", "X", "Y"]
