@@ -152,13 +152,29 @@ def merge_frames(
 
     ``with_flags=True`` appends boolean ``__created`` / ``__updated``
     columns so the caller can harvest counters from the SAME pass via
-    ``Observation`` (no second anti-join job)."""
+    ``Observation`` (no extra job — the flags ride the same plan).
+
+    Plan shape (the 100 TB story): a MERGE written as one FULL OUTER
+    join can NEVER broadcast — Spark has no broadcast strategy for full
+    outer, so both sides shuffle, i.e. every sync would shuffle the
+    touched stored partitions in full. Decomposed instead as
+
+      (old LEFT OUTER new)   -- update-in-place pass
+      UNION ALL
+      (new LEFT ANTI old.key)  -- create pass
+
+    the dominant pass becomes broadcast-able: with a typical small sync
+    batch Catalyst/AQE broadcasts ``new`` and the STORED ROWS NEVER
+    SHUFFLE (scan -> broadcast-hash-join -> write). The create pass
+    anti-joins against a KEY-ONLY projection of ``old`` (column-pruned
+    scan), so even when it shuffles it moves keys, not row payloads.
+    When ``new`` is large both passes degrade to ordinary shuffled
+    joins — the same cost full_outer always paid. ``new`` is evaluated
+    twice (once per pass): callers pass a cheap/small update plan."""
     run_ts = F.to_timestamp(F.from_unixtime(F.lit(int(update_tag))))
     new = new.withColumn("__new", F.lit(True))
-    old = old.withColumn("__old", F.lit(True))
-    j = old.alias("o").join(new.alias("n"), key, "full_outer")
-    is_new = F.col("n.__new").isNotNull()
-    is_old = F.col("o.__old").isNotNull()
+    j = old.alias("o").join(new.alias("n"), key, "left_outer")
+    is_new = F.col("n.__new").isNotNull()  # matched -> update-in-place
 
     def merged(c: str) -> F.Column:
         if c in key:
@@ -172,13 +188,12 @@ def merge_frames(
         if c == "props":
             return (
                 F.when(
-                    is_new & is_old,
+                    is_new,
                     F.map_concat(
                         F.coalesce(F.col("o.props"), F.expr("map()")),
                         F.coalesce(F.col("n.props"), F.expr("map()")),
                     ),
                 )
-                .when(is_new, F.col("n.props"))
                 .otherwise(F.col("o.props"))
                 .alias(c)
             )
@@ -188,11 +203,25 @@ def merge_frames(
             .alias(c)
         )
 
-    out = [merged(c) for c in cols]
+    upd = [merged(c) for c in cols]
     if with_flags:
-        out.append((is_new & ~is_old).alias("__created"))
-        out.append((is_new & is_old).alias("__updated"))
-    return j.select(*out)
+        upd.append(F.lit(False).alias("__created"))
+        upd.append(is_new.alias("__updated"))
+    updated = j.select(*upd)
+
+    def created_col(c: str) -> F.Column:
+        if c == "firstseen":
+            return run_ts.alias(c)
+        if c == "lastupdated":
+            return F.lit(int(update_tag)).cast("long").alias(c)
+        return F.col(c).alias(c)
+
+    cre = [created_col(c) for c in cols]
+    if with_flags:
+        cre.append(F.lit(True).alias("__created"))
+        cre.append(F.lit(False).alias("__updated"))
+    created = new.join(old.select(*key), key, "left_anti").select(*cre)
+    return updated.unionByName(created)
 
 
 class GraphStore:

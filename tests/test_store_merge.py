@@ -396,3 +396,31 @@ def test_read_cost_bounded_across_twenty_sweeps(spark, store):
     # plan shape: bounded number of anti-joins folded into the read
     plan = store.read_nodes()._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LeftAnti") <= 5
+
+
+def test_merge_plan_is_broadcastable_no_full_outer(spark, store):
+    """100 TB plan-shape pin: the MERGE must not plan a FULL OUTER join
+    (Spark can never broadcast one — the stored side would shuffle every
+    sync). With a small update batch the update-in-place pass must be a
+    BroadcastHashJoin, so stored rows flow scan -> join -> write with no
+    shuffle of the stored table."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.store.graphstore import NODES_SCHEMA, merge_frames
+
+    store.merge_nodes(
+        _nodes_df(spark, [("T", f"t{i}", None, {"k": str(i)}) for i in range(500)]), 100
+    )
+    new = _nodes_df(spark, [("T", "t1", None, {"k": "x"}), ("T", "t_new", None, {})])
+    for f in NODES_SCHEMA.fields:
+        if f.name not in new.columns and f.name not in ("firstseen", "lastupdated"):
+            new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
+    cols = [f.name for f in NODES_SCHEMA.fields]
+    plan = (
+        merge_frames(store.read_nodes(), new, ["label", "id"], cols, 200)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FullOuter" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
