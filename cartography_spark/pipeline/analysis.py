@@ -157,18 +157,9 @@ class AnalysisJob:
             for step in self.steps:
                 nodes, edges = step.fn(nodes, edges, params)
 
-            def _evolution(man: dict, df: DataFrame, version: str) -> dict:
-                """Carry the table's promoted-column declarations, plus
-                any new ``_p_`` columns this write introduces (same
-                union rule as the store's own commit paths)."""
-                cols = sorted(
-                    set(man.get("columns", []))
-                    | {c for c in df.columns if c.startswith("_p_")}
-                )
-                seqs = dict(man.get("columns_seq", {}))
-                for c in cols:
-                    seqs.setdefault(c, int(version[1:]))
-                return {"columns": cols, "columns_seq": seqs}
+            # Promoted-column evolution (columns/columns_seq/columns_types)
+            # rides every commit via the store's single helper.
+            _evolution = store._evolve_columns
 
             commits: dict[str, tuple[str, dict]] = {}
             if touched is None:

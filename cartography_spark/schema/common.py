@@ -34,6 +34,14 @@ class PropertyRef:
     fuzzy_and_ignore_case: bool = False
     one_to_many: bool = False
     extra_index: bool = False
+    #: Spark DDL type of the promoted ``_p_<name>`` column (e.g.
+    #: ``"bigint"``, ``"double"``, ``"timestamp"``). Only meaningful
+    #: with ``extra_index=True``; default string. A typed promotion
+    #: gives the column REAL min/max ordering in parquet row-group
+    #: stats — a numeric range filter on a string-typed copy prunes by
+    #: lexicographic order, i.e. not at all. The type is fixed at first
+    #: declaration (store schema evolution never retypes a column).
+    index_type: str | None = None
 
     def __post_init__(self) -> None:
         # Mirror the reference's invalid-combination guards
@@ -42,6 +50,8 @@ class PropertyRef:
             raise ValueError("one_to_many cannot be set_in_kwargs")
         if self.fuzzy_and_ignore_case and self.one_to_many:
             raise ValueError("fuzzy_and_ignore_case cannot combine with one_to_many")
+        if self.index_type is not None and not self.extra_index:
+            raise ValueError("index_type requires extra_index=True")
 
     def to_column(self, params: Mapping[str, Any] | None = None) -> Column:
         """Resolve to a Column: input field, or run-param literal."""

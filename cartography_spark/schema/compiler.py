@@ -72,7 +72,7 @@ def compile_node_updates(
     id_ref = schema.properties["id"]
     other = {k: v for k, v in schema.properties.items() if k != "id"}
     promoted = [
-        ref.to_column(params).cast("string").alias(f"_p_{name}")
+        ref.to_column(params).try_cast(ref.index_type or "string").alias(f"_p_{name}")
         for name, ref in other.items()
         if ref.extra_index
     ]

@@ -357,6 +357,51 @@ class GraphStore:
 
     # ---------- reads ----------
 
+    def _evolve_columns(
+        self,
+        manifest: dict | None,
+        df: DataFrame,
+        version: str,
+        restrict_to_df: bool = False,
+    ) -> dict:
+        """The promoted-column evolution block every commit carries:
+        ``columns`` (declared ``_p_`` columns), ``columns_seq`` (the
+        version seq each was first declared at — gates the read-side
+        props fallback), ``columns_types`` (Spark DDL type, fixed at
+        first declaration). ``restrict_to_df=True`` is the compaction
+        full-snapshot case where ``df`` IS the whole table; otherwise
+        the declarations union with what the manifest already carries.
+        Raises on a type conflict — schema evolution adds columns, it
+        never retypes them."""
+        man = manifest or {}
+        df_promoted = {c for c in df.columns if c.startswith("_p_")}
+        cols = sorted(
+            df_promoted if restrict_to_df else set(man.get("columns", [])) | df_promoted
+        )
+        seqs = {c: s for c, s in man.get("columns_seq", {}).items() if c in cols}
+        types = {c: t for c, t in man.get("columns_types", {}).items() if c in cols}
+        for c in cols:
+            seqs.setdefault(c, int(version[1:]))
+            if c in df.columns:
+                t = df.schema[c].dataType.simpleString()
+                prev = types.setdefault(c, t)
+                if prev != t:
+                    raise ValueError(
+                        f"promoted column {c} is declared {prev!r}; this write "
+                        f"carries {t!r} — promoted columns are never retyped"
+                    )
+            else:
+                types.setdefault(c, "string")
+        return {"columns": cols, "columns_seq": seqs, "columns_types": types}
+
+    @staticmethod
+    def _promoted_type(manifest: dict, col: str) -> T.DataType:
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(
+            manifest.get("columns_types", {}).get(col, "string")
+        )
+
     @staticmethod
     def _with_promoted(schema: T.StructType, manifest: dict | None) -> T.StructType:
         """Extend a base table schema with the promoted matcher columns
@@ -372,7 +417,7 @@ class GraphStore:
             return schema
         have = {f.name for f in schema.fields}
         extra = [
-            T.StructField(c, T.StringType(), True)
+            T.StructField(c, GraphStore._promoted_type(manifest, c), True)
             for c in manifest.get("columns", [])
             if c not in have
         ]
@@ -427,7 +472,10 @@ class GraphStore:
                     df = df.withColumn(
                         c,
                         F.coalesce(
-                            F.col(c), F.element_at(F.col("props"), c[len("_p_"):])
+                            F.col(c),
+                            F.element_at(F.col("props"), c[len("_p_"):]).try_cast(
+                                self._promoted_type(manifest, c)
+                            ),
                         ),
                     )
             dels = [d for d in manifest.get("deletes", []) if d["seq"] > seq]
@@ -467,10 +515,10 @@ class GraphStore:
         leave a stale index copy), and the read path only needs a
         props-fallback for files that PREDATE the declaration."""
         if "props" in df.columns:
-            for c in df.columns:
+            for c, dt in [(f.name, f.dataType) for f in df.schema.fields]:
                 if c.startswith("_p_"):
                     df = df.withColumn(
-                        c, F.element_at(F.col("props"), c[len("_p_"):])
+                        c, F.element_at(F.col("props"), c[len("_p_"):]).try_cast(dt)
                     )
         pcol = _PARTITION_COL[table]
         path = os.path.join(self.root, "data", table, version)
@@ -515,18 +563,13 @@ class GraphStore:
         old_man = self._manifest(table) or {}
         v = self._allocate_version(table)
         parts = self._write_data(table, v, df)
-        promoted = sorted(c for c in df.columns if c.startswith("_p_"))
-        col_seq = {c: s for c, s in old_man.get("columns_seq", {}).items() if c in promoted}
-        for c in promoted:
-            col_seq.setdefault(c, int(v[1:]))
         self._commit_manifest(
             table,
             v,
             {
                 "partitions": parts,
                 "deletes": [],
-                "columns": promoted,
-                "columns_seq": col_seq,
+                **self._evolve_columns(old_man, df, v, restrict_to_df=True),
             },
             expected_seq,
         )
@@ -553,21 +596,13 @@ class GraphStore:
         new_parts = self._write_data(table, v, df)
         parts = {k: p for k, p in manifest["partitions"].items() if k not in set(partitions)}
         parts.update(new_parts)
-        promoted = sorted(
-            set(manifest.get("columns", []))
-            | {c for c in df.columns if c.startswith("_p_")}
-        )
-        col_seq = dict(manifest.get("columns_seq", {}))
-        for c in promoted:
-            col_seq.setdefault(c, int(v[1:]))
         self._commit_manifest(
             table,
             v,
             {
                 "partitions": parts,
                 "deletes": list(manifest.get("deletes", [])),
-                "columns": promoted,
-                "columns_seq": col_seq,
+                **self._evolve_columns(manifest, df, v),
             },
             expected_seq,
         )
@@ -649,12 +684,25 @@ class GraphStore:
             manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
             promoted = sorted(set(manifest.get("columns", [])) | set(new_promoted))
             cols = [f.name for f in schema.fields] + promoted
+            # Fail fast on a retype BEFORE the join coerces it silently:
+            # evolution adds columns, it never changes their type.
+            for c in new_promoted:
+                declared = manifest.get("columns_types", {}).get(c)
+                carried = new.schema[c].dataType.simpleString()
+                if declared is not None and declared != carried:
+                    raise ValueError(
+                        f"promoted column {c} is declared {declared!r}; this "
+                        f"update carries {carried!r} — promoted columns are "
+                        f"never retyped"
+                    )
             old = self._read_manifest_df(table, schema, manifest, only_partitions=touched)
-            for c in promoted:  # newly-introduced promoted cols: NULL in old
+            for c in promoted:  # cols missing on one side: typed NULL
                 if c not in old.columns:
-                    old = old.withColumn(c, F.lit(None).cast("string"))
+                    old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
                 if c not in new.columns:
-                    new = new.withColumn(c, F.lit(None).cast("string"))
+                    new = new.withColumn(
+                        c, F.lit(None).cast(self._promoted_type(manifest, c))
+                    )
             v = self._allocate_version(table)
             obs = Observation(f"merge_{table}_{v}")
             result = (
@@ -667,12 +715,10 @@ class GraphStore:
                 )
                 .drop("__created", "__updated")
             )
+            evolution = self._evolve_columns(manifest, result, v)
             new_parts = self._write_data(table, v, result)  # counters fold into this job
             parts = dict(manifest["partitions"])
             parts.update(new_parts)
-            col_seq = dict(manifest.get("columns_seq", {}))
-            for c in promoted:
-                col_seq.setdefault(c, int(v[1:]))
             try:
                 self._commit_manifest(
                     table,
@@ -680,8 +726,7 @@ class GraphStore:
                     {
                         "partitions": parts,
                         "deletes": list(manifest.get("deletes", [])),
-                        "columns": promoted,
-                        "columns_seq": col_seq,
+                        **evolution,
                     },
                     expected_seq=seq0,
                 )

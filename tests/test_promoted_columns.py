@@ -163,6 +163,84 @@ def test_promoted_fallback_for_files_predating_declaration(spark, store):
     assert got == {"r0": "pre@x.io", "h1": "post@x.io"}
 
 
+TYPED = NodeSchema(
+    label="Human",
+    properties={
+        "id": PropertyRef("hid"),
+        "age": PropertyRef("age", extra_index=True, index_type="bigint"),
+    },
+)
+
+
+def test_typed_promotion_numeric_range_pushdown(spark, store):
+    """``index_type`` promotes to a REAL typed column: a numeric range
+    filter reaches the scan as a numeric GreaterThan (string min/max
+    would prune lexicographically, i.e. not at all), and every later
+    write re-derives the typed copy from props with a cast."""
+    df = spark.createDataFrame(
+        [(f"h{i}", i * 3) for i in range(50)], "hid string, age long"
+    )
+    load(store, TYPED, df, 100)
+    nodes = store.read_nodes()
+    assert nodes.schema["_p_age"].dataType.simpleString() == "bigint"
+    assert store._manifest("nodes")["columns_types"] == {"_p_age": "bigint"}
+    q = nodes.where(F.col("_p_age") > 120)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(_p_age), GreaterThan(_p_age,120)]" in plan
+    assert sorted(r["id"] for r in q.collect()) == [f"h{i}" for i in range(41, 50)]
+    # a batch without the column keeps the typed value through the merge
+    plain = spark.createDataFrame(
+        [("Human", "h1", {"team": "eng"})], "label string, id string, props map<string,string>"
+    )
+    store.merge_nodes(plain, 200)
+    row = store.read_nodes().where("id = 'h1'").collect()[0]
+    assert row["_p_age"] == 3 and row["props"]["team"] == "eng"
+    # an analysis rewrite of the prop refreshes the typed copy (cast)
+    from cartography_spark.pipeline.analysis import AnalysisJob
+
+    AnalysisJob.from_json(
+        """{"name": "bump", "statements": [
+            {"op": "set_prop", "where": "label = 'Human' AND id = 'h2'",
+             "prop": "age", "value": "99"}]}"""
+    ).run(store, 300)
+    assert store.read_nodes().where("id = 'h2'").collect()[0]["_p_age"] == 99
+
+
+def test_promoted_column_retype_rejected(spark, store):
+    """Schema evolution adds columns, it never retypes them: an update
+    carrying a different dtype for a declared column must fail fast
+    (before the join would coerce it silently)."""
+    load(
+        store,
+        TYPED,
+        spark.createDataFrame([("h1", 30)], "hid string, age long"),
+        100,
+    )
+    bad = spark.createDataFrame(
+        [("Human", "h9", {"age": "1.5"}, 1.5)],
+        "label string, id string, props map<string,string>, _p_age double",
+    )
+    with pytest.raises(ValueError, match="never retyped"):
+        store.merge_nodes(bad, 200)
+
+
+def test_typed_fallback_for_files_predating_declaration(spark, store):
+    """Pre-declaration file groups read the typed column through the
+    props fallback WITH the declared cast."""
+    plain = spark.createDataFrame(
+        [("Robot", "r0", {"age": "77"})], "label string, id string, props map<string,string>"
+    )
+    store.merge_nodes(plain, 100)  # pre-declaration group
+    load(
+        store,
+        TYPED,
+        spark.createDataFrame([("h1", 30)], "hid string, age long"),
+        200,
+    )
+    got = {r["id"]: r["_p_age"] for r in store.read_nodes().collect()}
+    assert got == {"r0": 77, "h1": 30}
+
+
 def test_sweep_works_with_promoted_columns(spark, store):
     """The staleness sweep must be oblivious to evolved schemas."""
     schema = NodeSchema(
