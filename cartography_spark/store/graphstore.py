@@ -664,6 +664,28 @@ class GraphStore:
         # the manifest already declares and what this update carries.
         new_promoted = sorted(c for c in new.columns if c.startswith("_p_"))
 
+        # The decomposed MERGE (see merge_frames) reads ``new`` twice
+        # (update pass + create pass) and a third time for the touched
+        # partition set — cache the deduped batch so its window shuffle
+        # runs once. Released in the finally below.
+        new = new.persist()
+        try:
+            return self._merge_cached(
+                table, schema, key, new, new_promoted, update_tag, partition_col
+            )
+        finally:
+            new.unpersist()
+
+    def _merge_cached(
+        self,
+        table: str,
+        schema: T.StructType,
+        key: list[str],
+        new: DataFrame,
+        new_promoted: list[str],
+        update_tag: int,
+        partition_col: str,
+    ) -> dict[str, int]:
         # Partition pruning: only the partitions named by the update are
         # read, merged, and rewritten; everything else carries forward by
         # manifest reference. The distinct() is on the tiny partition
