@@ -93,6 +93,55 @@ def kg_node_merge_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_typed_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed promoted columns end-to-end through the REAL store: batch 1
+    merges plain Customer nodes (props only — predates the declaration),
+    batch 2 loads Vip nodes whose ``bal_cents`` is promoted as a typed
+    bigint column (``PropertyRef(index_type="bigint")``). The range scan
+    then reads Customer rows through the props fallback cast and Vip
+    rows through the native typed column with numeric min/max pruning —
+    the columnar analog of the reference's auto-created matcher indexes
+    (``querybuilder.py:490-551``) under schema evolution."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from cartography_spark.pipeline.sync import load
+    from cartography_spark.schema import NodeSchema, PropertyRef
+    from cartography_spark.store.graphstore import GraphStore
+
+    root = tempfile.mkdtemp(prefix="kg_typed_index_")
+    atexit.register(shutil.rmtree, root, True)  # lazy plan reads the files
+    store = GraphStore(spark, root)
+    cust = _t(spark, sf_dir, "customer")
+    plain = cust.where(F.col("c_acctbal") <= 800).select(
+        F.lit("Customer").alias("label"),
+        F.col("c_custkey").cast("string").alias("id"),
+        F.create_map(
+            F.lit("bal_cents"),
+            F.round(F.col("c_acctbal") * 100).cast("long").cast("string"),
+        ).alias("props"),
+    )
+    store.merge_nodes(plain, 1000)
+    vip_schema = NodeSchema(
+        label="Vip",
+        properties={
+            "id": PropertyRef("cid"),
+            "bal_cents": PropertyRef("balc", extra_index=True, index_type="bigint"),
+        },
+    )
+    vips = cust.where(F.col("c_acctbal") > 500).select(
+        F.col("c_custkey").cast("string").alias("cid"),
+        F.round((F.col("c_acctbal") + 100) * 100).cast("long").alias("balc"),
+    )
+    load(store, vip_schema, vips, 2000)
+    return (
+        store.read_nodes()
+        .where(F.col("_p_bal_cents") > 75000)
+        .select("label", "id", F.col("_p_bal_cents").alias("bal_cents"))
+    )
+
+
 def kg_cleanup_stale_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 staleness sweep: nodes = all customers; the new run touches only
     customers having orders. The anti-join yields the doomed (stale) set
@@ -812,6 +861,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_node_merge_u1": kg_node_merge_u1,
+    "kg_typed_index_scan": kg_typed_index_scan,
     "kg_cleanup_stale_c1": kg_cleanup_stale_c1,
     "kg_link_exact_j2": kg_link_exact_j2,
     "kg_link_ignorecase_j3": kg_link_ignorecase_j3,

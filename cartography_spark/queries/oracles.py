@@ -17,6 +17,20 @@ FROM customer
 WHERE c_acctbal <= 800 OR c_acctbal > 500
 """
 
+ORACLES["kg_typed_index_scan"] = """
+SELECT 'Customer' AS label,
+       CAST(c_custkey AS VARCHAR) AS id,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_acctbal <= 800 AND CAST(ROUND(c_acctbal * 100) AS BIGINT) > 75000
+UNION ALL
+SELECT 'Vip' AS label,
+       CAST(c_custkey AS VARCHAR) AS id,
+       CAST(ROUND((c_acctbal + 100) * 100) AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_acctbal > 500 AND CAST(ROUND((c_acctbal + 100) * 100) AS BIGINT) > 75000
+"""
+
 ORACLES["kg_cleanup_stale_c1"] = """
 SELECT n.n_name AS n_name, COUNT(*) AS n_stale
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
