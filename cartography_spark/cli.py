@@ -179,7 +179,7 @@ def cmd_store(args) -> int:
     spark = _spark(args)
     store = GraphStore(spark, args.store)
     if args.store_command == "compact":
-        print(json.dumps(store.compact()))
+        print(json.dumps(store.compact(full=getattr(args, "full", False))))
     else:
         print(json.dumps(store.expire_versions(keep_last=args.keep_last)))
     return 0
@@ -254,7 +254,11 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("store", help="store maintenance (compact / expire)")
     stsub = st.add_subparsers(dest="store_command", required=True)
-    sc = stsub.add_parser("compact", help="fold tombstones into a fresh snapshot")
+    sc = stsub.add_parser(
+        "compact",
+        help="fold tombstones into rewritten data (only affected partitions; --full for a whole-table snapshot)",
+    )
+    sc.add_argument("--full", action="store_true")
     sc.add_argument("--store", required=True)
     se = stsub.add_parser("expire", help="retention GC of old versions")
     se.add_argument("--store", required=True)

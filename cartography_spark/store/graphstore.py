@@ -799,8 +799,18 @@ class GraphStore:
         n = int(obs.get["n"] or 0)
         if n == 0:
             return 0, None, None
+        # Record which partitions this tombstone can touch (the key's
+        # leading column IS the partition column): compaction then
+        # rewrites only affected partitions and prunes dead tombstones,
+        # instead of folding the whole table. One distinct over the
+        # just-written (small) key file.
+        pcol = _PARTITION_COL[table]
+        touched = sorted(
+            r[0] if r[0] is not None else "__HIVE_DEFAULT_PARTITION__"
+            for r in self.spark.read.parquet(path).select(pcol).distinct().collect()
+        )
         manifest["deletes"] = list(manifest.get("deletes", [])) + [
-            {"path": os.path.join("deletes", table, v), "seq": int(v[1:])}
+            {"path": os.path.join("deletes", table, v), "seq": int(v[1:]), "partitions": touched}
         ]
         return n, v, manifest
 
@@ -1035,24 +1045,107 @@ class GraphStore:
                 out.update(self.compact(t))
         return out
 
-    def compact(self, table: str | None = None) -> dict[str, str]:
-        """Fold tombstones into a fresh full snapshot (Iceberg
+    def compact(self, table: str | None = None, full: bool = False) -> dict[str, str]:
+        """Fold tombstones into rewritten data (Iceberg
         rewrite_data_files + rewrite_position_delete_files analog). Run
         periodically, off the sync critical path. CAS-committed: a
         concurrent mutation wins and the compaction re-reads the new
-        snapshot (never clobbers a racing merge/sweep)."""
+        snapshot (never clobbers a racing merge/sweep).
+
+        Default is PARTITION-SCOPED (the only shape that survives
+        100 TB): each tombstone entry records the partitions its keys
+        can touch, so only affected partitions are read (deletes fold in
+        at read time) and rewritten; every other partition carries
+        forward by reference, and tombstones that no longer apply to any
+        remaining older-seq partition are pruned from the manifest.
+        Compaction cost tracks tombstone-touched partitions, not table
+        size. ``full=True`` forces the legacy whole-table snapshot
+        (also re-sorts untouched partitions)."""
         out: dict[str, str] = {}
         for t in [table] if table else ["nodes", "edges"]:
             last: CommitConflict | None = None
             for _ in range(_COMMIT_RETRIES):
                 seq0 = self._pointer().get("seq", 0)
-                if self._manifest(t) is None:
+                manifest = self._manifest(t)
+                if manifest is None:
                     break
                 try:
-                    out[t] = self._write(t, self._read(t, _SCHEMA[t]), expected_seq=seq0)
+                    if full:
+                        out[t] = self._write(
+                            t, self._read(t, _SCHEMA[t]), expected_seq=seq0
+                        )
+                    else:
+                        v = self._compact_partial(t, manifest, seq0)
+                        if v is not None:
+                            out[t] = v
                     break
                 except CommitConflict as e:
                     last = e
             else:
                 raise last  # type: ignore[misc]
         return out
+
+    def _compact_partial(self, table: str, manifest: dict, seq0: int) -> str | None:
+        """One partition-scoped compaction pass against ``manifest``.
+        Returns the new version, or None when nothing needed doing."""
+        parts = manifest["partitions"]
+        deletes = list(manifest.get("deletes", []))
+
+        def scope(d: dict) -> list[str]:
+            # pre-round-3 tombstones lack the partition list: assume all
+            return d.get("partitions", list(parts))
+
+        affected = sorted(
+            {
+                p
+                for d in deletes
+                for p in scope(d)
+                if p in parts and parts[p]["seq"] < d["seq"]
+            }
+        )
+        if not affected:
+            # still prune tombstones that apply to nothing (e.g. their
+            # partitions were since rewritten by merges)
+            kept = [
+                d
+                for d in deletes
+                if any(parts[p]["seq"] < d["seq"] for p in scope(d) if p in parts)
+            ]
+            if len(kept) == len(deletes):
+                return None
+            v = self._allocate_version(table)
+            self._commit_manifest(
+                table,
+                v,
+                {**manifest, "deletes": kept},
+                expected_seq=seq0,
+            )
+            return v
+        # deletes fold in at read time for the affected partitions
+        schema = _SCHEMA[table]
+        df = self._read_manifest_df(table, schema, manifest, only_partitions=affected)
+        v = self._allocate_version(table)
+        new_parts = self._write_data(table, v, df)
+        merged = {p: info for p, info in parts.items() if p not in set(affected)}
+        merged.update(new_parts)
+        # a compacted-away partition (every row tombstoned) must not
+        # carry its old entry forward
+        for p in affected:
+            if p not in new_parts:
+                merged.pop(p, None)
+        kept = [
+            d
+            for d in deletes
+            if any(merged[p]["seq"] < d["seq"] for p in scope(d) if p in merged)
+        ]
+        self._commit_manifest(
+            table,
+            v,
+            {
+                "partitions": merged,
+                "deletes": kept,
+                **self._evolve_columns(manifest, df, v),
+            },
+            expected_seq=seq0,
+        )
+        return v

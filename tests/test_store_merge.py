@@ -424,3 +424,65 @@ def test_merge_plan_is_broadcastable_no_full_outer(spark, store):
     )
     assert "FullOuter" not in plan
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_compact_is_partition_scoped(spark, store):
+    """100 TB compaction shape: only tombstone-affected partitions are
+    rewritten; untouched partitions carry forward byte-identically and
+    dead tombstones are pruned from the manifest."""
+    store.merge_nodes(
+        _nodes_df(
+            spark,
+            [("A", f"a{i}", None, {}) for i in range(5)]
+            + [("B", "b1", None, {})]
+            + [("C", "c1", None, {})],
+        ),
+        100,
+    )
+    doomed = store.read_nodes().where("label = 'A' AND id = 'a0'").select("label", "id")
+    store._write_deletes("nodes", doomed)
+    man = store._manifest("nodes")
+    assert man["deletes"] and man["deletes"][0]["partitions"] == ["A"]
+    before = dict(man["partitions"])
+    store.compact("nodes")
+    after = store._manifest("nodes")
+    # A rewritten at a fresh seq; B and C carried forward by reference
+    assert after["partitions"]["A"]["seq"] > before["A"]["seq"]
+    assert after["partitions"]["B"] == before["B"]
+    assert after["partitions"]["C"] == before["C"]
+    assert after["deletes"] == []
+    ids = sorted(r["id"] for r in store.read_nodes().collect())
+    assert ids == ["a1", "a2", "a3", "a4", "b1", "c1"]
+
+
+def test_compact_prunes_dead_tombstones_without_rewrite(spark, store):
+    """A tombstone whose partitions were all since rewritten by merges
+    applies to nothing: compact drops it from the manifest WITHOUT
+    touching any data."""
+    store.merge_nodes(
+        _nodes_df(spark, [("A", "a1", None, {}), ("B", "b1", None, {})]), 100
+    )
+    doomed = store.read_nodes().where("id = 'a1'").select("label", "id")
+    store._write_deletes("nodes", doomed)
+    # merging label A rewrites its partition at a newer seq: the
+    # tombstone now applies to no older-seq partition in its scope
+    store.merge_nodes(_nodes_df(spark, [("A", "a2", None, {})]), 200)
+    before = dict(store._manifest("nodes")["partitions"])
+    store.compact("nodes")
+    after = store._manifest("nodes")
+    assert after["deletes"] == []
+    assert after["partitions"] == before  # no data rewritten
+    ids = sorted(r["id"] for r in store.read_nodes().collect())
+    assert ids == ["a2", "b1"]
+
+
+def test_compact_full_snapshot_still_available(spark, store):
+    """full=True keeps the legacy whole-table snapshot (re-sorts and
+    re-homes every partition at one seq)."""
+    store.merge_nodes(_nodes_df(spark, [("A", "a1", None, {})]), 100)
+    store.merge_nodes(_nodes_df(spark, [("B", "b1", None, {})]), 200)
+    out = store.compact("nodes", full=True)
+    man = store._manifest("nodes")
+    seqs = {info["seq"] for info in man["partitions"].values()}
+    assert len(seqs) == 1 and out["nodes"].startswith("v")
+    assert store.read_nodes().count() == 2
