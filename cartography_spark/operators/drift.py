@@ -33,6 +33,34 @@ def state_diff(
     return end.exceptAll(start), start.exceptAll(end)
 
 
+def changed_partitions(man_start: dict | None, man_end: dict | None) -> list[str]:
+    """Partitions whose VISIBLE content can differ between two manifests:
+    the data entry changed (different version dir), the partition exists
+    on one side only, or the set of tombstone files applicable to it
+    differs. Everything else is byte-identical by construction (immutable
+    version dirs + sequence-numbered deletes) and contributes nothing to
+    a diff — the Iceberg incremental-read analog, making snapshot drift
+    cost proportional to what the syncs in between actually touched."""
+    ps = (man_start or {}).get("partitions", {})
+    pe = (man_end or {}).get("partitions", {})
+
+    def applicable(man: dict | None, p: str, info: dict) -> frozenset:
+        return frozenset(
+            d["path"]
+            for d in (man or {}).get("deletes", [])
+            if info["seq"] < d["seq"] and p in d.get("partitions", [p])
+        )
+
+    out = []
+    for p in set(ps) | set(pe):
+        s, e = ps.get(p), pe.get(p)
+        if s is None or e is None or s["dir"] != e["dir"]:
+            out.append(p)
+        elif applicable(man_start, p, s) != applicable(man_end, p, e):
+            out.append(p)
+    return sorted(out)
+
+
 def node_drift(
     store: GraphStore,
     start_version: str,
@@ -40,12 +68,21 @@ def node_drift(
     label: str | None = None,
 ) -> DataFrame:
     """Node-level drift report between two store versions: one row per
-    added/removed (label, id) with a ``change`` column."""
-    start = store.read_nodes(start_version)
-    end = store.read_nodes(end_version)
+    added/removed (label, id) with a ``change`` column.
+
+    Manifest-aware: only partitions whose entries (or applicable
+    tombstones) differ between the two snapshots are scanned at all —
+    a diff between adjacent syncs costs the touched partitions, not two
+    full table reads."""
+    from cartography_spark.store.graphstore import NODES_SCHEMA
+
+    man_s = store._manifest("nodes", start_version)
+    man_e = store._manifest("nodes", end_version)
+    changed = changed_partitions(man_s, man_e)
     if label is not None:
-        start = start.where(F.col("label") == label)
-        end = end.where(F.col("label") == label)
+        changed = [p for p in changed if p == label]
+    start = store._read_manifest_df("nodes", NODES_SCHEMA, man_s, only_partitions=changed)
+    end = store._read_manifest_df("nodes", NODES_SCHEMA, man_e, only_partitions=changed)
     key = ["label", "id"]
     new, missing = state_diff(start, end, key)
     return new.withColumn("change", F.lit("added")).unionByName(

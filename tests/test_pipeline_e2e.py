@@ -229,3 +229,34 @@ def test_node_drift_between_versions(spark, store):
     load(store, USER, _users(spark, ["u3"]), 200, TENANT_ID="t1")
     drift = node_drift(store, v1, label="User").collect()
     assert {(r["id"], r["change"]) for r in drift} == {("u3", "added")}
+
+
+def test_node_drift_scans_only_changed_partitions(spark, store):
+    """Manifest-aware drift: a diff between two snapshots must not read
+    partitions whose entries (and applicable tombstones) are identical
+    — the Iceberg incremental-read analog."""
+    from cartography_spark.operators.drift import changed_partitions, node_drift
+
+    rows = [("A", "a1", None, {}), ("B", "b1", None, {}), ("C", "c1", None, {})]
+    store.merge_nodes(
+        spark.createDataFrame(
+            rows, "label string, id string, scope_id string, props map<string,string>"
+        ),
+        100,
+    )
+    v1 = store._pointer()["nodes"]
+    store.merge_nodes(
+        spark.createDataFrame(
+            [("B", "b2", None, {})],
+            "label string, id string, scope_id string, props map<string,string>",
+        ),
+        200,
+    )
+    v2 = store._pointer()["nodes"]
+    # only B's entry differs between the manifests
+    assert changed_partitions(store._manifest("nodes", v1), store._manifest("nodes", v2)) == ["B"]
+    got = {(r["id"], r["change"]) for r in node_drift(store, v1, v2).collect()}
+    assert got == {("b2", "added")}
+    # and the plan reads no A/C files at all
+    plan = node_drift(store, v1, v2)._jdf.queryExecution().executedPlan().toString()
+    assert "label=A" not in plan and "label=C" not in plan
