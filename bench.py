@@ -243,12 +243,37 @@ def run_store_bench(spark) -> dict:
         t0 = time.time()
         AnalysisJob.run_from_json(store, job, 300)
         analysis_sec = time.time() - t0
+
+        # Late round-3: compaction is partition-scoped — tombstoning
+        # rows of ONE label and compacting must rewrite that label only
+        # (cost a fraction of the full-snapshot form on the same state).
+        doomed = (
+            store.read_nodes()
+            .where("label = 'L0' AND pmod(cast(id as long), 16) = 0")
+            .select("label", "id")
+        )
+        store._write_deletes("nodes", doomed)
+        t0 = time.time()
+        store.compact("nodes")
+        compact_sec = time.time() - t0
+        doomed2 = (
+            store.read_nodes()
+            .where("label = 'L1' AND pmod(cast(id as long), 16) = 1")
+            .select("label", "id")
+        )
+        store._write_deletes("nodes", doomed2)
+        t0 = time.time()
+        store.compact("nodes", full=True)
+        compact_full_sec = time.time() - t0
         return {
             "bulk_load_sec": round(bulk_sec, 3),
             "touched_merge_sec": round(touched_sec, 3),
             "touched_over_bulk": round(touched_sec / bulk_sec, 3),
             "analysis_touched_sec": round(analysis_sec, 3),
             "analysis_over_bulk": round(analysis_sec / bulk_sec, 3),
+            "compact_partial_sec": round(compact_sec, 3),
+            "compact_full_sec": round(compact_full_sec, 3),
+            "compact_partial_over_full": round(compact_sec / compact_full_sec, 3),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
