@@ -52,6 +52,16 @@ class PropertyRef:
             raise ValueError("fuzzy_and_ignore_case cannot combine with one_to_many")
         if self.index_type is not None and not self.extra_index:
             raise ValueError("index_type requires extra_index=True")
+        if (
+            self.index_type is not None
+            and self.index_type != "string"
+            and (self.ignore_case or self.fuzzy_and_ignore_case)
+        ):
+            raise ValueError(
+                "case-insensitive matchers require a string-typed promotion "
+                f"(index_type={self.index_type!r} would put lower() on a "
+                "non-string column)"
+            )
 
     def to_column(self, params: Mapping[str, Any] | None = None) -> Column:
         """Resolve to a Column: input field, or run-param literal."""

@@ -45,6 +45,12 @@ def test_propertyref_invalid_combinations():
         PropertyRef("x", one_to_many=True, set_in_kwargs=True)
     with pytest.raises(ValueError):
         PropertyRef("x", one_to_many=True, fuzzy_and_ignore_case=True)
+    with pytest.raises(ValueError, match="extra_index"):
+        PropertyRef("x", index_type="bigint")
+    with pytest.raises(ValueError, match="string-typed"):
+        PropertyRef("x", extra_index=True, index_type="bigint", ignore_case=True)
+    # string-typed promotion composes with case-insensitive matching
+    PropertyRef("x", extra_index=True, index_type="string", ignore_case=True)
 
 
 def test_propertyref_kwarg_binding_requires_param():
