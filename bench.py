@@ -245,26 +245,28 @@ def run_store_bench(spark) -> dict:
         analysis_sec = time.time() - t0
 
         # Late round-3: compaction is partition-scoped — tombstoning
-        # rows of ONE label and compacting must rewrite that label only
-        # (cost a fraction of the full-snapshot form on the same state).
+        # rows of ONE label and compacting must rewrite that label only.
+        # Both forms are timed on IDENTICAL state: the store dir is
+        # cloned after the tombstone write, partial runs on the
+        # original, full=True on the clone.
         doomed = (
             store.read_nodes()
             .where("label = 'L0' AND pmod(cast(id as long), 16) = 0")
             .select("label", "id")
         )
         store._write_deletes("nodes", doomed)
-        t0 = time.time()
-        store.compact("nodes")
-        compact_sec = time.time() - t0
-        doomed2 = (
-            store.read_nodes()
-            .where("label = 'L1' AND pmod(cast(id as long), 16) = 1")
-            .select("label", "id")
-        )
-        store._write_deletes("nodes", doomed2)
-        t0 = time.time()
-        store.compact("nodes", full=True)
-        compact_full_sec = time.time() - t0
+        clone_root = root + "_clone"
+        shutil.copytree(root, clone_root)
+        try:
+            t0 = time.time()
+            store.compact("nodes")
+            compact_sec = time.time() - t0
+            clone = GraphStore(spark, clone_root)
+            t0 = time.time()
+            clone.compact("nodes", full=True)
+            compact_full_sec = time.time() - t0
+        finally:
+            shutil.rmtree(clone_root, ignore_errors=True)
         return {
             "bulk_load_sec": round(bulk_sec, 3),
             "touched_merge_sec": round(touched_sec, 3),

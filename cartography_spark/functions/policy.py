@@ -105,7 +105,10 @@ def _compile_clause(clause: str) -> str:
     - ``{,n}`` is a valid 0..n quantifier in Python but a
       PatternSyntaxException in Java -> rewritten ``{0,n}``;
     - a ``{`` that does not open a valid quantifier is a literal in
-      Python but rejected by Java -> escaped ``\\{``."""
+      Python but rejected by Java -> escaped ``\\{``.
+    Both rewrites skip a ``{`` that is ALREADY escaped (negative
+    lookbehind) — a clause like ``a\\{b`` is valid in both dialects as
+    written and must pass through untouched."""
     rx = (
         "(?i)^"
         + clause.replace(".", "\\.").replace("*", ".*").replace("?", ".?")
@@ -115,8 +118,9 @@ def _compile_clause(clause: str) -> str:
         re.compile(rx)
     except re.error:
         return "(?i)^$"
-    rx = re.sub(r"\{,(\d*)\}", r"{0,\1}", rx)  # {,n} and {,} are Python quantifiers
-    rx = re.sub(r"\{(?!\d+(?:,\d*)?\})", r"\\{", rx)
+    # {,n} and {,} are Python quantifiers; Java needs the explicit 0
+    rx = re.sub(r"(?<!\\)\{,(\d*)\}", r"{0,\1}", rx)
+    rx = re.sub(r"(?<!\\)\{(?!\d+(?:,\d*)?\})", r"\\{", rx)
     return rx
 
 

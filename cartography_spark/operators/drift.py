@@ -43,6 +43,21 @@ def changed_partitions(man_start: dict | None, man_end: dict | None) -> list[str
     cost proportional to what the syncs in between actually touched."""
     ps = (man_start or {}).get("partitions", {})
     pe = (man_end or {}).get("partitions", {})
+    # Promoted-column declarations are part of visible content: a column
+    # declared between the snapshots changes every partition's read
+    # (the seq-gated props fallback populates it) even where the data
+    # entry is identical. Rare (schema-evolution moments) — fall back to
+    # a full diff.
+    def decl(man: dict | None) -> tuple:
+        m = man or {}
+        return (
+            m.get("columns", []),
+            m.get("columns_seq", {}),
+            m.get("columns_types", {}),
+        )
+
+    if decl(man_start) != decl(man_end):
+        return sorted(set(ps) | set(pe))
 
     def applicable(man: dict | None, p: str, info: dict) -> frozenset:
         return frozenset(

@@ -20,10 +20,19 @@ Match-time modifiers mirror the reference exactly:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Any, Mapping
 
 from pyspark.sql import Column, functions as F
+
+#: DDL primitives a promoted column may declare (validated at
+#: declaration so a typo fails with a clear error, not a ParseException
+#: deep inside a merge after a version was already allocated).
+_INDEX_TYPE_RX = re.compile(
+    r"string|boolean|tinyint|smallint|int|integer|bigint|long|float|real"
+    r"|double|date|timestamp|timestamp_ntz|binary|decimal\(\d+,\s*\d+\)"
+)
 
 
 @dataclass(frozen=True)
@@ -61,6 +70,16 @@ class PropertyRef:
                 "case-insensitive matchers require a string-typed promotion "
                 f"(index_type={self.index_type!r} would put lower() on a "
                 "non-string column)"
+            )
+        if self.index_type is not None and not _INDEX_TYPE_RX.fullmatch(
+            self.index_type.strip().lower()
+        ):
+            # fail at declaration, not as a ParseException mid-merge
+            raise ValueError(
+                f"index_type {self.index_type!r} is not a supported Spark "
+                "DDL primitive (string|boolean|tinyint|smallint|int|integer|"
+                "bigint|long|float|real|double|date|timestamp|timestamp_ntz|"
+                "binary|decimal(p,s))"
             )
 
     def to_column(self, params: Mapping[str, Any] | None = None) -> Column:

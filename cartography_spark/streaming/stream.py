@@ -121,10 +121,12 @@ def stream_to_store(
     weight prop ``n`` ACCUMULATES across micro-batches (stored count +
     batch count), so the final weight is independent of micro-batch
     file grouping. The source checkpoint makes catch-up runs
-    exactly-once per input file; a per-edge (stream, epoch) tag merged
-    ATOMICALLY with the weight makes mid-batch replays no-ops —
-    together: restartable ingestion, the streaming analog of the Sync
-    ledger.
+    exactly-once per input file; replays are guarded twice — a durable
+    (stream, epoch) ledger row skips completed epochs outright, and a
+    per-edge epoch tag merged ATOMICALLY with the weight makes a replay
+    that slips past the ledger (crash before the ledger write) an
+    idempotent re-merge — together: restartable ingestion, the
+    streaming analog of the Sync ledger.
 
     Returns the summed merge counters across batches."""
     import hashlib
@@ -132,18 +134,38 @@ def stream_to_store(
     from pyspark.sql import functions as F
 
     totals = {"nodes_created": 0, "nodes_updated": 0, "edges_created": 0, "edges_updated": 0}
-    # Batch-replay guard: edge weights ACCUMULATE (see below), so a
-    # replayed epoch (crash between the store commit and the streaming
-    # checkpoint commit) must not double-add. Each edge carries the
-    # (stream, epoch) tag that last updated it IN THE SAME MERGE as the
-    # weight — a replayed epoch sees its own tag and keeps the stored
-    # count, so the guard is atomic with the update it guards (a
-    # separate ledger write would reopen the crash window between the
-    # two commits).
+    # Batch-replay guard, TWO layers (edge weights ACCUMULATE, so a
+    # replayed epoch must not double-add):
+    # 1. A durable (stream, epoch) ledger row in the store metrics,
+    #    written AFTER the epoch's merges: a replay of any epoch whose
+    #    ledger row landed is skipped entirely — immune to other
+    #    writers touching the same edges in between, and it keeps the
+    #    returned counters exact.
+    # 2. A per-edge (stream, epoch) tag merged ATOMICALLY with the
+    #    weight: covers the crash window between the merge commit and
+    #    the ledger write, where a replay re-runs the merge — the edge
+    #    sees its own tag and keeps the stored count (idempotent
+    #    re-merge). Residual exposure: only if a crash lands in that
+    #    narrow window AND a different writer rewrites the same edge's
+    #    props before the replay.
     stream_id = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+
+    def _epoch_done(epoch_id: int) -> bool:
+        m = store.read_metrics()
+        return (
+            m.where(
+                (F.col("op") == "stream_epoch")
+                & (F.element_at("counters", "stream_id")
+                   == F.lit(int(stream_id, 16)))
+                & (F.element_at("counters", "epoch") == F.lit(int(epoch_id)))
+            ).limit(1).count()
+            > 0
+        )
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
+            return
+        if _epoch_done(epoch_id):
             return
         epoch_tag = f"{stream_id}:{int(epoch_id)}"
         nodes = (
@@ -207,6 +229,11 @@ def stream_to_store(
             )
         )
         e = store.merge_edges(edges, update_tag)
+        store._record_metrics(
+            "stream_epoch",
+            update_tag,
+            {"stream_id": int(stream_id, 16), "epoch": int(epoch_id)},
+        )
         totals["nodes_created"] += n["created"]
         totals["nodes_updated"] += n["updated"]
         totals["edges_created"] += e["created"]
@@ -221,6 +248,9 @@ def stream_to_store(
     )
     if timeout is not None:
         q.awaitTermination(timeout=timeout)
+        if q.isActive:  # timed out mid-flight: release the checkpoint
+            q.stop()
+            q.awaitTermination(timeout=30)
     else:
         q.awaitTermination()
     return totals

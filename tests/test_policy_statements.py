@@ -232,3 +232,8 @@ def test_brace_clauses_match_python_semantics(spark):
     s = [{"action": ["ec2:a{,}b"], "resource": ["*"], "effect": "Allow"}]
     assert _verdict(spark, s, ["ec2:aaaab"]) is False
     assert _verdict(spark, s, ["ec2:b"]) is False
+    # a brace the clause ALREADY escapes is valid in both dialects and
+    # must pass through untouched (double-escaping would crash Java)
+    s = [{"action": ["s3:a\\{b"], "resource": ["*"], "effect": "Allow"}]
+    assert _verdict(spark, s, ["s3:a{b"]) is False
+    assert _verdict(spark, s, ["s3:ab"]) is None

@@ -284,3 +284,43 @@ def test_stream_ingest_with_continuous_entity_linking(spark, tmp_path):
     # the two name variants arrived in different micro-batches
     assert canon["Apache Spark Engine"] is not None
     assert canon["Apache Spark Engine"] == canon["apache spark enginee"]
+
+
+def test_stream_to_store_epoch_replay_is_no_op(spark, tmp_path):
+    """Crash-replay guard: removing the last streaming checkpoint commit
+    (simulating a crash AFTER the store merges but BEFORE the checkpoint
+    commit) makes the restart replay that epoch — the durable
+    (stream, epoch) ledger must skip it outright, leaving weights AND
+    the returned counters untouched."""
+    import os
+
+    from cartography_spark.store.graphstore import GraphStore
+    from cartography_spark.streaming.stream import stream_to_store
+
+    tdir = tmp_path / "triples"
+    one = spark.createDataFrame([("a", "REL", "b")], "subj string, pred string, obj string")
+    one.coalesce(1).write.parquet(str(tdir / "f1"))
+    one.union(one).coalesce(1).write.parquet(str(tdir / "f2"))
+    stream_def = lambda: (  # noqa: E731
+        spark.readStream.schema("subj string, pred string, obj string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tdir) + "/*")
+    )
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    ckpt = str(tmp_path / "ckpt")
+    stream_to_store(stream_def(), store, ckpt, update_tag=100, timeout=120)
+    assert store.read_edges().collect()[0]["props"]["n"] == "3"
+
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")
+    )
+    # un-commit the last epoch (incl. Hadoop's checksum sidecar, which
+    # would otherwise fail the replay's rename-based commit write)
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    totals = stream_to_store(stream_def(), store, ckpt, update_tag=200, timeout=120)
+    assert totals == {"nodes_created": 0, "nodes_updated": 0,
+                      "edges_created": 0, "edges_updated": 0}
+    assert store.read_edges().collect()[0]["props"]["n"] == "3"  # no double-add
