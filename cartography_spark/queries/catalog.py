@@ -37,8 +37,12 @@ Operator coverage map (SURVEY §2 row -> query):
                             text_* (+ text_dedup_survivors, web_source_stats,
                             text_quality_funnel), sim_* (brute/LSH/IVF top-k,
                             LSH- and IVF-blocked near-dup)
-  (rows-only, non-SQL)   -> kg_flagship_pipeline, kg_entity_linking,
-                            multimodal_features
+  Flagship KG pipeline   -> kg_flagship_pipeline (oracle-gated r4),
+                            kg_pages_e2e (html->text->triples vs the
+                            generator's ground-truth picks, splitmix64
+                            replicated in DuckDB SQL)
+  Multimodal decode      -> multimodal_features (md5-arithmetic codec
+                            replicated in DuckDB, oracle-gated r4)
 """
 
 from __future__ import annotations
@@ -784,16 +788,39 @@ def sim_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end KG build on a synthesized pages batch: html -> text
+    """Flagship KG construction over the documents corpus (the
+    ``entry()`` flow): mention-triple extraction (JVM fan-out) ->
+    entity-link to the doc source -> aggregated KG edge weights per
+    (source, term). Oracle-gated round 4 (VERDICT #1): the DuckDB twin
+    composes the kg_mention_triples SQL with the source join and the
+    weight/n_docs aggregation."""
+    from cartography_spark.functions.triples import extract_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    return (
+        mentions.join(docs.select("doc_id", "source"), mentions["subj_id"] == F.col("doc_id"))
+        .groupBy("source", "obj")
+        .agg(F.sum("n_mentions").alias("weight"), F.count("*").alias("n_docs"))
+        .orderBy(F.col("weight").desc(), "source", "obj")
+    )
+
+
+def kg_pages_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end KG build on the synthesized pages batch: html -> text
     (byte-identical extraction) -> (s,p,o) triples -> aggregated edge
-    weights. No SQL oracle: input is the deterministic generator, not a
-    registered view."""
+    weights. Fixed (n=500, seed=42) regardless of sf_dir so the static
+    oracle SQL stays valid at any gate scale. The DuckDB twin
+    re-derives the generator's ground-truth sentence picks (splitmix64
+    replicated in UBIGINT/HUGEINT SQL) — a green hash row here proves
+    the whole html->text->triples chain emits exactly the planted
+    triples (the north rule's P=R=1.0, driver-visible)."""
     from cartography_spark.functions.textextract import extract_text
     from cartography_spark.functions.triples import extract_triples
     from cartography_spark.sources.pages import synthesize_pages
 
-    n = 2000 if "0.1" in sf_dir else 500
-    pages = synthesize_pages(spark, n, seed=42)
+    pages = synthesize_pages(spark, 500, seed=42)
     text = extract_text(pages.drop("text"), "html", "text")
     triples = extract_triples(text)
     return (
@@ -846,17 +873,25 @@ def kg_incremental_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media decode plumbing (stubbed codec): per-kind feature stats.
-    No SQL oracle: binary payloads live only in the generator."""
-    from cartography_spark.functions.multimodal import decode_media, synthesize_media
+    """Media decode over binary payloads derived from the documents
+    corpus: the real ``decode_media`` mapInPandas stage (fake codec —
+    md5-seeded metadata) runs per row. Oracle-gated round 4 (VERDICT
+    #2): the fake codec is pure md5 arithmetic, which the DuckDB twin
+    replicates byte-exactly (md5 + hex->int + xor), so every per-row
+    width/height/duration value is hash-checked cross-engine."""
+    from cartography_spark.functions.multimodal import decode_media
 
-    media = synthesize_media(spark, 300, seed=42)
-    feats = decode_media(media)
-    return feats.groupBy("kind").agg(
-        F.count("*").alias("n"),
-        F.sum("byte_len").alias("total_bytes"),
-        F.min("digest").alias("min_digest"),
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
     )
+    return decode_media(media)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -906,5 +941,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_linking": kg_entity_linking,
     "kg_incremental_link_pairs": kg_incremental_link_pairs,
     "kg_flagship_pipeline": kg_flagship_pipeline,
+    "kg_pages_e2e": kg_pages_e2e,
     "multimodal_features": multimodal_features,
 }
