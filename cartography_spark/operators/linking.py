@@ -121,6 +121,8 @@ def lsh_blocked_join(
     targets: DataFrame,
     item_text: str,
     target_text: str,
+    item_id: str,
+    target_id: str,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
@@ -134,8 +136,16 @@ def lsh_blocked_join(
     candidates via an equi-join on (band_idx, band_hash) — a plain
     shuffle join, no cross product.
 
+    Candidate pairs are deduplicated on the BARE ``(item_id, target_id)``
+    key pair (round-4 fix, VERDICT #3: the earlier text-based dedup
+    collapsed distinct rows sharing identical text, silently dropping
+    legitimate matches, and shuffled payload-bearing rows). Only the two
+    id columns ride the dedup shuffle; full rows re-attach afterwards
+    via hinted shuffle-hash joins — the same discipline as
+    ``operators/dedup.py:minhash_lsh_join``.
+
     If ``jaccard_threshold`` is given, candidates are verified with the
-    exact token-set Jaccard of the two strings' shingles.
+    exact shingle-set Jaccard of the two strings after re-attach.
 
     Returns candidate pairs with all columns of both inputs (targets
     prefixed ``__t_``).
@@ -144,14 +154,15 @@ def lsh_blocked_join(
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
 
-    def with_bands(df: DataFrame, text: str, prefix: str) -> DataFrame:
+    def banded_ids(df: DataFrame, id_col: str, text: str, out_id: str) -> DataFrame:
         # Stage shingles before the signature: HOF lambdas are interpreted
         # (no codegen CSE) — an inline shingle expression would be rebuilt
-        # num_hashes times per row.
-        out = df.select(
-            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns],
-            ngram_shingles(text, shingle_n).alias(f"{prefix}__shingles"),
-        ).withColumn("__sig", minhash_signature(F.col(f"{prefix}__shingles"), num_hashes))
+        # num_hashes times per row. Only (id, band) rows leave this stage:
+        # payloads never enter the candidate shuffle.
+        staged = df.select(
+            F.col(id_col).alias(out_id),
+            ngram_shingles(text, shingle_n).alias("__shingles"),
+        ).withColumn("__sig", minhash_signature(F.col("__shingles"), num_hashes))
         bands_col = F.array(
             *[
                 F.struct(
@@ -161,21 +172,29 @@ def lsh_blocked_join(
                 for b in range(bands)
             ]
         )
-        return out.withColumn("__band", F.explode(bands_col)).drop("__sig")
+        return staged.select(out_id, F.explode(bands_col).alias("__band"))
 
-    left = with_bands(items, item_text, "")
-    right = with_bands(targets, target_text, "__t_")
-    cand = (
-        left.join(
-            right,
-            (left["__band.band"] == right["__band.band"]) & (left["__band.bh"] == right["__band.bh"]),
+    lb = banded_ids(items, item_id, item_text, "__id_l")
+    rb = banded_ids(targets, target_id, target_text, "__id_r")
+    pairs = (
+        lb.join(
+            rb,
+            (lb["__band.band"] == rb["__band.band"]) & (lb["__band.bh"] == rb["__band.bh"]),
             "inner",
         )
-        .drop("__band")
-        .dropDuplicates([item_text, f"__t_{target_text}"])
+        .select("__id_l", "__id_r")
+        .dropDuplicates(["__id_l", "__id_r"])
+    )
+    t = targets.select(*[F.col(c).alias(f"__t_{c}") for c in targets.columns])
+    cand = (
+        pairs.join(items.hint("shuffle_hash"), pairs["__id_l"] == F.col(item_id))
+        .join(t.hint("shuffle_hash"), F.col("__id_r") == F.col(f"__t_{target_id}"))
+        .drop("__id_l", "__id_r")
     )
     if jaccard_threshold is not None:
-        inter = F.size(F.array_intersect(F.col("__shingles"), F.col(f"__t___shingles")))
-        union = F.size(F.array_union(F.col("__shingles"), F.col(f"__t___shingles")))
+        sh_l = ngram_shingles(item_text, shingle_n)
+        sh_r = ngram_shingles(f"__t_{target_text}", shingle_n)
+        inter = F.size(F.array_intersect(sh_l, sh_r))
+        union = F.size(F.array_union(sh_l, sh_r))
         cand = cand.where((inter / union) >= jaccard_threshold)
-    return cand.drop("__shingles", "__t___shingles")
+    return cand

@@ -123,3 +123,43 @@ def test_incremental_linking_blocks_only_new_side(spark, tmp_path):
                                     num_hashes=32, bands=8)
     assert out["new_same_as_edges"] == 0
     assert st.read_edges().where("rel_label='SAME_AS'").count() == n_edges
+
+
+def test_lsh_blocked_join_keeps_same_text_distinct_ids(spark):
+    """Round-4 fix (VERDICT #3): pair dedup is on the BARE id columns,
+    so two distinct items (and two distinct targets) sharing identical
+    text must all survive — 2x2 = 4 pairs, not 1."""
+    from cartography_spark.operators.linking import lsh_blocked_join
+
+    items = spark.createDataFrame(
+        [("i1", "Apache Spark Engine"), ("i2", "Apache Spark Engine")],
+        ["iid", "iname"],
+    )
+    targets = spark.createDataFrame(
+        [("t1", "Apache Spark Engine"), ("t2", "Apache Spark Engine")],
+        ["tid", "tname"],
+    )
+    out = lsh_blocked_join(
+        items, targets, "iname", "tname", "iid", "tid",
+        num_hashes=8, bands=4, jaccard_threshold=0.5,
+    )
+    got = {(r["iid"], r["__t_tid"]) for r in out.collect()}
+    assert got == {("i1", "t1"), ("i1", "t2"), ("i2", "t1"), ("i2", "t2")}
+    # exactly one row per (item id, target id) pair — no duplicate
+    # candidates from multi-band collisions either
+    assert out.count() == 4
+
+
+def test_lsh_blocked_join_verify_filters_non_matches(spark):
+    from cartography_spark.operators.linking import lsh_blocked_join
+
+    items = spark.createDataFrame([("i1", "Apache Spark Engine")], ["iid", "iname"])
+    targets = spark.createDataFrame(
+        [("t1", "Apache Spark Enginee"), ("t2", "zzz qqq www")], ["tid", "tname"]
+    )
+    out = lsh_blocked_join(
+        items, targets, "iname", "tname", "iid", "tid",
+        num_hashes=8, bands=4, jaccard_threshold=0.6,
+    )
+    got = {(r["iid"], r["__t_tid"]) for r in out.collect()}
+    assert got == {("i1", "t1")}

@@ -85,13 +85,19 @@ def _model_sweep(nodes, edges, case, scope_id):
         return True
 
     doomed = {(n[0], n[1]) for n in nodes if delete_nodes and stale_node(n)}
+    doomed_ids = {i for _, i in doomed}
     live_nodes = {(n[0], n[1]) for n in nodes} - doomed
     live_edges = set()
     for e in edges:
         rel, src, dst, sl, dl, sc, lu = e
         if stale_edge(e):
             continue
-        if (sl, src) in {(l, i) for l, i in doomed} or (dl, dst) in {(l, i) for l, i in doomed}:
+        # DETACH: label-matched endpoint, with a bare-id fallback for
+        # NULL endpoint labels (the reference's DETACH DELETE drops
+        # every rel touching the node unconditionally).
+        src_hit = (sl, src) in doomed or (sl is None and src in doomed_ids)
+        dst_hit = (dl, dst) in doomed or (dl is None and dst in doomed_ids)
+        if src_hit or dst_hit:
             continue
         live_edges.add((rel, src, dst))
     return live_nodes, live_edges
@@ -107,8 +113,8 @@ _edge = st.tuples(
     st.sampled_from(["R", "S"]),                       # rel_label
     st.sampled_from(["n1", "n2", "n3", "n4"]),         # src
     st.sampled_from(["n1", "n2", "n3", "n4"]),         # dst
-    st.sampled_from(["X", "Y"]),                       # src_label
-    st.sampled_from(["X", "Y"]),                       # dst_label
+    st.sampled_from(["X", "Y", None]),                 # src_label (None: out-of-band edge)
+    st.sampled_from(["X", "Y", None]),                 # dst_label
     st.sampled_from(["s1", "s2", None]),               # scope_id
     st.sampled_from([100, TAG, None]),                 # lastupdated
 )
@@ -146,3 +152,36 @@ def test_sweep_matches_cleanup_matrix_model(spark, tmp_path_factory, nodes, edge
     got_edges = {(r["rel_label"], r["src"], r["dst"]) for r in store.read_edges().collect()}
     assert got_nodes == want_nodes
     assert got_edges == want_edges
+
+
+def test_detach_sweeps_null_label_edge(spark, tmp_path_factory):
+    """Round-4 fix (VERDICT #4): an out-of-band edge merged without a
+    src_label still gets DETACH-tombstoned when its endpoint node is
+    swept, matching the reference's unconditional DETACH DELETE
+    (cleanupbuilder.py:176-181)."""
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("detachnull")))
+    ndf = spark.createDataFrame(
+        [("X", "n1", None, None, None, 100, {}),   # stale -> deleted
+         ("X", "n2", None, None, None, TAG, {})],  # fresh -> kept
+        "label string, id string, extra_labels array<string>, scope_id string, "
+        "firstseen timestamp, lastupdated long, props map<string,string>",
+    )
+    store._write("nodes", ndf)
+    edf = spark.createDataFrame(
+        # Fresh edges (lastupdated=TAG) so only DETACH, not staleness,
+        # can remove them. e1: NULL src_label touching the doomed node.
+        # e2: NULL src_label touching the surviving node -> kept.
+        [("S", "n1", "n2", None, "X", None, None, TAG, {}),
+         ("S", "n2", "n2", None, "X", None, None, TAG, {})],
+        "rel_label string, src string, dst string, src_label string, dst_label string, "
+        "scope_id string, firstseen timestamp, lastupdated long, props map<string,string>",
+    )
+    store._write("edges", edf)
+
+    counters = store.sweep(SCHEMAS["unscoped"], TAG, scope_id=None)
+    assert counters["nodes_deleted"] == 1
+
+    got_edges = {(r["rel_label"], r["src"], r["dst"]) for r in store.read_edges().collect()}
+    assert got_edges == {("S", "n2", "n2")}
