@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import MapType as _MapType
 
 from cartography_spark.store.graphstore import GraphStore
 
@@ -26,10 +27,38 @@ def state_diff(
 ) -> tuple[DataFrame, DataFrame]:
     """(new_rows, missing_rows) between two query results, duplicate-
     sensitive (exceptAll), matching the reference's list-of-tuples set
-    semantics."""
+    semantics.
+
+    Full-row diffs (``columns=None``) tolerate store-snapshot frames
+    (round 4, ADVICE fix): a column present on one side only — e.g. a
+    promoted ``_p_`` column declared between two snapshots — is added
+    to the other side as a typed NULL (so the diff runs instead of
+    exceptAll raising), and MAP columns (``props``) are canonicalized
+    to sorted-entries JSON strings, since Spark set operations reject
+    map types outright. A row whose only change is a newly-populated
+    promoted column therefore reports as drift, which is the
+    visible-read truth at the newer snapshot."""
     if columns:
         start = start.select(*columns)
         end = end.select(*columns)
+    else:
+        s_types = {f.name: f.dataType for f in start.schema.fields}
+        e_types = {f.name: f.dataType for f in end.schema.fields}
+        for name in e_types.keys() - s_types.keys():
+            start = start.withColumn(name, F.lit(None).cast(e_types[name]))
+        for name in s_types.keys() - e_types.keys():
+            end = end.withColumn(name, F.lit(None).cast(s_types[name]))
+        map_cols = {
+            name
+            for d in (s_types, e_types)
+            for name, dt in d.items()
+            if isinstance(dt, _MapType)
+        }
+        for name in map_cols:
+            canon = F.to_json(F.array_sort(F.map_entries(F.col(name))))
+            start = start.withColumn(name, canon)
+            end = end.withColumn(name, canon)
+        end = end.select(*start.columns)
     return end.exceptAll(start), start.exceptAll(end)
 
 

@@ -30,6 +30,7 @@ pattern (clear -> seed -> propagate with ``coalesce(list,[])+type``).
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from string import Template
 from typing import Any, Callable, Mapping, Sequence
@@ -49,6 +50,12 @@ StepFn = Callable[[DataFrame, DataFrame, Mapping[str, Any]], tuple[DataFrame, Da
 TouchedFn = Callable[[DataFrame, DataFrame, Mapping[str, Any]], set | None]
 
 
+#: Re-derivable set of prop names a step writes (given params), or None
+#: for "unknown props" — which makes any LATER statement's pre-state
+#: predicate evaluation unsound (see _touched_labels).
+WritesFn = Callable[[Mapping[str, Any]], set]
+
+
 @dataclass
 class AnalysisStep:
     name: str
@@ -59,6 +66,37 @@ class AnalysisStep:
     touched_fn: TouchedFn | None = None
     #: Code steps may rewrite edges; the declarative ops never do.
     touches_edges: bool = True
+    #: Prop names this step writes (None = unknown). Declarative
+    #: statements always know theirs; code steps may declare via
+    #: ``add_step(writes_props=...)``.
+    writes_fn: WritesFn | None = None
+
+
+# Literal props-map accesses a predicate can make; anything else that
+# mentions `props` (computed keys, map_keys(...), a bare reference) is
+# unprovable and treated as reading EVERY prop.
+_PROPS_ACCESS = re.compile(
+    r"element_at\s*\(\s*props\s*,\s*'([^']*)'\s*\)"
+    r"|props\s*\[\s*'([^']*)'\s*\]"
+    r"|map_contains_key\s*\(\s*props\s*,\s*'([^']*)'\s*\)",
+    re.IGNORECASE,
+)
+_PROPS_IDENT = re.compile(r"\bprops\b", re.IGNORECASE)
+
+
+def _props_reads(sql: str) -> set | None:
+    """Prop names a (substituted) predicate reads, or None when the
+    read set can't be proven (a ``props`` mention outside a recognized
+    literal-key access). Top-level columns (label, id, scope_id, ...)
+    are ignored: declarative statements never write them."""
+    keys: set = set()
+    recognized = 0
+    for m in _PROPS_ACCESS.finditer(sql):
+        keys.add(next(g for g in m.groups() if g is not None))
+        recognized += 1
+    if len(_PROPS_IDENT.findall(sql)) > recognized:
+        return None
+    return keys
 
 
 @dataclass
@@ -76,16 +114,27 @@ class AnalysisJob:
         fn: StepFn,
         labels: Sequence[str] | None = None,
         touches_edges: bool = True,
+        writes_props: Sequence[str] | None = None,
     ) -> "AnalysisJob":
         """Add a code step. ``labels``: statically declare the node
         labels the step can modify (enables the partial-rewrite path);
         omit for the conservative full rewrite. ``touches_edges=False``
-        skips the edge-table write entirely when no step needs it."""
+        skips the edge-table write entirely when no step needs it.
+        ``writes_props``: declare the prop names (``$PARAM`` templates
+        allowed) the step writes — without it, any LATER declarative
+        statement's predicate can't be proven independent of this step
+        and the job falls back to the full rewrite."""
         touched_fn = None
         if labels is not None:
             declared = set(labels)
             touched_fn = lambda nodes, edges, params: declared  # noqa: E731
-        self.steps.append(AnalysisStep(name, fn, touched_fn, touches_edges))
+        writes_fn = None
+        if writes_props is not None:
+            tmpls = list(writes_props)
+            writes_fn = lambda params: {  # noqa: E731
+                Template(t).safe_substitute(params) for t in tmpls
+            }
+        self.steps.append(AnalysisStep(name, fn, touched_fn, touches_edges, writes_fn))
         return self
 
     def _touched_labels(
@@ -99,14 +148,49 @@ class AnalysisJob:
         — a job with N statements costs one column-pruned pass, not N
         (the same single-pass funnel trick the text-quality pipeline
         uses). Propagate statements keep their own derivation (label
-        graph walk)."""
+        graph walk).
+
+        Pre-state soundness (round 4, ADVICE finding): every predicate
+        here is evaluated against the PRE-job frame, but its statement
+        runs after earlier statements transformed it. A predicate is
+        only sound pre-state when no earlier step can change what it
+        reads — so a statement whose (substituted) predicate reads a
+        prop some earlier step writes, or follows a step with unknown
+        writes, forces the conservative full rewrite (None). Propagate
+        additionally requires no earlier step to have touched edges
+        (its label-graph walk reads the pre-state edge frame). The
+        other propagate ingredient — the carrying-flag clear set — is
+        safe pre-state: rows that GAIN the flag from an earlier
+        statement match that statement's own predicate, so their labels
+        are already in the union."""
         out: set = set()
         simple: list[tuple[int, str]] = []
         complex_steps = []
+        written: set = set()
+        unknown_writes = False
+        edges_touched = False
         for idx, step in enumerate(self.steps):
             if step.touched_fn is None:
                 return None
             tmpl = getattr(step.touched_fn, "where_template", None)
+            preds = getattr(step.touched_fn, "pred_templates", None)
+            if idx > 0 and (tmpl is not None or preds is not None):
+                if unknown_writes:
+                    return None
+                if preds is not None and edges_touched:
+                    return None
+                for p in [tmpl] if tmpl is not None else list(preds):
+                    reads = _props_reads(Template(p).safe_substitute(params))
+                    if reads is None:
+                        if written:
+                            return None
+                    elif reads & written:
+                        return None
+            if step.writes_fn is not None:
+                written |= step.writes_fn(params)
+            else:
+                unknown_writes = True
+            edges_touched = edges_touched or step.touches_edges
             if tmpl is not None:
                 simple.append((idx, tmpl))
             else:
@@ -258,9 +342,26 @@ class AnalysisJob:
                     job._compile_statement(idx, stmt),
                     touched_fn=job._compile_touched(idx, stmt),
                     touches_edges=False,
+                    writes_fn=job._compile_writes(stmt),
                 )
             )
         return job
+
+    @staticmethod
+    def _compile_writes(stmt: Mapping[str, Any]) -> WritesFn:
+        """Prop names a declarative statement writes, given params —
+        feeds the pre-state soundness check in _touched_labels."""
+        op = stmt["op"]
+        if op == "propagate":
+            flag_tmpl = stmt.get("flag", "exposed")
+
+            def writes(params: Mapping[str, Any]) -> set:
+                f = Template(flag_tmpl).safe_substitute(params)
+                return {f, f + "_via"}
+
+            return writes
+        prop_tmpl = stmt["prop"]
+        return lambda params: {Template(prop_tmpl).safe_substitute(params)}
 
     @classmethod
     def from_json_file(cls, path: str) -> "AnalysisJob":
@@ -312,13 +413,29 @@ class AnalysisJob:
                 return labels_of(nodes, F.expr(sub(stmt["where"])))
 
             flag = sub(stmt.get("flag", "exposed"))
-            seed_labels = labels_of(nodes, F.expr(sub(stmt["seed_where"])))
-            # clear pass touches every row that carries the flag today
-            carrying = labels_of(
-                nodes,
+            # ONE conditional-agg scan for both ingredients (round 4,
+            # VERDICT #9): seed labels + labels currently carrying the
+            # flag (the clear pass touches those) — 2 driver collects
+            # per propagate total, incl. the label graph below.
+            seed_pred = F.expr(sub(stmt["seed_where"]))
+            carry_pred = (
                 F.element_at("props", flag).isNotNull()
-                | F.element_at("props", f"{flag}_via").isNotNull(),
+                | F.element_at("props", f"{flag}_via").isNotNull()
             )
+            by_label = (
+                nodes.groupBy("label")
+                .agg(
+                    F.max(F.when(seed_pred, 1).otherwise(0)).alias("__seed"),
+                    F.max(F.when(carry_pred, 1).otherwise(0)).alias("__carry"),
+                )
+                .collect()
+            )
+            seed_labels = {
+                r["label"] for r in by_label if r["label"] is not None and r["__seed"] == 1
+            }
+            carrying = {
+                r["label"] for r in by_label if r["label"] is not None and r["__carry"] == 1
+            }
             rels = [sub(r) for r in stmt["rel_labels"]]
             label_graph = [
                 (r["src_label"], r["dst_label"])
@@ -345,6 +462,12 @@ class AnalysisJob:
             # plain predicate: _touched_labels batches every such
             # statement into one conditional-agg scan via this tag
             touched.where_template = stmt["where"]
+        else:
+            # predicates evaluated against the PRE-job frame — the
+            # soundness check in _touched_labels vets them against
+            # earlier statements' writes (the carrying-flag clear set
+            # needs no vetting; see _touched_labels docstring)
+            touched.pred_templates = (stmt["seed_where"],)
         return touched
 
     def _compile_statement(self, idx: int, stmt: Mapping[str, Any]) -> StepFn:

@@ -592,6 +592,21 @@ class GraphStore:
         applying to the rewritten ones (whose content already folded
         them in at read time)."""
         manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
+        # A df omitting a DECLARED promoted column would write partition
+        # files lacking it at seq >= columns_seq — reads would NULL-fill
+        # with no props fallback and matcher joins silently miss rows
+        # (round 4, ADVICE fix). Derive the missing ones from props; the
+        # write invariant in _write_data then re-derives values as for
+        # any other write.
+        if "props" in df.columns:
+            for c in manifest.get("columns", []):
+                if c not in df.columns:
+                    df = df.withColumn(
+                        c,
+                        F.element_at(F.col("props"), c[len("_p_"):]).try_cast(
+                            self._promoted_type(manifest, c)
+                        ),
+                    )
         v = self._allocate_version(table)
         new_parts = self._write_data(table, v, df)
         parts = {k: p for k, p in manifest["partitions"].items() if k not in set(partitions)}
@@ -638,9 +653,13 @@ class GraphStore:
     def _dedupe(df: DataFrame, key: list[str]) -> DataFrame:
         """Unique source keys before MERGE (hard requirement of a real
         MERGE INTO; also removes retry duplicates so re-running a
-        partition can't double-apply). Deterministic winner: max to_json
-        of the full row — order-independent."""
-        w = Window.partitionBy(*key).orderBy(F.to_json(F.struct(*df.columns)).desc())
+        partition can't double-apply). Deterministic winner: max
+        xxhash64 of the row's JSON — order-independent, and a
+        fixed-width sort key so wide rows don't ride the in-partition
+        sort as full JSON strings (round 4, VERDICT #8)."""
+        w = Window.partitionBy(*key).orderBy(
+            F.xxhash64(F.to_json(F.struct(*df.columns))).desc()
+        )
         return (
             df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
         )
@@ -653,6 +672,7 @@ class GraphStore:
         updates: DataFrame,
         update_tag: int,
         partition_col: str,
+        expected_seq: int | None = None,
     ) -> dict[str, int]:
         managed = {"firstseen", "lastupdated"}
         new = self._dedupe(updates, key)
@@ -671,7 +691,8 @@ class GraphStore:
         new = new.persist()
         try:
             return self._merge_cached(
-                table, schema, key, new, new_promoted, update_tag, partition_col
+                table, schema, key, new, new_promoted, update_tag, partition_col,
+                expected_seq=expected_seq,
             )
         finally:
             new.unpersist()
@@ -685,6 +706,7 @@ class GraphStore:
         new_promoted: list[str],
         update_tag: int,
         partition_col: str,
+        expected_seq: int | None = None,
     ) -> dict[str, int]:
         # Partition pruning: only the partitions named by the update are
         # read, merged, and rewritten; everything else carries forward by
@@ -701,8 +723,13 @@ class GraphStore:
             # Snapshot seq MUST be read before the manifest: a commit
             # landing between the two reads then makes the manifest
             # NEWER than the seq, so the CAS fails safe (retry) rather
-            # than publishing a merge built on a stale base.
-            seq0 = self._pointer().get("seq", 0)
+            # than publishing a merge built on a stale base. A caller
+            # whose UPDATES plan itself read the store (e.g. streaming's
+            # weight accumulation) passes expected_seq — its conflict
+            # must surface so it can rebuild that plan, not be retried
+            # here against the caller's stale inputs (round 4, ADVICE
+            # fix).
+            seq0 = expected_seq if expected_seq is not None else self._pointer().get("seq", 0)
             manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
             promoted = sorted(set(manifest.get("columns", [])) | set(new_promoted))
             cols = [f.name for f in schema.fields] + promoted
@@ -754,7 +781,11 @@ class GraphStore:
                 )
             except CommitConflict as e:
                 # Another writer won the race: re-merge against the new
-                # snapshot (the written data dir is an orphan for GC).
+                # snapshot (the written data dir is an orphan for GC) —
+                # unless the caller pinned the snapshot, in which case
+                # only IT can rebuild its inputs.
+                if expected_seq is not None:
+                    raise
                 last = e
                 continue
             got = obs.get
@@ -772,9 +803,20 @@ class GraphStore:
         [extra_labels, scope_id, props]."""
         return self._merge("nodes", NODES_SCHEMA, _NODE_KEY, updates, update_tag, "label")
 
-    def merge_edges(self, updates: DataFrame, update_tag: int) -> dict[str, int]:
-        """Idempotent edge upsert (U2), keyed (rel_label, src, dst)."""
-        return self._merge("edges", EDGES_SCHEMA, _EDGE_KEY, updates, update_tag, "rel_label")
+    def merge_edges(
+        self, updates: DataFrame, update_tag: int, expected_seq: int | None = None
+    ) -> dict[str, int]:
+        """Idempotent edge upsert (U2), keyed (rel_label, src, dst).
+
+        ``expected_seq`` pins the CAS to a snapshot the CALLER read: a
+        conflict then raises CommitConflict instead of retrying
+        internally — required when ``updates`` was computed FROM the
+        store (read-modify-write), so the caller rebuilds its plan
+        against the winner's snapshot."""
+        return self._merge(
+            "edges", EDGES_SCHEMA, _EDGE_KEY, updates, update_tag, "rel_label",
+            expected_seq=expected_seq,
+        )
 
     # ---------- merge-on-read deletes ----------
 

@@ -191,44 +191,64 @@ def stream_to_store(
         # Manifest-level partition pruning: the read-back joins only the
         # rel_label partitions this batch touches (a distinct over the
         # batch's few preds), not the whole edge table per micro-batch.
-        from cartography_spark.store.graphstore import EDGES_SCHEMA
+        from cartography_spark.store.graphstore import (
+            _COMMIT_RETRIES,
+            EDGES_SCHEMA,
+            CommitConflict,
+        )
 
         touched_rels = [r[0] for r in batch_counts.select("pred").distinct().collect()]
-        prev = store._read_manifest_df(
-            "edges", EDGES_SCHEMA, store._manifest("edges"), only_partitions=touched_rels
-        ).select(
-            F.col("rel_label"),
-            F.col("src"),
-            F.col("dst"),
-            F.element_at("props", "n").cast("long").alias("__prev_n"),
-            F.element_at("props", "n_epoch").alias("__prev_ep"),
-        )
-        new_n = (
-            F.when(F.col("__prev_ep") == epoch_tag, F.col("__prev_n"))  # replay: no-op
-            .otherwise(F.col("__n") + F.coalesce(F.col("__prev_n"), F.lit(0)))
-        )
-        edges = (
-            batch_counts.select(
-                F.col("pred").alias("rel_label"),
-                F.col("subj").alias("src"),
-                F.col("obj").alias("dst"),
-                F.col("__n"),
+
+        # The accumulation is a read-modify-write: ``prev`` resolves the
+        # edges manifest at PLAN-BUILD time, so a concurrent writer
+        # committing between our read and our merge would be silently
+        # overwritten if the merge retried internally with this stale
+        # plan. Pin the snapshot seq into the merge CAS and REBUILD the
+        # whole read+plan on conflict (round 4, ADVICE fix).
+        last_conflict: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            seq0 = store._pointer().get("seq", 0)
+            prev = store._read_manifest_df(
+                "edges", EDGES_SCHEMA, store._manifest("edges"), only_partitions=touched_rels
+            ).select(
+                F.col("rel_label"),
+                F.col("src"),
+                F.col("dst"),
+                F.element_at("props", "n").cast("long").alias("__prev_n"),
+                F.element_at("props", "n_epoch").alias("__prev_ep"),
             )
-            .join(prev, ["rel_label", "src", "dst"], "left")
-            .select(
-                "rel_label",
-                "src",
-                "dst",
-                F.lit("Entity").alias("src_label"),
-                F.lit("Entity").alias("dst_label"),
-                F.lit(None).cast("string").alias("scope_id"),
-                F.create_map(
-                    F.lit("n"), new_n.cast("string"),
-                    F.lit("n_epoch"), F.lit(epoch_tag),
-                ).alias("props"),
+            new_n = (
+                F.when(F.col("__prev_ep") == epoch_tag, F.col("__prev_n"))  # replay: no-op
+                .otherwise(F.col("__n") + F.coalesce(F.col("__prev_n"), F.lit(0)))
             )
-        )
-        e = store.merge_edges(edges, update_tag)
+            edges = (
+                batch_counts.select(
+                    F.col("pred").alias("rel_label"),
+                    F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"),
+                    F.col("__n"),
+                )
+                .join(prev, ["rel_label", "src", "dst"], "left")
+                .select(
+                    "rel_label",
+                    "src",
+                    "dst",
+                    F.lit("Entity").alias("src_label"),
+                    F.lit("Entity").alias("dst_label"),
+                    F.lit(None).cast("string").alias("scope_id"),
+                    F.create_map(
+                        F.lit("n"), new_n.cast("string"),
+                        F.lit("n_epoch"), F.lit(epoch_tag),
+                    ).alias("props"),
+                )
+            )
+            try:
+                e = store.merge_edges(edges, update_tag, expected_seq=seq0)
+                break
+            except CommitConflict as ex:
+                last_conflict = ex
+        else:
+            raise last_conflict  # type: ignore[misc]
         store._record_metrics(
             "stream_epoch",
             update_tag,

@@ -255,3 +255,105 @@ def test_propagate_partial_rewrite_with_labeled_edges(spark, tmp_path):
     got = {r["id"]: dict(r["props"]) for r in store.read_nodes().collect()}
     assert got["n1"].get("exposed") == "true"
     assert "exposed" not in got["o1"]
+
+
+DEPENDENT_JSON = json.dumps(
+    {
+        "name": "seed then propagate",
+        "statements": [
+            {
+                "op": "set_prop",
+                "where": "label = 'Region' AND element_at(props, 'name') = 'EUROPE'",
+                "prop": "mark",
+                "value": "1",
+            },
+            {
+                "op": "propagate",
+                "seed_where": "element_at(props, 'mark') = '1'",
+                "rel_labels": ["HAS_NATION", "HAS_CUSTOMER"],
+                "hops": 2,
+                "flag": "exp2",
+            },
+        ],
+    }
+)
+
+
+def test_dependent_propagate_falls_back_to_full_rewrite(spark, tmp_path):
+    """Round-4 ADVICE fix: a propagate whose seed_where reads a prop an
+    EARLIER statement in the same job writes cannot bound its touched
+    set pre-state — the job must fall back to the full rewrite and the
+    flag must reach neighbor labels (pre-state derivation would compute
+    seed_labels = {} and silently never write them)."""
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    store = GraphStore(spark, str(tmp_path / "gdep"))
+    _seed_graph(spark, store)
+
+    job = AnalysisJob.from_json(DEPENDENT_JSON)
+    assert job._touched_labels(store.read_nodes(), store.read_edges(), {}) is None
+
+    out = job.run(store, 400)
+    assert out["touched_labels"] is None  # full rewrite taken
+    got = {r["id"]: dict(r["props"]) for r in store.read_nodes().collect()}
+    assert got["r1"].get("exp2") == "true"      # seeded via the NEW mark prop
+    assert got["n1"].get("exp2") == "true"      # hop 1
+    assert got["c1"].get("exp2") == "true"      # hop 2
+
+
+def test_independent_statements_keep_partial_path(spark, tmp_path):
+    """The N1-style job (propagate first, then predicates reading props
+    no earlier statement writes) must STAY on the partial-rewrite path
+    after the soundness check."""
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    store = GraphStore(spark, str(tmp_path / "gind"))
+    _seed_graph(spark, store)
+    # label the edge endpoints (the _seed_graph fixture omits them,
+    # which by itself forces the label-graph walk to bail)
+    edges = spark.createDataFrame(
+        [("HAS_NATION", "r1", "n1", "Region", "Nation"),
+         ("HAS_CUSTOMER", "n1", "c1", "Nation", "Customer")],
+        "rel_label string, src string, dst string, src_label string, dst_label string",
+    )
+    store.merge_edges(edges, 100)
+    job = AnalysisJob.from_json(N1_JSON)
+    touched = job._touched_labels(store.read_nodes(), store.read_edges(), {"SEED": "EUROPE"})
+    assert touched is not None and "Customer" in touched
+
+
+def test_propagate_touched_costs_two_collects(spark, tmp_path):
+    """Round-4 fix (VERDICT #9): deriving a propagate statement's
+    touched labels costs exactly 2 driver collects — one conditional
+    agg for seed+carrying labels, one for the label graph."""
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    store = GraphStore(spark, str(tmp_path / "gcol"))
+    _seed_graph(spark, store)
+    job = AnalysisJob.from_json(N1_JSON)
+
+    from pyspark.sql import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    DataFrame.collect = counting
+    try:
+        nodes, edges = store.read_nodes(), store.read_edges()
+        calls["n"] = 0
+        job.steps[0].touched_fn(nodes, edges, {"SEED": "EUROPE"})
+    finally:
+        DataFrame.collect = orig
+    assert calls["n"] <= 2, f"propagate touched derivation cost {calls['n']} collects"
+
+
+def test_props_reads_extraction():
+    from cartography_spark.pipeline.analysis import _props_reads
+
+    assert _props_reads("label = 'X' AND element_at(props, 'a') = '1'") == {"a"}
+    assert _props_reads("props['b'] IS NULL OR map_contains_key(props, 'c')") == {"b", "c"}
+    assert _props_reads("label = 'X'") == set()
+    # computed key / bare reference: unprovable
+    assert _props_reads("element_at(props, lower('A')) = '1'") is None
+    assert _props_reads("size(map_keys(props)) > 0") is None

@@ -119,3 +119,34 @@ def test_cli_drift_detect(spark, tmp_path, capsys):
                  "--start-state", "baseline", "--end-state", "most-recent"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["new"] == [["b"]] and out["missing"] == []
+
+
+def test_state_diff_aligns_evolved_schemas(spark, tmp_path):
+    """Round-4 ADVICE fix: a full-row state_diff between two store
+    snapshots straddling a promoted-column declaration must run (typed
+    NULL alignment) instead of exceptAll raising on mismatched
+    schemas."""
+    from cartography_spark.operators.drift import state_diff
+    from cartography_spark.pipeline.sync import load
+    from cartography_spark.schema import NodeSchema, PropertyRef
+    from cartography_spark.store.graphstore import NODES_SCHEMA, GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "gevo"))
+    plain = NodeSchema(label="User", properties={"id": PropertyRef("uid"), "email": PropertyRef("email")})
+    promoted = NodeSchema(
+        label="User",
+        properties={"id": PropertyRef("uid"), "email": PropertyRef("email", extra_index=True)},
+    )
+    rows = spark.createDataFrame([("u1", "a@x.io")], "uid string, email string")
+    load(store, plain, rows, 100)
+    v1 = store._pointer()["nodes"]
+    load(store, promoted, spark.createDataFrame([("u2", "b@x.io")], "uid string, email string"), 200)
+    v2 = store._pointer()["nodes"]
+
+    start = store._read_manifest_df("nodes", NODES_SCHEMA, store._manifest("nodes", v1))
+    end = store._read_manifest_df("nodes", NODES_SCHEMA, store._manifest("nodes", v2))
+    assert "_p_email" in end.columns and "_p_email" not in start.columns
+    new, missing = state_diff(start, end)  # full-row: must not raise
+    ids_new = {r["id"] for r in new.collect()}
+    assert "u2" in ids_new
+    assert missing.count() >= 0  # executes cleanly

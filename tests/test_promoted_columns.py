@@ -264,3 +264,25 @@ def test_sweep_works_with_promoted_columns(spark, store):
     assert out["nodes_deleted"] == 1
     rows = store.read_nodes().collect()
     assert [r["id"] for r in rows] == ["h1"] and rows[0]["_p_email"] == "a@x.io"
+
+
+def test_replace_partitions_derives_missing_promoted_column(spark, store):
+    """Round-4 ADVICE fix: a replace_partitions df that OMITS a declared
+    ``_p_`` column must not write partition files lacking it (reads
+    would NULL-fill with no props fallback at seq >= columns_seq and
+    matcher joins would silently miss rows) — the column is derived
+    from props before the write."""
+    load(store, HUMAN, _humans(spark, [("h1", "a@x.io"), ("h2", "b@x.io")]), 100)
+    assert store._manifest("nodes")["columns"] == ["_p_email"]
+
+    # new full content of the Human partition, WITHOUT the _p_ column
+    df = spark.createDataFrame(
+        [("Human", "h1", None, None, None, 100, {"email": "new@x.io"}),
+         ("Human", "h3", None, None, None, 100, {"email": "c@x.io"})],
+        "label string, id string, extra_labels array<string>, scope_id string, "
+        "firstseen timestamp, lastupdated long, props map<string,string>",
+    )
+    store.replace_partitions("nodes", df, ["Human"])
+
+    got = {r["id"]: r["_p_email"] for r in store.read_nodes().collect()}
+    assert got == {"h1": "new@x.io", "h3": "c@x.io"}

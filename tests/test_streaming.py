@@ -324,3 +324,80 @@ def test_stream_to_store_epoch_replay_is_no_op(spark, tmp_path):
     assert totals == {"nodes_created": 0, "nodes_updated": 0,
                       "edges_created": 0, "edges_updated": 0}
     assert store.read_edges().collect()[0]["props"]["n"] == "3"  # no double-add
+
+
+def test_merge_edges_expected_seq_surfaces_conflict(spark, tmp_path):
+    """Round-4 ADVICE fix, store side: merge_edges with a pinned
+    expected_seq must RAISE CommitConflict when the snapshot moved,
+    instead of retrying internally against the caller's stale inputs."""
+    from cartography_spark.store.graphstore import CommitConflict, GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    e1 = spark.createDataFrame(
+        [("R", "a", "b", "X", "X", None, {"n": "1"})],
+        "rel_label string, src string, dst string, src_label string, "
+        "dst_label string, scope_id string, props map<string,string>",
+    )
+    store.merge_edges(e1, 100)
+    stale_seq = store._pointer().get("seq", 0)
+    store.merge_edges(e1, 101)  # snapshot moves past stale_seq
+    with pytest.raises(CommitConflict):
+        store.merge_edges(e1, 102, expected_seq=stale_seq)
+
+
+def test_stream_weight_rebuilds_plan_on_concurrent_writer(spark, tmp_path):
+    """Round-4 ADVICE fix, stream side: a concurrent writer bumping the
+    same edge's accumulated weight between the stream's read-back and
+    its merge must NOT be overwritten — the conflict surfaces and the
+    whole read+plan rebuilds against the winner's snapshot."""
+    from cartography_spark.store.graphstore import GraphStore
+    from cartography_spark.streaming.stream import stream_to_store
+
+    tdir = tmp_path / "triples"
+    one = spark.createDataFrame([("a", "REL", "b")], "subj string, pred string, obj string")
+    one.coalesce(1).write.parquet(str(tdir / "f1"))
+    stream = (
+        spark.readStream.schema("subj string, pred string, obj string")
+        .parquet(str(tdir) + "/*")
+    )
+    store = GraphStore(spark, str(tmp_path / "graph"))
+    # pre-existing accumulated weight written by an earlier run
+    store.merge_edges(
+        spark.createDataFrame(
+            [("REL", "a", "b", "Entity", "Entity", None, {"n": "10"})],
+            "rel_label string, src string, dst string, src_label string, "
+            "dst_label string, scope_id string, props map<string,string>",
+        ),
+        50,
+    )
+
+    # interpose: the FIRST stream merge_edges call loses the race to a
+    # concurrent writer that bumps n to 17 (a second store handle on the
+    # same root, as another process would)
+    orig = store.merge_edges
+    state = {"injected": False}
+
+    def racing(updates, update_tag, expected_seq=None):
+        if not state["injected"]:
+            state["injected"] = True
+            other = GraphStore(spark, str(tmp_path / "graph"))
+            other.merge_edges(
+                spark.createDataFrame(
+                    [("REL", "a", "b", "Entity", "Entity", None, {"n": "17"})],
+                    "rel_label string, src string, dst string, src_label string, "
+                    "dst_label string, scope_id string, props map<string,string>",
+                ),
+                60,
+            )
+        return orig(updates, update_tag, expected_seq=expected_seq)
+
+    store.merge_edges = racing
+    try:
+        stream_to_store(stream, store, str(tmp_path / "ckpt"), update_tag=100, timeout=120)
+    finally:
+        store.merge_edges = orig
+
+    rows = store.read_edges().collect()
+    assert len(rows) == 1
+    # winner's n=17 + this batch's 1 — NOT the stale 10 + 1
+    assert rows[0]["props"]["n"] == "18"
