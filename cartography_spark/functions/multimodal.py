@@ -99,10 +99,28 @@ def _real_decode_row(kind: str, payload: bytes) -> dict:
         info = soundfile.info(io.BytesIO(payload))
         return {"width": 0, "height": 0, "duration_ms": int(info.duration * 1000)}
     try:
-        import av  # noqa: F401  (video: pyav/ffmpeg binding)
+        import av  # (video: pyav/ffmpeg binding)
     except ImportError as e:
         raise NotImplementedError("video decoding requires pyav (not installed)") from e
-    raise NotImplementedError("video decode path not wired for this container")
+    # Container probe, mirroring the PIL pattern above: open from the
+    # payload bytes, read duration + the first video stream's frame
+    # geometry. Gated by pytest.importorskip("av") in the test suite;
+    # live wherever the binding exists (round 4, VERDICT #7).
+    with av.open(io.BytesIO(payload)) as container:
+        duration_ms = (
+            int(container.duration * 1000 / av.time_base)
+            if container.duration is not None
+            else 0
+        )
+        vstreams = [s for s in container.streams if s.type == "video"]
+        if vstreams:
+            cc = vstreams[0].codec_context
+            return {
+                "width": int(cc.width or 0),
+                "height": int(cc.height or 0),
+                "duration_ms": duration_ms,
+            }
+        return {"width": 0, "height": 0, "duration_ms": duration_ms}
 
 
 def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:

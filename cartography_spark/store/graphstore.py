@@ -523,8 +523,21 @@ class GraphStore:
         pcol = _PARTITION_COL[table]
         path = os.path.join(self.root, "data", table, version)
         sort_key = "id" if "id" in df.columns else "src"
+        # Scope-clustered layout (round 4, VERDICT #6): sorting each
+        # label partition by (scope_id, key) clusters every tenant into
+        # contiguous parquet row groups, so a scoped sweep's pushed
+        # ``scope_id = X`` predicate prunes other tenants' row groups
+        # via footer min/max — the multi-tenant selectivity the
+        # reference gets from its indexed sub-resource rel
+        # (querybuilder.py:200-253), at zero extra shuffle (the local
+        # sort already runs for the id-range stats).
+        # The partition column leads the sort so FileFormatWriter's
+        # required ordering is already satisfied — otherwise it inserts
+        # its own (non-stable) sort on pcol alone and destroys the
+        # clustering.
+        sort_cols = [pcol] + (["scope_id"] if "scope_id" in df.columns else []) + [sort_key]
         (
-            df.sortWithinPartitions(sort_key)
+            df.sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy(pcol)
             .parquet(path)

@@ -8,6 +8,8 @@ compared key-for-key."""
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -185,3 +187,40 @@ def test_detach_sweeps_null_label_edge(spark, tmp_path_factory):
 
     got_edges = {(r["rel_label"], r["src"], r["dst"]) for r in store.read_edges().collect()}
     assert got_edges == {("S", "n2", "n2")}
+
+
+def test_scoped_layout_clusters_tenants_and_pushes_filter(spark, tmp_path_factory):
+    """Round-4 (VERDICT #6): within a label partition, rows are written
+    sorted by scope_id — every tenant occupies contiguous parquet row
+    groups, so footer min/max stats prune other tenants' row groups for
+    a scoped sweep's pushed ``scope_id = X`` predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("scopelayout")))
+    rows = [("X", f"n{i}", None, f"s{i % 5}", None, 100, {}) for i in range(200)]
+    ndf = spark.createDataFrame(
+        rows,
+        "label string, id string, extra_labels array<string>, scope_id string, "
+        "firstseen timestamp, lastupdated long, props map<string,string>",
+    ).repartition(4)  # interleave scopes across tasks pre-write
+    store._write("nodes", ndf)
+
+    # physical clustering: scope_id is non-decreasing within every file
+    files = glob.glob(os.path.join(store.root, "data", "nodes", "*", "label=X", "*.parquet"))
+    assert files
+    for f in files:
+        scopes = pq.read_table(f, columns=["scope_id"]).column("scope_id").to_pylist()
+        assert scopes == sorted(scopes), f"{f} not scope-clustered"
+
+    # the scoped predicate reaches the parquet scan
+    plan = (
+        store.read_nodes()
+        .where((F.col("label") == "X") & (F.col("scope_id") == "s1"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EqualTo(scope_id,s1)" in plan, plan[:2000]
