@@ -96,7 +96,25 @@ def test_partial_rewrite_job_matches_python_model(spark, tmp_path_factory, nodes
 
     job = AnalysisJob.from_json(json.dumps({"name": "prop test", "statements": stmts}))
     out = job.run(store, 200)
-    assert out["touched_labels"] is not None  # partial path engaged
+    # Partial path engages iff every statement's predicate is provably
+    # independent of earlier statements' writes (round 4: a dependent
+    # predicate evaluated pre-state would under-scope the touched set,
+    # so the engine must fall back to the full rewrite for those).
+    from cartography_spark.pipeline.analysis import _props_reads
+
+    written: set = set()
+    expect_partial = True
+    for i, s in enumerate(stmts):
+        if i > 0:
+            reads = _props_reads(s["where"])
+            if reads is None or (reads & written):
+                expect_partial = False
+                break
+        written.add(s["prop"])
+    if expect_partial:
+        assert out["touched_labels"] is not None  # partial path engaged
+    else:
+        assert out["touched_labels"] is None  # conservative full rewrite
 
     got = {
         (r["label"], r["id"]): dict(r["props"] or {})
