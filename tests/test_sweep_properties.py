@@ -202,20 +202,53 @@ def test_scoped_layout_clusters_tenants_and_pushes_filter(spark, tmp_path_factor
     from cartography_spark.store.graphstore import GraphStore
 
     store = GraphStore(spark, str(tmp_path_factory.mktemp("scopelayout")))
-    rows = [("X", f"n{i}", None, f"s{i % 5}", None, 100, {}) for i in range(200)]
-    ndf = spark.createDataFrame(
-        rows,
-        "label string, id string, extra_labels array<string>, scope_id string, "
-        "firstseen timestamp, lastupdated long, props map<string,string>",
-    ).repartition(4)  # interleave scopes across tasks pre-write
-    store._write("nodes", ndf)
+    # Force multi-row-group files (tiny block size + filler payload) so
+    # the skip is demonstrable, not just the clustering.
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", "16384")
+    try:
+        rows = [
+            ("X", f"n{i:05d}", None, f"s{i % 5}", None, 100, {"pad": "x" * 120})
+            for i in range(4000)
+        ]
+        ndf = spark.createDataFrame(
+            rows,
+            "label string, id string, extra_labels array<string>, scope_id string, "
+            "firstseen timestamp, lastupdated long, props map<string,string>",
+        ).repartition(2)  # interleave scopes across tasks pre-write
+        store._write("nodes", ndf)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
 
-    # physical clustering: scope_id is non-decreasing within every file
+    # physical clustering: scope_id is non-decreasing within every file,
+    # and with multiple row groups per file the footer stats make one
+    # tenant's rows a strict subset of row groups — the scoped sweep's
+    # pushed predicate skips the rest.
     files = glob.glob(os.path.join(store.root, "data", "nodes", "*", "label=X", "*.parquet"))
     assert files
+    total_groups = needed_groups = 0
+    saw_multi = False
     for f in files:
         scopes = pq.read_table(f, columns=["scope_id"]).column("scope_id").to_pylist()
         assert scopes == sorted(scopes), f"{f} not scope-clustered"
+        meta = pq.ParquetFile(f).metadata
+        saw_multi = saw_multi or meta.num_row_groups > 1
+        sc_col = next(
+            i for i in range(meta.row_group(0).num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "scope_id"
+        )
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(sc_col).statistics
+            total_groups += 1
+            if st.min <= "s1" <= st.max:
+                needed_groups += 1
+    assert saw_multi, "fixture produced single-row-group files; skip not demonstrated"
+    # with 5 tenants clustered, scope s1 must live in a minority of row groups
+    assert needed_groups < total_groups / 2, (needed_groups, total_groups)
 
     # the scoped predicate reaches the parquet scan
     plan = (
