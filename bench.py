@@ -194,9 +194,12 @@ def run_flagship(spark, n_pages: int) -> dict:
 
 def run_store_bench(spark) -> dict:
     """Partial-rewrite contract benchmark: after bulk-loading 8 label
-    partitions, a merge touching ONE label and a tombstone sweep must
-    cost a fraction of the bulk load (merge cost ~ touched partitions,
-    sweep ~ key scan, never table size)."""
+    partitions x 16 hash buckets, a merge touching ONE label and a
+    tombstone sweep must cost a fraction of the bulk load (merge cost ~
+    touched BUCKETS — round 5 — sweep ~ key scan, never table size).
+    ``small_merge_*`` is the round-5 headline: a 10-row merge's
+    rewritten bytes must track the <=10 buckets its keys hash to, not
+    the label."""
     import shutil
     import tempfile
 
@@ -225,6 +228,34 @@ def run_store_bench(spark) -> dict:
         t0 = time.time()
         store.merge_nodes(touched, 200)
         touched_sec = time.time() - t0
+
+        # Round-5 bucket granularity: a 10-row merge rewrites only the
+        # buckets its keys hash to. Report wall time AND the manifest's
+        # own bytes accounting (rewritten bucket bytes / table bytes).
+        man_before = store._manifest("nodes")
+
+        def table_bytes(man):
+            return sum(
+                b["bytes"]
+                for p in man["partitions"].values()
+                for b in p["buckets"].values()
+            )
+
+        small = spark.createDataFrame(
+            [("L3", str(i * 8 + 3), "s1", {"v": "small"}) for i in range(10)],
+            "label string, id string, scope_id string, props map<string,string>",
+        )
+        t0 = time.time()
+        store.merge_nodes(small, 250)
+        small_sec = time.time() - t0
+        man_after = store._manifest("nodes")
+        rewritten = sum(
+            b["bytes"]
+            for p, info in man_after["partitions"].items()
+            for bk, b in info["buckets"].items()
+            if man_before["partitions"].get(p, {}).get("buckets", {}).get(bk) != b
+        )
+        small_bytes_frac = rewritten / max(table_bytes(man_before), 1)
 
         # Round-3: analysis jobs ride the same partial-rewrite path — a
         # set_prop touching ONE of 8 labels must cost a fraction of the
@@ -271,6 +302,9 @@ def run_store_bench(spark) -> dict:
             "bulk_load_sec": round(bulk_sec, 3),
             "touched_merge_sec": round(touched_sec, 3),
             "touched_over_bulk": round(touched_sec / bulk_sec, 3),
+            "small_merge_sec": round(small_sec, 3),
+            "small_merge_over_bulk": round(small_sec / bulk_sec, 3),
+            "small_merge_bytes_frac": round(small_bytes_frac, 4),
             "analysis_touched_sec": round(analysis_sec, 3),
             "analysis_over_bulk": round(analysis_sec / bulk_sec, 3),
             "compact_partial_sec": round(compact_sec, 3),

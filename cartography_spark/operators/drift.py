@@ -37,7 +37,17 @@ def state_diff(
     to sorted-entries JSON strings, since Spark set operations reject
     map types outright. A row whose only change is a newly-populated
     promoted column therefore reports as drift, which is the
-    visible-read truth at the newer snapshot."""
+    visible-read truth at the newer snapshot.
+
+    RETURN CONTRACT for full-row mode (round 5, ADVICE — the
+    caller-visible type change, not just the why): the returned
+    new_rows / missing_rows frames carry every map column (``props``)
+    as a STRING of sorted-entries JSON (``[{"key":k,"value":v},...]``),
+    NOT ``map<string,string>``, and one-side-only columns come back as
+    typed NULLs on the side that lacked them. Callers needing maps back
+    can ``from_json(col, "array<struct<key:string,value:string>>")`` +
+    ``map_from_entries``; the diff itself must compare the canonical
+    string form."""
     if columns:
         start = start.select(*columns)
         end = end.select(*columns)
@@ -88,17 +98,25 @@ def changed_partitions(man_start: dict | None, man_end: dict | None) -> list[str
     if decl(man_start) != decl(man_end):
         return sorted(set(ps) | set(pe))
 
+    def bucket_dirs(info: dict) -> tuple:
+        return tuple(sorted((b, bi["dir"]) for b, bi in info["buckets"].items()))
+
     def applicable(man: dict | None, p: str, info: dict) -> frozenset:
+        # a delete is applicable to the partition when it can touch ANY
+        # of its buckets (bucket seq < delete seq) — partition-level is
+        # enough here: equal bucket dirs imply equal seqs, so two
+        # manifests disagree on applicability only when content differs
+        min_seq = min(bi["seq"] for bi in info["buckets"].values())
         return frozenset(
             d["path"]
             for d in (man or {}).get("deletes", [])
-            if info["seq"] < d["seq"] and p in d.get("partitions", [p])
+            if min_seq < d["seq"] and p in d.get("partitions", [p])
         )
 
     out = []
     for p in set(ps) | set(pe):
         s, e = ps.get(p), pe.get(p)
-        if s is None or e is None or s["dir"] != e["dir"]:
+        if s is None or e is None or bucket_dirs(s) != bucket_dirs(e):
             out.append(p)
         elif applicable(man_start, p, s) != applicable(man_end, p, e):
             out.append(p)

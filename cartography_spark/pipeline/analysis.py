@@ -121,9 +121,14 @@ class AnalysisJob:
         omit for the conservative full rewrite. ``touches_edges=False``
         skips the edge-table write entirely when no step needs it.
         ``writes_props``: declare the prop names (``$PARAM`` templates
-        allowed) the step writes — without it, any LATER declarative
-        statement's predicate can't be proven independent of this step
-        and the job falls back to the full rewrite."""
+        allowed) the step writes — documentation + future-proofing for
+        the per-statement counters; note (round 5, ADVICE) it does NOT
+        re-enable the partial path for later predicate statements: a
+        code step's fn may rewrite TOP-LEVEL columns its declaration
+        can't rule out, so any code step preceding a declarative
+        statement forces the conservative full rewrite regardless.
+        Code steps AFTER every declarative statement (or alone) keep
+        the partial path via ``labels``."""
         touched_fn = None
         if labels is not None:
             declared = set(labels)
@@ -162,20 +167,31 @@ class AnalysisJob:
         other propagate ingredient — the carrying-flag clear set — is
         safe pre-state: rows that GAIN the flag from an earlier
         statement match that statement's own predicate, so their labels
-        are already in the union."""
+        are already in the union.
+
+        CODE steps are opaque even with ``writes_props`` declared
+        (round 5, ADVICE): ``_props_reads`` only extracts PROPS-map
+        accesses, but a code step's fn may also rewrite TOP-LEVEL
+        columns (scope_id, extra_labels, ...) that a later predicate
+        reads — unprovable from the declaration, so any code step
+        preceding a predicate-bearing statement forces the full
+        rewrite. Declarative statements never write top-level columns
+        by construction, so the props-level vetting stays sufficient
+        among themselves."""
         out: set = set()
         simple: list[tuple[int, str]] = []
         complex_steps = []
         written: set = set()
         unknown_writes = False
         edges_touched = False
+        code_step_seen = False
         for idx, step in enumerate(self.steps):
             if step.touched_fn is None:
                 return None
             tmpl = getattr(step.touched_fn, "where_template", None)
             preds = getattr(step.touched_fn, "pred_templates", None)
             if idx > 0 and (tmpl is not None or preds is not None):
-                if unknown_writes:
+                if unknown_writes or code_step_seen:
                     return None
                 if preds is not None and edges_touched:
                     return None
@@ -193,7 +209,12 @@ class AnalysisJob:
             edges_touched = edges_touched or step.touches_edges
             if tmpl is not None:
                 simple.append((idx, tmpl))
+            elif preds is not None:
+                complex_steps.append(step)
             else:
+                # label-declared code step (add_step(labels=...)):
+                # bounded write SET, but unbounded write SHAPE
+                code_step_seen = True
                 complex_steps.append(step)
         if simple:
             aggs = [
@@ -246,16 +267,22 @@ class AnalysisJob:
             _evolution = store._evolve_columns
 
             commits: dict[str, tuple[str, dict]] = {}
+            nb = store._bucket_count(manifest)
             if touched is None:
                 nv = store._allocate_version("nodes")
-                nparts = store._write_data("nodes", nv, nodes)
+                nparts = store._write_data("nodes", nv, nodes, nb)
                 commits["nodes"] = (
                     nv,
-                    {"partitions": nparts, "deletes": [], **_evolution(manifest, nodes, nv)},
+                    {
+                        "partitions": nparts,
+                        "deletes": [],
+                        "bucket_count": nb,
+                        **_evolution(manifest, nodes, nv),
+                    },
                 )
             elif touched:
                 nv = store._allocate_version("nodes")
-                nparts = store._write_data("nodes", nv, nodes)
+                nparts = store._write_data("nodes", nv, nodes, nb)
                 parts = {
                     k: p for k, p in manifest["partitions"].items() if k not in touched
                 }
@@ -265,17 +292,24 @@ class AnalysisJob:
                     {
                         "partitions": parts,
                         "deletes": list(manifest.get("deletes", [])),
+                        "bucket_count": nb,
                         **_evolution(manifest, nodes, nv),
                     },
                 )
             # touched == set(): no statement matches any label -> no node write
             if touches_edges:
                 emanifest = store._manifest("edges") or {}
+                eb = store._bucket_count(emanifest)
                 ev = store._allocate_version("edges")
-                eparts = store._write_data("edges", ev, edges)
+                eparts = store._write_data("edges", ev, edges, eb)
                 commits["edges"] = (
                     ev,
-                    {"partitions": eparts, "deletes": [], **_evolution(emanifest, edges, ev)},
+                    {
+                        "partitions": eparts,
+                        "deletes": [],
+                        "bucket_count": eb,
+                        **_evolution(emanifest, edges, ev),
+                    },
                 )
             try:
                 if commits:
@@ -296,8 +330,18 @@ class AnalysisJob:
             # Observation.get blocks until its plan executed — when no
             # node write ran (zero touched labels) nothing matched.
             nodes_written = "nodes" in commits
+
+            def matched(obs) -> int:
+                try:
+                    return int(obs.get.get("matched") or 0)
+                except Exception:
+                    # an all-empty rewrite input lets AQE's empty-relation
+                    # propagation eliminate the CollectMetrics node — the
+                    # true count is then zero (nothing flowed through)
+                    return 0
+
             for name, obs in self._observations:
-                counters[name] = int(obs.get.get("matched") or 0) if nodes_written else 0
+                counters[name] = matched(obs) if nodes_written else 0
             store._record_metrics(
                 f"analysis_{self.short_name or self.name}", update_tag, counters
             )

@@ -60,8 +60,10 @@ def load(
     plans = compile_edge_updates(schema, df, store.read_nodes(), params, selected_rels)
     if plans:
         # Independent per-rel joins unioned into ONE edge merge: keeps the
-        # reference's CALL{} isolation semantics but pays a single
-        # full-outer merge against the edge table.
+        # reference's CALL{} isolation semantics while paying a single
+        # decomposed MERGE (broadcast-able LEFT OUTER update pass + key-only
+        # ANTI create pass, bucket-scoped read/rewrite) against the edge
+        # table instead of one merge per rel plan.
         all_edges = reduce(lambda a, b: a.unionByName(b), plans)
         edge_counters = store.merge_edges(all_edges, update_tag)
     df.unpersist()

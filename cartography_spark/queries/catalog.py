@@ -807,20 +807,33 @@ def kg_flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kg_pages_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pages_n(sf_dir: str) -> int:
+    """Page count for the e2e extraction gates, keyed off the sf dir
+    (round 5, VERDICT #5: the gate must cover the chain at its own
+    scale, not a fixed n=500). 500 at sf<=0.01 — matching the static
+    DuckDB oracle the driver compares against at its gate scale — and
+    50k x sf above it (5 000 at sf0.1), so the BENCH run exercises the
+    chain at bench scale."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.01
+    return max(500, int(50_000 * sf))
+
+
+def _pages_e2e(spark: SparkSession, n_pages: int, seed: int) -> DataFrame:
     """End-to-end KG build on the synthesized pages batch: html -> text
     (byte-identical extraction) -> (s,p,o) triples -> aggregated edge
-    weights. Fixed (n=500, seed=42) regardless of sf_dir so the static
-    oracle SQL stays valid at any gate scale. The DuckDB twin
-    re-derives the generator's ground-truth sentence picks (splitmix64
-    replicated in UBIGINT/HUGEINT SQL) — a green hash row here proves
-    the whole html->text->triples chain emits exactly the planted
-    triples (the north rule's P=R=1.0, driver-visible)."""
+    weights. The DuckDB twin re-derives the generator's ground-truth
+    sentence picks (splitmix64 replicated in UBIGINT/HUGEINT SQL) — a
+    green hash row proves the whole html->text->triples chain emits
+    exactly the planted triples (the north rule's P=R=1.0,
+    driver-visible)."""
     from cartography_spark.functions.textextract import extract_text
     from cartography_spark.functions.triples import extract_triples
     from cartography_spark.sources.pages import synthesize_pages
 
-    pages = synthesize_pages(spark, 500, seed=42)
+    pages = synthesize_pages(spark, n_pages, seed=seed)
     text = extract_text(pages.drop("text"), "html", "text")
     triples = extract_triples(text)
     return (
@@ -829,6 +842,22 @@ def kg_pages_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "subj", "pred", "obj")
         .limit(100)
     )
+
+
+def kg_pages_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sf-keyed e2e extraction gate: n=500 at the driver's sf0.01 gate
+    (matching the static oracle), 5 000+ at bench scale (see
+    :func:`_pages_n`)."""
+    return _pages_e2e(spark, _pages_n(sf_dir), seed=42)
+
+
+def kg_pages_e2e_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second, larger extraction gate (round 5, VERDICT #5): fixed
+    n=4000 regardless of sf — 8x the old gate — so the driver's
+    value-hash check covers the html->text->triples chain well past the
+    500-page scale the r4 gate pinned. Different seed (7) so it is not
+    a prefix-rerun of the small gate's pages."""
+    return _pages_e2e(spark, 4000, seed=7)
 
 
 def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,5 +971,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_incremental_link_pairs": kg_incremental_link_pairs,
     "kg_flagship_pipeline": kg_flagship_pipeline,
     "kg_pages_e2e": kg_pages_e2e,
+    "kg_pages_e2e_large": kg_pages_e2e_large,
     "multimodal_features": multimodal_features,
 }

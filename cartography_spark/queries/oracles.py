@@ -107,7 +107,7 @@ WHERE n.n_regionkey IN (SELECT r_regionkey FROM eu)
 ORACLES["kg_policy_eval_j6"] = """
 WITH pol(pid, rx) AS (VALUES
   ('pol1', '(?i)^PROM.*$'),
-  ('pol2', '(?i)^.CONOMY$'),
+  ('pol2', '(?i)^.?CONOMY$'),
   ('pol3', '(?i)^S.*$'),
   ('pol4', '(?i)^.*dium$'))
 SELECT pol.pid AS pid, p.p_partkey AS p_partkey, p.p_type AS p_type
@@ -870,3 +870,7 @@ LIMIT 100
 
 
 ORACLES["kg_pages_e2e"] = _pages_e2e_oracle_sql()
+# Round 5 (VERDICT #5): second, larger extraction gate — 4 000 pages,
+# independent seed — so the driver's value-hash check covers the
+# html->text->triples chain at 8x the r4 gate's scale.
+ORACLES["kg_pages_e2e_large"] = _pages_e2e_oracle_sql(4000, 7)

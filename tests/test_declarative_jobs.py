@@ -199,9 +199,13 @@ def test_analysis_rewrites_only_touched_partitions(spark, tmp_path):
     assert out["touched_labels"] == ["L2"]
 
     after = store._manifest("nodes")["partitions"]
+
+    def seqs(entry):
+        return {b["seq"] for b in entry["buckets"].values()}
+
     for lab in labels:
         if lab == "L2":
-            assert after[lab]["seq"] > before_nodes[lab]["seq"]
+            assert min(seqs(after[lab])) > max(seqs(before_nodes[lab]))
         else:  # untouched partitions: byte-identical carry-forward
             assert after[lab] == before_nodes[lab]
     # edge table untouched: pointer version unchanged
@@ -357,3 +361,93 @@ def test_props_reads_extraction():
     # computed key / bare reference: unprovable
     assert _props_reads("element_at(props, lower('A')) = '1'") is None
     assert _props_reads("size(map_keys(props)) > 0") is None
+
+
+def test_code_step_before_predicate_forces_full_rewrite(spark, tmp_path):
+    """Round-5 ADVICE fix: a CODE step (add_step with labels=...) may
+    rewrite TOP-LEVEL columns its declaration can't rule out, so any
+    later predicate-bearing statement is unsound pre-state even when
+    the declared writes_props are disjoint from the predicate's props
+    reads — the job must take the conservative full rewrite. The step
+    below really does rewrite scope_id, and the propagate's seed reads
+    it: the partial path would compute seed_labels pre-state as {} and
+    silently never write the flag."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    store = GraphStore(spark, str(tmp_path / "gcode"))
+    _seed_graph(spark, store)
+
+    def retag(nodes, edges, params):
+        return (
+            nodes.withColumn(
+                "scope_id",
+                F.when(F.col("label") == "Region", F.lit("hot")).otherwise(
+                    F.col("scope_id")
+                ),
+            ),
+            edges,
+        )
+
+    job = AnalysisJob("code-then-predicate")
+    job.add_step(
+        "retag", retag, labels=["Region"], touches_edges=False,
+        writes_props=[],  # declares NO props writes — still opaque top-level
+    )
+    job.steps.append(
+        AnalysisJob.from_json(
+            json.dumps(
+                {
+                    "name": "x",
+                    "statements": [
+                        {
+                            "op": "set_prop",
+                            "where": "scope_id = 'hot'",
+                            "prop": "flagged",
+                            "value": "y",
+                        }
+                    ],
+                }
+            )
+        ).steps[0]
+    )
+    assert job._touched_labels(store.read_nodes(), store.read_edges(), {}) is None
+    out = job.run(store, 500)
+    assert out["touched_labels"] is None  # full rewrite taken
+    got = {r["id"]: dict(r["props"] or {}) for r in store.read_nodes().collect()}
+    assert got["r1"].get("flagged") == "y"  # the write actually landed
+
+
+def test_code_step_after_statements_keeps_partial_path(spark, tmp_path):
+    """The round-5 gate is ordering-sensitive: a labels-declared code
+    step AFTER every declarative statement still allows the partial
+    path (nothing later reads its writes pre-state)."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    store = GraphStore(spark, str(tmp_path / "gafter"))
+    _seed_graph(spark, store)
+
+    job = AnalysisJob.from_json(
+        json.dumps(
+            {
+                "name": "x",
+                "statements": [
+                    {
+                        "op": "set_prop",
+                        "where": "label = 'Region'",
+                        "prop": "seen",
+                        "value": "1",
+                    }
+                ],
+            }
+        )
+    )
+    job.add_step(
+        "post",
+        lambda nodes, edges, params: (nodes, edges),
+        labels=["Region"],
+        touches_edges=False,
+    )
+    touched = job._touched_labels(store.read_nodes(), store.read_edges(), {})
+    assert touched == {"Region"}

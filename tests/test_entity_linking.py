@@ -163,3 +163,23 @@ def test_lsh_blocked_join_verify_filters_non_matches(spark):
     )
     got = {(r["iid"], r["__t_tid"]) for r in out.collect()}
     assert got == {("i1", "t1")}
+
+
+def test_lsh_blocked_join_verify_shingles_once_per_side(spark):
+    """Round-5 (VERDICT #4): the Jaccard verify let-binds the two
+    shingle arrays, so the optimized plan evaluates ngram_shingles
+    exactly once per side per stage — 2 in the banded stages + 2 in the
+    verify filter. The earlier inline form rebuilt each side's array
+    under BOTH array_intersect and array_union (HOFs are interpreted —
+    no codegen CSE), i.e. 6 evaluations."""
+    from cartography_spark.operators.linking import lsh_blocked_join
+
+    items = spark.createDataFrame([("i1", "Apache Spark Engine")], ["iid", "iname"])
+    targets = spark.createDataFrame([("t1", "Apache Spark Enginee")], ["tid", "tname"])
+    out = lsh_blocked_join(
+        items, targets, "iname", "tname", "iid", "tid",
+        num_hashes=8, bands=4, jaccard_threshold=0.5,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # ngram_shingles lowers to array_distinct(transform(sequence(...)))
+    assert plan.count("array_distinct") == 4, plan.count("array_distinct")

@@ -63,9 +63,24 @@ def test_top_keys(spark):
 
 
 def test_wildcard_to_regex():
+    """Reference-exact kernel (``permission_relationships.py:225-251``):
+    escape ONLY '.', '*'->'.*', '?'->'.?' (zero-or-one), malformed ->
+    match-nothing. Round-5 VERDICT #2 pin: both policy layers now share
+    this one kernel."""
+    import re
+
     assert wildcard_to_regex("s3:Get*") == "(?i)^s3:Get.*$"
-    assert wildcard_to_regex("a?c") == "(?i)^a.c$"
-    assert wildcard_to_regex("a.b+c") == "(?i)^a\\.b\\+c$"
+    assert wildcard_to_regex("a?c") == "(?i)^a.?c$"
+    # only '.' is escaped — other regex specials pass through, exactly
+    # as the reference compiles them ('+' stays a quantifier there too)
+    assert wildcard_to_regex("a.b+c") == "(?i)^a\\.b+c$"
+    # '?' is ZERO-or-one: 'abc?' matches both 'abc' and 'abcd'
+    rx = wildcard_to_regex("abc?")  # anchors are embedded in rx
+    assert re.match(rx, "abc") and re.match(rx, "abcd")
+    assert not re.match(rx, "abcde")
+    # malformed clause degrades to match-nothing (reference: compiled '')
+    bad = wildcard_to_regex("a(")
+    assert bad == "(?i)^$" and not re.match(bad, "a(")
     assert literal_prefix("s3:Get*") == "s3:Get"
     assert literal_prefix("nostar") == "nostar"
 

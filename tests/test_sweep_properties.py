@@ -201,7 +201,10 @@ def test_scoped_layout_clusters_tenants_and_pushes_filter(spark, tmp_path_factor
 
     from cartography_spark.store.graphstore import GraphStore
 
-    store = GraphStore(spark, str(tmp_path_factory.mktemp("scopelayout")))
+    # n_buckets=2 keeps per-bucket files large enough to span multiple
+    # row groups at the tiny block size below (the skip must be
+    # demonstrable, not just the clustering).
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("scopelayout")), n_buckets=2)
     # Force multi-row-group files (tiny block size + filler payload) so
     # the skip is demonstrable, not just the clustering.
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -228,7 +231,9 @@ def test_scoped_layout_clusters_tenants_and_pushes_filter(spark, tmp_path_factor
     # and with multiple row groups per file the footer stats make one
     # tenant's rows a strict subset of row groups — the scoped sweep's
     # pushed predicate skips the rest.
-    files = glob.glob(os.path.join(store.root, "data", "nodes", "*", "label=X", "*.parquet"))
+    files = glob.glob(
+        os.path.join(store.root, "data", "nodes", "*", "label=X", "__bucket=*", "*.parquet")
+    )
     assert files
     total_groups = needed_groups = 0
     saw_multi = False
