@@ -1259,17 +1259,86 @@ class GraphStore:
             removed[table] = doomed
         return removed
 
-    def maybe_compact(self, max_delete_files: int = 8) -> dict[str, str]:
+    def maybe_compact(
+        self, max_delete_files: int = 8, max_seq_groups: int = 32
+    ) -> dict[str, str]:
         """Bound merge-on-read debt: compact any table whose manifest
         references more than ``max_delete_files`` tombstone files (each
-        adds an anti-join to every read). Call after sweeps on a
-        schedule — the Iceberg maintenance-job analog."""
+        adds an anti-join to every read), and DEFRAG any table whose
+        bucket entries span more than ``max_seq_groups`` distinct write
+        seqs — every distinct seq is one unioned scan in the read plan
+        (buckets evolve independently, so a long merge history can
+        fragment a table up to labels x bucket_count groups; the
+        Iceberg analog is rewrite_data_files on file-count triggers).
+        Call after sweeps on a schedule — the maintenance-job analog."""
         out: dict[str, str] = {}
         for t in ("nodes", "edges"):
             man = self._manifest(t)
             if man is not None and len(man.get("deletes", [])) > max_delete_files:
                 out.update(self.compact(t))
+                man = self._manifest(t)
+            if man is not None and self._seq_group_count(man) > max_seq_groups:
+                out.update(self.defrag(t))
         return out
+
+    @staticmethod
+    def _seq_group_count(manifest: dict) -> int:
+        return len(
+            {
+                b["seq"]
+                for p in manifest["partitions"].values()
+                for b in p["buckets"].values()
+            }
+        )
+
+    def defrag(self, table: str, max_seq_spread: int = 1) -> dict[str, str]:
+        """Consolidate read-plan fragmentation: every partition whose
+        buckets span more than ``max_seq_spread`` distinct seqs is
+        rewritten WHOLE (all its buckets re-homed at one fresh seq);
+        every other partition carries forward by reference. Bounded by
+        fragmented-partition bytes, not table size. Tombstones fold in
+        during the rewrite (the new seq postdates them) and keep
+        applying to untouched partitions; entries dead everywhere are
+        pruned at commit. CAS-committed with retry like compaction."""
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            seq0 = self._pointer().get("seq", 0)
+            manifest = self._manifest(table)
+            if manifest is None:
+                return {}
+            parts = manifest["partitions"]
+            affected = sorted(
+                p
+                for p, info in parts.items()
+                if len(set(self._entry_seqs(info))) > max_seq_spread
+            )
+            if not affected:
+                return {}
+            nb = self._bucket_count(manifest)
+            df = self._read_manifest_df(
+                table, _SCHEMA[table], manifest, only_partitions=affected
+            )
+            v = self._allocate_version(table)
+            new_parts = self._write_data(table, v, df, nb)
+            merged = {p: i for p, i in parts.items() if p not in set(affected)}
+            merged.update(new_parts)  # fully-tombstoned partitions drop out
+            try:
+                self._commit_manifest(
+                    table,
+                    v,
+                    {
+                        "partitions": merged,
+                        "deletes": list(manifest.get("deletes", [])),
+                        "bucket_count": nb,
+                        **self._evolve_columns(manifest, df, v),
+                    },
+                    expected_seq=seq0,
+                )
+            except CommitConflict as e:
+                last = e
+                continue
+            return {table: v}
+        raise last  # type: ignore[misc]
 
     def compact(self, table: str | None = None, full: bool = False) -> dict[str, str]:
         """Fold tombstones into rewritten data (Iceberg

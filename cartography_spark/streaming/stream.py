@@ -188,16 +188,17 @@ def stream_to_store(
         # read-modify-write every streaming upsert-with-aggregate needs;
         # the store read prunes to the touched rel_label partitions).
         batch_counts = batch.groupBy("subj", "pred", "obj").agg(F.count("*").alias("__n"))
-        # Manifest-level partition pruning: the read-back joins only the
-        # rel_label partitions this batch touches (a distinct over the
-        # batch's few preds), not the whole edge table per micro-batch.
+        # Manifest-level (partition, bucket) pruning: the read-back joins
+        # only the rel_label partitions this batch touches AND, within
+        # them, only the hash-buckets its (src, dst) keys land in
+        # (round 5 — the same bucket discipline the merge itself uses),
+        # not the whole edge table per micro-batch. The distinct is over
+        # (pred, bucket) — at most rels x bucket_count rows.
         from cartography_spark.store.graphstore import (
             _COMMIT_RETRIES,
             EDGES_SCHEMA,
             CommitConflict,
         )
-
-        touched_rels = [r[0] for r in batch_counts.select("pred").distinct().collect()]
 
         # The accumulation is a read-modify-write: ``prev`` resolves the
         # edges manifest at PLAN-BUILD time, so a concurrent writer
@@ -208,8 +209,24 @@ def stream_to_store(
         last_conflict: CommitConflict | None = None
         for _ in range(_COMMIT_RETRIES):
             seq0 = store._pointer().get("seq", 0)
+            eman = store._manifest("edges")
+            # bucket = f(src, dst) = f(subj, obj); count re-read per retry
+            # (a concurrent full compaction may have re-bucketed)
+            nb = store._bucket_count(eman)
+            touched: dict[str, set] = {}
+            for r in (
+                batch_counts.select(
+                    "pred",
+                    F.pmod(F.xxhash64("subj", "obj"), F.lit(nb)).cast("int").alias("__b"),
+                )
+                .distinct()
+                .collect()
+            ):
+                if r[0] is not None:
+                    touched.setdefault(r[0], set()).add(int(r[1]))
             prev = store._read_manifest_df(
-                "edges", EDGES_SCHEMA, store._manifest("edges"), only_partitions=touched_rels
+                "edges", EDGES_SCHEMA, eman,
+                only_partitions=sorted(touched), only_buckets=touched,
             ).select(
                 F.col("rel_label"),
                 F.col("src"),

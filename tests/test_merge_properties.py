@@ -36,9 +36,13 @@ batches = st.lists(batch, min_size=1, max_size=4)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
-@given(batches=batches)
-def test_merge_matches_python_model(spark, tmp_path_factory, batches):
-    store = GraphStore(spark, str(tmp_path_factory.mktemp("g")))
+@given(batches=batches, n_buckets=st.sampled_from([1, 2, 16]))
+def test_merge_matches_python_model(spark, tmp_path_factory, batches, n_buckets):
+    # n_buckets drawn too (round 5): 1 = single-bucket (whole-partition
+    # rewrite degenerate case), 2 = forced key collisions per bucket,
+    # 16 = default sparse layout — the MERGE contract must hold at any
+    # bucketing, since buckets only change the rewrite unit.
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("g")), n_buckets=n_buckets)
     model: dict[str, dict] = {}
     for i, b in enumerate(batches):
         tag = 100 + i
@@ -85,9 +89,9 @@ pbatches = st.lists(pbatch, min_size=1, max_size=4)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
-@given(batches=pbatches)
-def test_promoted_column_matches_python_model(spark, tmp_path_factory, batches):
-    store = GraphStore(spark, str(tmp_path_factory.mktemp("g")))
+@given(batches=pbatches, n_buckets=st.sampled_from([2, 16]))
+def test_promoted_column_matches_python_model(spark, tmp_path_factory, batches, n_buckets):
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("g")), n_buckets=n_buckets)
     model: dict[str, str | None] = {}
     for i, b in enumerate(batches):
         tag = 100 + i

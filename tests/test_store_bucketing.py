@@ -181,3 +181,45 @@ def test_edges_bucket_on_src_dst(spark, tmp_path):
     rows = store.read_edges().where("src='p1' AND dst='e1'").collect()
     assert len(rows) == 1 and rows[0]["props"]["w"] == "9"
     assert store.read_edges().count() == 500
+
+
+def test_defrag_consolidates_fragmented_partitions(spark, tmp_path):
+    """Bucketing makes buckets evolve at independent seqs, and every
+    distinct seq is one unioned scan in the read plan — defrag re-homes
+    fragmented partitions at one seq (bounded by fragmented-partition
+    bytes) while untouched partitions carry forward by reference."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=4)
+    store.merge_nodes(_bulk(spark, 200, label="Page"), 100)
+    store.merge_nodes(_bulk(spark, 200, label="Other"), 100)
+    # fragment Page: several single-key merges, each re-homing one bucket
+    for i, key in enumerate(["u0", "u1", "u2", "u3"]):
+        store.merge_nodes(
+            _nodes_df(spark, [("Page", key, "s1", {"v": f"m{i}"})]), 200 + i
+        )
+    man = store._manifest("nodes")
+    page_seqs = {b["seq"] for b in man["partitions"]["Page"]["buckets"].values()}
+    assert len(page_seqs) > 1  # fragmented
+    other_before = man["partitions"]["Other"]
+
+    out = store.defrag("nodes")
+    assert "nodes" in out
+    after = store._manifest("nodes")
+    assert len({b["seq"] for b in after["partitions"]["Page"]["buckets"].values()}) == 1
+    assert after["partitions"]["Other"] == other_before  # carried by reference
+    rows = {r["id"]: r["props"]["v"] for r in store.read_nodes().where("label='Page'").collect()}
+    assert len(rows) == 200 and rows["u2"] == "m2" and rows["u9"] == "9"
+    # idempotent: nothing left to do
+    assert store.defrag("nodes") == {}
+
+
+def test_maybe_compact_triggers_defrag_on_seq_groups(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=4)
+    store.merge_nodes(_bulk(spark, 100), 100)
+    for i in range(3):
+        store.merge_nodes(_nodes_df(spark, [("Page", f"u{i}", "s1", {"v": "x"})]), 200 + i)
+    man = store._manifest("nodes")
+    assert store._seq_group_count(man) > 2
+    out = store.maybe_compact(max_delete_files=8, max_seq_groups=2)
+    assert "nodes" in out
+    assert store._seq_group_count(store._manifest("nodes")) == 1
+    assert store.read_nodes().count() == 100

@@ -128,11 +128,13 @@ _edge = st.tuples(
     nodes=st.lists(_node, min_size=1, max_size=6, unique_by=lambda n: (n[0], n[1])),
     edges=st.lists(_edge, min_size=0, max_size=6, unique_by=lambda e: (e[0], e[1], e[2])),
     case=st.sampled_from(list(SCHEMAS)),
+    n_buckets=st.sampled_from([2, 16]),  # round 5: sweep ∘ bucketed layout
 )
-def test_sweep_matches_cleanup_matrix_model(spark, tmp_path_factory, nodes, edges, case):
+def test_sweep_matches_cleanup_matrix_model(spark, tmp_path_factory, nodes, edges, case,
+                                            n_buckets):
     from cartography_spark.store.graphstore import GraphStore
 
-    store = GraphStore(spark, str(tmp_path_factory.mktemp("sweepprop")))
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("sweepprop")), n_buckets=n_buckets)
     ndf = spark.createDataFrame(
         [(l, i, None, sc, None, lu, {}) for l, i, sc, lu in nodes],
         "label string, id string, extra_labels array<string>, scope_id string, "
