@@ -223,3 +223,34 @@ def test_maybe_compact_triggers_defrag_on_seq_groups(spark, tmp_path):
     assert "nodes" in out
     assert store._seq_group_count(store._manifest("nodes")) == 1
     assert store.read_nodes().count() == 100
+
+
+def test_defrag_retries_on_concurrent_merge(spark, tmp_path):
+    """defrag is CAS-committed like compaction: a merge landing between
+    its snapshot read and its pointer swap must force a retry from the
+    winner's snapshot — never clobber the racing commit."""
+    root = str(tmp_path / "g")
+    a = GraphStore(spark, root, n_buckets=4)
+    b = GraphStore(spark, root, n_buckets=4)
+    a.merge_nodes(_bulk(spark, 120), 100)
+    for i in range(3):  # fragment
+        a.merge_nodes(_nodes_df(spark, [("Page", f"u{i}", "s1", {"v": "h"})]), 200 + i)
+
+    orig = a._write_data
+    fired = {"n": 0}
+
+    def hook(table, version, df, *args, **kwargs):
+        out = orig(table, version, df, *args, **kwargs)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # interpose a commit AFTER defrag read its snapshot
+            b.merge_nodes(_nodes_df(spark, [("Page", "u99", "s1", {"v": "race"})]), 300)
+        return out
+
+    a._write_data = hook
+    out = a.defrag("nodes")
+    assert out and fired["n"] == 1  # genuinely raced and retried
+    rows = {r["id"]: r["props"]["v"] for r in a.read_nodes().collect()}
+    assert rows["u99"] == "race"  # the racing merge's update survived
+    assert rows["u1"] == "h" and len(rows) == 120
+    assert a._seq_group_count(a._manifest("nodes")) == 1
