@@ -254,3 +254,25 @@ def test_defrag_retries_on_concurrent_merge(spark, tmp_path):
     assert rows["u99"] == "race"  # the racing merge's update survived
     assert rows["u1"] == "h" and len(rows) == 120
     assert a._seq_group_count(a._manifest("nodes")) == 1
+
+
+def test_merge_scan_file_list_is_exactly_touched_buckets(spark, tmp_path):
+    """Definitive scan-scope pin (round-5 plan audit): the merge's
+    old-side read lists EXACTLY the touched buckets' files — verified
+    via inputFiles(), not manifest bookkeeping."""
+    import re
+
+    from cartography_spark.store.graphstore import NODES_SCHEMA
+
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=16)
+    store.merge_nodes(_bulk(spark, 4000), 100)
+    man = store._manifest("nodes")
+    batch_ids = [f"u{i * 397}" for i in range(10)]
+    touched = {"Page": _buckets_of(spark, batch_ids, 16)}
+    old = store._read_manifest_df(
+        "nodes", NODES_SCHEMA, man, only_partitions=["Page"], only_buckets=touched
+    )
+    files = old.inputFiles()
+    scanned = {int(re.search(r"__bucket=(\d+)", f).group(1)) for f in files}
+    assert scanned == touched["Page"]
+    assert len(files) < len(store.read_nodes().inputFiles())
