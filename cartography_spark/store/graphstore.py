@@ -62,7 +62,11 @@ key deleted then re-merged is NOT re-deleted at read time).
 On a real deployment both tables are Iceberg and ``merge_nodes`` is
 ``MERGE INTO nodes t USING s ON t.label=s.label AND t.id=s.id`` with
 merge-on-read position/equality deletes — the plans below are exactly
-what that executes.
+what that executes. Two single-node stand-ins to swap there: the JSON
+manifest (at labels x 4096 buckets it reaches tens of MB per commit —
+Iceberg stores the same per-file metadata as avro manifest trees with
+partial reuse) and the flock'd CURRENT pointer (Iceberg uses the
+catalog's atomic swap). Neither changes any plan shape below.
 
 MERGE semantics (exact reference contract):
 - keyed by (label, id) for nodes / (src, dst, rel_label) for edges;
