@@ -434,8 +434,15 @@ def simhash_pairs(
             F.col("doc_id_b").alias("id_b"),
             F.bit_count(F.col("fp").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming BEFORE the pair-dedup: bit_count(xor) is one codegen
+        # instruction and identical across a pair's duplicate candidate
+        # rows, so filtering first is value-identical and keeps spurious
+        # same-chunk collisions (quadratic in corpus size at fixed chunk
+        # width) out of the dedup shuffle. The md5 twin keeps the
+        # opposite order on purpose — its hamming is an interpreted HOF
+        # fold, cheapest evaluated once per UNIQUE pair.
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
