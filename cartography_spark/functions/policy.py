@@ -54,11 +54,35 @@ def wildcard_to_regex(pattern: str) -> str:
     return _compile_clause(pattern)
 
 
+# Characters after which the scanned prefix stops being a guaranteed
+# literal: the wildcards themselves plus every regex metacharacter the
+# reference's kernel passes through ACTIVE (it escapes only '.').
+_PREFIX_STOP = set("*?[](){}|+^$\\")
+
+
 def literal_prefix(pattern: str) -> str:
-    """Longest wildcard-free prefix — the blocking key that keeps the
-    evaluation from being a cross product."""
+    """Longest prefix of ``pattern`` that every match MUST start with —
+    the blocking key that keeps the evaluation from being a cross
+    product. Must be sound (never drop a true match), so it degrades to
+    ``""`` (no pre-filter) whenever the pattern uses regex syntax that
+    can make leading characters optional or alternative:
+
+    - a top-level ``|`` makes everything before it non-mandatory
+      (``a|b`` matches ``b``), and ``{`` can zero out the preceding
+      atom (``ab{0,1}c`` matches ``ac``) — both force ``""``;
+    - a malformed pattern degrades to match-only-empty-string in the
+      kernel (reference ``compile_regex`` error path), so no non-empty
+      prefix is mandatory — also ``""``;
+    - otherwise scan up to the first active metacharacter: chars before
+      it are literals every match starts with (``+`` keeps its atom
+      mandatory, ``(``/``[`` start a group/class we don't reason
+      about)."""
+    if "|" in pattern or "{" in pattern:
+        return ""
+    if _compile_clause(pattern) == "(?i)^$" and pattern != "":
+        return ""
     for i, ch in enumerate(pattern):
-        if ch in "*?":
+        if ch in _PREFIX_STOP:
             return pattern[:i]
     return pattern
 
@@ -115,15 +139,20 @@ def _compile_clause(clause: str) -> str:
     Both rewrites skip a ``{`` that is ALREADY escaped (negative
     lookbehind) — a clause like ``a\\{b`` is valid in both dialects as
     written and must pass through untouched."""
-    rx = (
-        "(?i)^"
-        + clause.replace(".", "\\.").replace("*", ".*").replace("?", ".?")
-        + "$"
-    )
+    body = clause.replace(".", "\\.").replace("*", ".*").replace("?", ".?")
+    # Validate the BARE transformed clause, exactly what the reference
+    # hands to re.compile — wrapping first could re-balance a clause
+    # like ")x(" into a valid group and diverge from the reference's
+    # match-nothing degradation.
     try:
-        re.compile(rx)
+        re.compile(body)
     except re.error:
         return "(?i)^$"
+    # regexp_like is find-semantics; the reference is fullmatch. The
+    # non-capturing group is load-bearing: without it a top-level "|"
+    # escapes the anchors ("^a|b$" matches "axx" where fullmatch
+    # ("a|b") does not).
+    rx = "(?i)^(?:" + body + ")$"
     # {,n} and {,} are Python quantifiers; Java needs the explicit 0
     rx = re.sub(r"(?<!\\)\{,(\d*)\}", r"{0,\1}", rx)
     rx = re.sub(r"(?<!\\)\{(?!\d+(?:,\d*)?\})", r"\\{", rx)

@@ -816,7 +816,9 @@ def _pages_n(sf_dir: str) -> int:
     chain at bench scale."""
     import re as _re
 
-    m = _re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    # \d+(\.\d+)? — not [0-9.]+ — so 'sf0.1.bak' parses as 0.1 instead
+    # of crashing float() on '0.1.'
+    m = _re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
     sf = float(m.group(1)) if m else 0.01
     return max(500, int(50_000 * sf))
 

@@ -1282,7 +1282,12 @@ class GraphStore:
                 out.update(self.compact(t))
                 man = self._manifest(t)
             if man is not None and self._seq_group_count(man) > max_seq_groups:
-                out.update(self.defrag(t))
+                # Pass the trigger's own bound through so the action is
+                # guaranteed to clear it (<= max_seq_groups after), even
+                # when every partition is internally seq-homogeneous —
+                # otherwise the trigger could re-fire forever over a
+                # no-op defrag.
+                out.update(self.defrag(t, max_seq_groups=max_seq_groups))
         return out
 
     @staticmethod
@@ -1295,7 +1300,12 @@ class GraphStore:
             }
         )
 
-    def defrag(self, table: str, max_seq_spread: int = 1) -> dict[str, str]:
+    def defrag(
+        self,
+        table: str,
+        max_seq_spread: int = 1,
+        max_seq_groups: int | None = None,
+    ) -> dict[str, str]:
         """Consolidate read-plan fragmentation: every partition whose
         buckets span more than ``max_seq_spread`` distinct seqs is
         rewritten WHOLE (all its buckets re-homed at one fresh seq);
@@ -1303,7 +1313,19 @@ class GraphStore:
         fragmented-partition bytes, not table size. Tombstones fold in
         during the rewrite (the new seq postdates them) and keep
         applying to untouched partitions; entries dead everywhere are
-        pruned at commit. CAS-committed with retry like compaction."""
+        pruned at commit. CAS-committed with retry like compaction.
+
+        ``max_seq_groups`` additionally bounds the TABLE-WIDE distinct
+        seq count — the actual read-plan cost (one unioned scan per
+        distinct seq across all partitions, see ``_read_manifest_df``).
+        Per-partition spread alone cannot reduce it: 33 partitions each
+        internally homogeneous at 33 different seqs give a 33-way union
+        that the spread criterion never touches. When set, the heaviest
+        (by manifest bytes) ``max_seq_groups - 1`` seqs are kept in
+        place and every partition holding an entry at any other seq is
+        re-homed, so the post-defrag count is <= ``max_seq_groups``
+        (kept seqs + the one fresh seq) — rewrite cost is greedily
+        biased to the lightest file groups."""
         last: CommitConflict | None = None
         for _ in range(_COMMIT_RETRIES):
             seq0 = self._pointer().get("seq", 0)
@@ -1311,11 +1333,32 @@ class GraphStore:
             if manifest is None:
                 return {}
             parts = manifest["partitions"]
-            affected = sorted(
+            affected_set = {
                 p
                 for p, info in parts.items()
                 if len(set(self._entry_seqs(info))) > max_seq_spread
-            )
+            }
+            if max_seq_groups is not None:
+                untouched = {p: i for p, i in parts.items() if p not in affected_set}
+                kept_seqs = {s for i in untouched.values() for s in self._entry_seqs(i)}
+                if len(kept_seqs) + (1 if affected_set else 0) > max_seq_groups:
+                    bytes_per_seq: dict[int, int] = {}
+                    for info in untouched.values():
+                        for b in info["buckets"].values():
+                            bytes_per_seq[b["seq"]] = (
+                                bytes_per_seq.get(b["seq"], 0) + b.get("bytes", 0)
+                            )
+                    keep = set(
+                        sorted(bytes_per_seq, key=bytes_per_seq.get, reverse=True)[
+                            : max(max_seq_groups - 1, 0)
+                        ]
+                    )
+                    affected_set.update(
+                        p
+                        for p, info in untouched.items()
+                        if any(s not in keep for s in self._entry_seqs(info))
+                    )
+            affected = sorted(affected_set)
             if not affected:
                 return {}
             nb = self._bucket_count(manifest)

@@ -210,15 +210,21 @@ def stream_to_store(
         for _ in range(_COMMIT_RETRIES):
             seq0 = store._pointer().get("seq", 0)
             eman = store._manifest("edges")
-            # bucket = f(src, dst) = f(subj, obj); count re-read per retry
-            # (a concurrent full compaction may have re-bucketed)
+            # bucket count re-read per retry (a concurrent full
+            # compaction may have re-bucketed). The bucket expression is
+            # the store's OWN kernel (_bucket_col over the edges key
+            # columns) — subj/obj are aliased to src/dst so any future
+            # change to the store's bucketing key/hash stays in lockstep
+            # here instead of silently reading the wrong buckets.
             nb = store._bucket_count(eman)
             touched: dict[str, set] = {}
             for r in (
                 batch_counts.select(
                     "pred",
-                    F.pmod(F.xxhash64("subj", "obj"), F.lit(nb)).cast("int").alias("__b"),
+                    F.col("subj").alias("src"),
+                    F.col("obj").alias("dst"),
                 )
+                .select("pred", store._bucket_col("edges", nb).alias("__b"))
                 .distinct()
                 .collect()
             ):

@@ -38,6 +38,17 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=8)
+    # kg_pages_e2e is sf-keyed (500 pages at the sf0.01 driver gate,
+    # more at bench scale); the static ORACLES entry is its 500-page
+    # twin. Regenerate the oracle at THIS run's page count so the local
+    # gate stays valid at any sf_dir instead of spuriously failing
+    # above sf0.01. (The driver always compares at sf0.01, where the
+    # static entry is already exact.)
+    from cartography_spark.queries.catalog import _pages_n
+    from cartography_spark.queries.oracles import _pages_e2e_oracle_sql
+
+    oracles = dict(ORACLES)
+    oracles["kg_pages_e2e"] = _pages_e2e_oracle_sql(_pages_n(sf_dir), 42)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -55,7 +66,7 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
-        sql = ORACLES.get(name)
+        sql = oracles.get(name)
         if sql is None:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue

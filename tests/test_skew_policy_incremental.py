@@ -69,20 +69,36 @@ def test_wildcard_to_regex():
     this one kernel."""
     import re
 
-    assert wildcard_to_regex("s3:Get*") == "(?i)^s3:Get.*$"
-    assert wildcard_to_regex("a?c") == "(?i)^a.?c$"
+    assert wildcard_to_regex("s3:Get*") == "(?i)^(?:s3:Get.*)$"
+    assert wildcard_to_regex("a?c") == "(?i)^(?:a.?c)$"
     # only '.' is escaped — other regex specials pass through, exactly
     # as the reference compiles them ('+' stays a quantifier there too)
-    assert wildcard_to_regex("a.b+c") == "(?i)^a\\.b+c$"
+    assert wildcard_to_regex("a.b+c") == "(?i)^(?:a\\.b+c)$"
     # '?' is ZERO-or-one: 'abc?' matches both 'abc' and 'abcd'
     rx = wildcard_to_regex("abc?")  # anchors are embedded in rx
     assert re.match(rx, "abc") and re.match(rx, "abcd")
     assert not re.match(rx, "abcde")
+    # the non-capturing group keeps fullmatch semantics under a
+    # top-level '|': re.fullmatch('a|b', 'axx') is None in the
+    # reference, so the find-semantics regex must not match either
+    alt = wildcard_to_regex("a|b")
+    assert re.search(alt, "a") and re.search(alt, "b")
+    assert not re.search(alt, "axx") and not re.search(alt, "xb")
     # malformed clause degrades to match-nothing (reference: compiled '')
     bad = wildcard_to_regex("a(")
     assert bad == "(?i)^$" and not re.match(bad, "a(")
+    # ")x(" wraps into a VALID group — degradation must still key off
+    # the bare clause, like the reference's re.compile does
+    assert wildcard_to_regex(")x(") == "(?i)^$"
     assert literal_prefix("s3:Get*") == "s3:Get"
     assert literal_prefix("nostar") == "nostar"
+    # prefix soundness under active regex syntax: '[ab]c' matches 'ac',
+    # so the mandatory prefix stops BEFORE the class; '|' and '{' and a
+    # malformed clause void the prefix entirely
+    assert literal_prefix("ab[cd]e") == "ab"
+    assert literal_prefix("a|b") == ""
+    assert literal_prefix("ab{0,1}c") == ""
+    assert literal_prefix("a(") == ""
 
 
 def test_evaluate_policies(spark):
@@ -101,6 +117,29 @@ def test_evaluate_policies(spark):
         ("p1", "arn:s3:bucket/a"),
         ("p1", "arn:s3:bucket/b"),
         ("p2", "arn:ec2:i-1"),
+    }
+
+
+def test_evaluate_policies_active_regex_syntax(spark):
+    """End-to-end soundness when patterns carry active regex syntax
+    (the reference escapes only '.'): the prefix pre-filter must not
+    drop rows the compiled regex matches, and a top-level '|' must not
+    escape the fullmatch anchors."""
+    resources = spark.createDataFrame(
+        [("ac",), ("bc",), ("axx",), ("b",)], "arn string"
+    )
+    policies = spark.createDataFrame(
+        [("cls", "[ab]c"), ("alt", "a|b")], "pid string, pattern string"
+    )
+    got = {
+        (r["pid"], r["arn"])
+        for r in evaluate_policies(resources, policies, "arn", "pattern").collect()
+    }
+    assert got == {
+        ("cls", "ac"),
+        ("cls", "bc"),
+        ("alt", "b"),
+        # 'a|b' fullmatches neither 'axx' (reference: None) nor 'ac'/'bc'
     }
 
 

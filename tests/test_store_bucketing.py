@@ -225,6 +225,47 @@ def test_maybe_compact_triggers_defrag_on_seq_groups(spark, tmp_path):
     assert store.read_nodes().count() == 100
 
 
+def test_defrag_bounds_table_wide_seq_groups(spark, tmp_path):
+    """Trigger/action alignment: N partitions each internally
+    homogeneous at its own seq have per-partition spread == 1 but an
+    N-way unioned read plan (``_read_manifest_df`` groups by seq
+    TABLE-WIDE). maybe_compact's seq-group trigger must actually shrink
+    that — not re-fire forever over a no-op defrag. The consolidation
+    keeps the heaviest seqs in place and re-homes the light ones."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=2)
+    sizes = {0: 60, 1: 50, 2: 8, 3: 8, 4: 8}
+    for i, n in sizes.items():  # one label per merge -> one seq each
+        store.merge_nodes(
+            _nodes_df(
+                spark, [(f"L{i}", f"u{j}", "s1", {"v": str(i)}) for j in range(n)]
+            ),
+            100 + i,
+        )
+    man = store._manifest("nodes")
+    assert all(
+        len(set(GraphStore._entry_seqs(p))) == 1 for p in man["partitions"].values()
+    )
+    assert store._seq_group_count(man) == 5
+    # spread-only defrag no-ops by design — the table-wide bound is the
+    # criterion that has to catch this shape
+    assert store.defrag("nodes") == {}
+    heavy_before = {k: man["partitions"][k] for k in ("L0", "L1")}
+
+    out = store.maybe_compact(max_delete_files=8, max_seq_groups=3)
+    assert "nodes" in out
+    man2 = store._manifest("nodes")
+    assert store._seq_group_count(man2) <= 3
+    # greedy: the two heaviest partitions' file groups stayed in place
+    assert {k: man2["partitions"][k] for k in ("L0", "L1")} == heavy_before
+    # trigger cleared -> maintenance converges instead of re-firing
+    assert store.maybe_compact(max_delete_files=8, max_seq_groups=3) == {}
+    assert store.read_nodes().count() == sum(sizes.values())
+    got = {
+        (r["label"], r["id"]): r["props"]["v"] for r in store.read_nodes().collect()
+    }
+    assert got[("L3", "u5")] == "3" and got[("L0", "u59")] == "0"
+
+
 def test_defrag_retries_on_concurrent_merge(spark, tmp_path):
     """defrag is CAS-committed like compaction: a merge landing between
     its snapshot read and its pointer swap must force a retry from the
