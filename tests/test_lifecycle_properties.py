@@ -1,6 +1,7 @@
 """Property-based lifecycle test: ANY interleaving of mutations
-(merge, tombstone delete) and maintenance (partial compaction, defrag,
-full re-bucketing compaction, snapshot expiry) must leave the visible
+(merge, tombstone delete) and maintenance (partial compaction, defrag
+— spread-only and table-wide seq-group-bounded — full re-bucketing
+compaction, snapshot expiry) must leave the visible
 table state equal to a driver-side Python model after EVERY op.
 
 The per-op suites pin each operator alone (test_store_merge,
@@ -31,7 +32,10 @@ ops = st.lists(
     st.one_of(
         st.tuples(st.just("merge"), st.dictionaries(keys, props, min_size=1, max_size=4)),
         st.tuples(st.just("delete"), st.sets(keys, min_size=1, max_size=3)),
-        st.tuples(st.sampled_from(["compact", "defrag", "full", "expire"]), st.just(None)),
+        st.tuples(
+            st.sampled_from(["compact", "defrag", "defrag_bounded", "full", "expire"]),
+            st.just(None),
+        ),
     ),
     min_size=2,
     max_size=6,
@@ -87,6 +91,14 @@ def test_lifecycle_matches_python_model(spark, tmp_path_factory, ops, n_buckets)
             store.compact("nodes")
         elif kind == "defrag":
             store.defrag("nodes")
+        elif kind == "defrag_bounded":
+            # the table-wide seq-group bound (maybe_compact's trigger
+            # path) must also be a visible-state no-op, and must leave
+            # the manifest at <= 1 kept seq + 1 fresh seq
+            store.defrag("nodes", max_seq_groups=2)
+            man = store._manifest("nodes")
+            if man is not None:
+                assert store._seq_group_count(man) <= 2
         elif kind == "full":
             store.compact("nodes", full=True)
         elif kind == "expire":
