@@ -138,7 +138,12 @@ def _compile_clause(clause: str) -> str:
       Python but rejected by Java -> escaped ``\\{``.
     Both rewrites skip a ``{`` that is ALREADY escaped (negative
     lookbehind) — a clause like ``a\\{b`` is valid in both dialects as
-    written and must pass through untouched."""
+    written and must pass through untouched.
+
+    Known residual gap: Python-only syntax beyond these (e.g. named
+    groups ``(?P<x>...)``) validates here but would throw from Java's
+    Pattern at runtime. IAM-style clauses don't use such syntax; the
+    normalized cases above are the ones real patterns hit."""
     body = clause.replace(".", "\\.").replace("*", ".*").replace("?", ".?")
     # Validate the BARE transformed clause, exactly what the reference
     # hands to re.compile — wrapping first could re-balance a clause

@@ -30,6 +30,20 @@ def main() -> None:
     if prep.returncode != 0:
         raise RuntimeError(f"prep failed:\n{prep.stderr[-2000:]}")
 
+    # Pre-warm the OS page cache over the input parquet (610 MB vs
+    # 125 GB RAM) so every level at every repeat reads from memory.
+    # Attempt 5 showed the 4-core baseline speeding up 74->66 s across
+    # repeats as the cache warmed, which skews the ratio-of-bests in
+    # either direction depending on which level pays the cold reads; a
+    # real cluster reads from distributed storage whose aggregate
+    # bandwidth scales with the node count, so warm-cache walls are the
+    # faithful single-host analog for measuring COMPUTE scaling.
+    for dirpath, _, files in os.walk(PAGES_DIR):
+        for fn in files:
+            with open(os.path.join(dirpath, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     levels = (4, 8, 16, 32)
     runs: dict[int, list[dict]] = {c: [] for c in levels}
