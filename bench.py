@@ -275,6 +275,43 @@ def run_store_bench(spark) -> dict:
         AnalysisJob.run_from_json(store, job, 300)
         analysis_sec = time.time() - t0
 
+        # Late round-5: maintenance granularity — the table-wide
+        # seq-group defrag (maybe_compact's trigger path) re-homes only
+        # the BUCKET entries at minority seqs. State here has 3 seqs
+        # (bulk; the small merge's ~10 stray L3 buckets; the
+        # analysis-rewritten L0); bound=2 keeps the heavy bulk seq, so
+        # the rewrite is exactly L0 + the stray L3 buckets — the
+        # partition-unit counterfactual (any label containing a
+        # minority bucket rewrites whole) is reported beside it to show
+        # what the bucket unit saves (L3's kept buckets).
+        man_d0 = store._manifest("nodes")
+        bts: dict[int, int] = {}
+        for info in man_d0["partitions"].values():
+            for b in info["buckets"].values():
+                bts[b["seq"]] = bts.get(b["seq"], 0) + b["bytes"]
+        keep = set(sorted(bts, key=bts.get, reverse=True)[:1])  # bound-1
+        minority_parts = {
+            p
+            for p, info in man_d0["partitions"].items()
+            if any(b["seq"] not in keep for b in info["buckets"].values())
+        }
+        t0 = time.time()
+        store.defrag("nodes", max_seq_spread=None, max_seq_groups=2)
+        defrag_sec = time.time() - t0
+        man_d1 = store._manifest("nodes")
+        defrag_rewritten = sum(
+            b["bytes"]
+            for p, info in man_d1["partitions"].items()
+            for bk, b in info["buckets"].items()
+            if man_d0["partitions"].get(p, {}).get("buckets", {}).get(bk) != b
+        )
+        defrag_bytes_frac = defrag_rewritten / max(table_bytes(man_d0), 1)
+        defrag_partition_unit_frac = sum(
+            b["bytes"]
+            for p in minority_parts
+            for b in man_d0["partitions"][p]["buckets"].values()
+        ) / max(table_bytes(man_d0), 1)
+
         # Late round-3: compaction is partition-scoped — tombstoning
         # rows of ONE label and compacting must rewrite that label only.
         # Both forms are timed on IDENTICAL state: the store dir is
@@ -307,6 +344,9 @@ def run_store_bench(spark) -> dict:
             "small_merge_bytes_frac": round(small_bytes_frac, 4),
             "analysis_touched_sec": round(analysis_sec, 3),
             "analysis_over_bulk": round(analysis_sec / bulk_sec, 3),
+            "defrag_sec": round(defrag_sec, 3),
+            "defrag_bytes_frac": round(defrag_bytes_frac, 4),
+            "defrag_partition_unit_frac": round(defrag_partition_unit_frac, 4),
             "compact_partial_sec": round(compact_sec, 3),
             "compact_full_sec": round(compact_full_sec, 3),
             "compact_partial_over_full": round(compact_sec / compact_full_sec, 3),

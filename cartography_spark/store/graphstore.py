@@ -1286,8 +1286,16 @@ class GraphStore:
                 # guaranteed to clear it (<= max_seq_groups after), even
                 # when every partition is internally seq-homogeneous —
                 # otherwise the trigger could re-fire forever over a
-                # no-op defrag.
-                out.update(self.defrag(t, max_seq_groups=max_seq_groups))
+                # no-op defrag. Spread is DISABLED on this path: the
+                # read-plan cost is the table-wide seq count, and the
+                # spread criterion's whole-partition rewrite unit would
+                # re-materialize a huge label (always internally
+                # fragmented after any small merge) on every maintenance
+                # cycle — the bucket-granular bound alone both clears
+                # the trigger and pays only minority-seq bytes.
+                out.update(
+                    self.defrag(t, max_seq_spread=None, max_seq_groups=max_seq_groups)
+                )
         return out
 
     @staticmethod
@@ -1303,29 +1311,34 @@ class GraphStore:
     def defrag(
         self,
         table: str,
-        max_seq_spread: int = 1,
+        max_seq_spread: int | None = 1,
         max_seq_groups: int | None = None,
     ) -> dict[str, str]:
-        """Consolidate read-plan fragmentation: every partition whose
-        buckets span more than ``max_seq_spread`` distinct seqs is
-        rewritten WHOLE (all its buckets re-homed at one fresh seq);
-        every other partition carries forward by reference. Bounded by
-        fragmented-partition bytes, not table size. Tombstones fold in
-        during the rewrite (the new seq postdates them) and keep
-        applying to untouched partitions; entries dead everywhere are
-        pruned at commit. CAS-committed with retry like compaction.
+        """Consolidate read-plan fragmentation. Two criteria, both
+        CAS-committed with retry like compaction; tombstones fold into
+        whatever is rewritten (the new seq postdates them) and keep
+        applying to untouched entries; entries dead everywhere are
+        pruned at commit.
 
-        ``max_seq_groups`` additionally bounds the TABLE-WIDE distinct
-        seq count — the actual read-plan cost (one unioned scan per
-        distinct seq across all partitions, see ``_read_manifest_df``).
-        Per-partition spread alone cannot reduce it: 33 partitions each
-        internally homogeneous at 33 different seqs give a 33-way union
-        that the spread criterion never touches. When set, the heaviest
-        (by manifest bytes) ``max_seq_groups - 1`` seqs are kept in
-        place and every partition holding an entry at any other seq is
-        re-homed, so the post-defrag count is <= ``max_seq_groups``
-        (kept seqs + the one fresh seq) — rewrite cost is greedily
-        biased to the lightest file groups."""
+        ``max_seq_spread``: every partition whose buckets span more
+        than this many distinct seqs is rewritten WHOLE (all its
+        buckets re-homed at one fresh seq) — the explicit
+        "make this partition contiguous" API. Pass ``None`` to skip.
+
+        ``max_seq_groups`` bounds the TABLE-WIDE distinct seq count —
+        the actual read-plan cost (one unioned scan per distinct seq
+        across all partitions, see ``_read_manifest_df``). Per-partition
+        spread alone cannot reduce it: 33 partitions each internally
+        homogeneous at 33 different seqs give a 33-way union the spread
+        criterion never touches. The heaviest (by manifest bytes)
+        ``max_seq_groups - 1`` seqs are kept in place, and ONLY the
+        individual bucket entries at any other seq are re-homed — a
+        bucket-granular rewrite, exactly the merge's unit, so a huge
+        label with one stray recently-merged bucket pays one bucket,
+        not the label (whole-partition re-homing here would re-create
+        the 100 TB-hostile shape the bucketed merge removed). Post-
+        defrag count is <= ``max_seq_groups`` (kept seqs + the one
+        fresh seq); rewrite cost tracks minority-seq bytes."""
         last: CommitConflict | None = None
         for _ in range(_COMMIT_RETRIES):
             seq0 = self._pointer().get("seq", 0)
@@ -1333,11 +1346,16 @@ class GraphStore:
             if manifest is None:
                 return {}
             parts = manifest["partitions"]
-            affected_set = {
-                p
-                for p, info in parts.items()
-                if len(set(self._entry_seqs(info))) > max_seq_spread
-            }
+            affected_set: set[str] = (
+                set()
+                if max_seq_spread is None
+                else {
+                    p
+                    for p, info in parts.items()
+                    if len(set(self._entry_seqs(info))) > max_seq_spread
+                }
+            )
+            rehome: dict[str, set[int]] = {}
             if max_seq_groups is not None:
                 untouched = {p: i for p, i in parts.items() if p not in affected_set}
                 kept_seqs = {s for i in untouched.values() for s in self._entry_seqs(i)}
@@ -1353,22 +1371,57 @@ class GraphStore:
                             : max(max_seq_groups - 1, 0)
                         ]
                     )
-                    affected_set.update(
-                        p
-                        for p, info in untouched.items()
-                        if any(s not in keep for s in self._entry_seqs(info))
-                    )
+                    for p, info in untouched.items():
+                        for b, binfo in info["buckets"].items():
+                            if binfo["seq"] not in keep:
+                                rehome.setdefault(p, set()).add(int(b))
             affected = sorted(affected_set)
-            if not affected:
+            if not affected and not rehome:
                 return {}
             nb = self._bucket_count(manifest)
-            df = self._read_manifest_df(
-                table, _SCHEMA[table], manifest, only_partitions=affected
-            )
+            frames = []
+            if affected:
+                frames.append(
+                    self._read_manifest_df(
+                        table, _SCHEMA[table], manifest, only_partitions=affected
+                    )
+                )
+            if rehome:
+                frames.append(
+                    self._read_manifest_df(
+                        table,
+                        _SCHEMA[table],
+                        manifest,
+                        only_partitions=sorted(rehome),
+                        only_buckets=rehome,
+                    )
+                )
+            df = frames[0]
+            for f in frames[1:]:
+                df = df.unionByName(f)
             v = self._allocate_version(table)
             new_parts = self._write_data(table, v, df, nb)
-            merged = {p: i for p, i in parts.items() if p not in set(affected)}
-            merged.update(new_parts)  # fully-tombstoned partitions drop out
+            merged: dict[str, dict] = {}
+            for p, i in parts.items():
+                if p in affected_set:
+                    continue  # replaced wholesale below (or dropped if empty)
+                if p in rehome:
+                    # bucket-granular carry-forward: kept-seq bucket
+                    # entries stay byte-identical; re-homed buckets take
+                    # their fresh entry, or drop out if fully tombstoned
+                    entry = {
+                        b: e
+                        for b, e in i["buckets"].items()
+                        if int(b) not in rehome[p]
+                    }
+                    entry.update(new_parts.get(p, {}).get("buckets", {}))
+                    if entry:
+                        merged[p] = {"buckets": entry}
+                else:
+                    merged[p] = i
+            for p, i in new_parts.items():
+                if p in affected_set:
+                    merged[p] = i  # fully-tombstoned partitions drop out
             try:
                 self._commit_manifest(
                     table,

@@ -92,10 +92,11 @@ def test_lifecycle_matches_python_model(spark, tmp_path_factory, ops, n_buckets)
         elif kind == "defrag":
             store.defrag("nodes")
         elif kind == "defrag_bounded":
-            # the table-wide seq-group bound (maybe_compact's trigger
-            # path) must also be a visible-state no-op, and must leave
+            # the table-wide seq-group bound exactly as maybe_compact's
+            # trigger path invokes it (spread disabled, bucket-granular
+            # re-homing) must be a visible-state no-op and must leave
             # the manifest at <= 1 kept seq + 1 fresh seq
-            store.defrag("nodes", max_seq_groups=2)
+            store.defrag("nodes", max_seq_spread=None, max_seq_groups=2)
             man = store._manifest("nodes")
             if man is not None:
                 assert store._seq_group_count(man) <= 2

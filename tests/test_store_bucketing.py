@@ -221,8 +221,11 @@ def test_maybe_compact_triggers_defrag_on_seq_groups(spark, tmp_path):
     assert store._seq_group_count(man) > 2
     out = store.maybe_compact(max_delete_files=8, max_seq_groups=2)
     assert "nodes" in out
-    assert store._seq_group_count(store._manifest("nodes")) == 1
+    # bucket-granular consolidation: kept heaviest seq + the fresh one
+    assert store._seq_group_count(store._manifest("nodes")) <= 2
     assert store.read_nodes().count() == 100
+    # converged: the trigger must not re-fire
+    assert store.maybe_compact(max_delete_files=8, max_seq_groups=2) == {}
 
 
 def test_defrag_bounds_table_wide_seq_groups(spark, tmp_path):
@@ -264,6 +267,47 @@ def test_defrag_bounds_table_wide_seq_groups(spark, tmp_path):
         (r["label"], r["id"]): r["props"]["v"] for r in store.read_nodes().collect()
     }
     assert got[("L3", "u5")] == "3" and got[("L0", "u59")] == "0"
+
+
+def test_defrag_seq_group_rewrite_unit_is_the_bucket(spark, tmp_path):
+    """The table-wide seq-group consolidation re-homes individual
+    BUCKET entries, not whole partitions — a huge label with one stray
+    recently-merged bucket pays one bucket (the merge's own rewrite
+    unit), otherwise maintenance would re-materialize the label each
+    cycle (the 100 TB-hostile shape the bucketed merge removed)."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=4)
+    store.merge_nodes(_bulk(spark, 400, label="Big"), 100)  # seq 1 (heavy)
+    store.merge_nodes(_bulk(spark, 300, label="Other"), 100)  # seq 2 (heavy)
+    # one single-key merge re-homes exactly one Big bucket at a new seq
+    store.merge_nodes(_nodes_df(spark, [("Big", "u7", "s1", {"v": "hot"})]), 200)
+    # one light label at its own seq
+    store.merge_nodes(
+        _nodes_df(spark, [("Tiny", f"t{i}", "s1", {}) for i in range(5)]), 300
+    )
+    man = store._manifest("nodes")
+    assert store._seq_group_count(man) == 4
+    big_before = dict(man["partitions"]["Big"]["buckets"])
+    seqs = sorted(e["seq"] for e in big_before.values())
+    majority = seqs[len(seqs) // 2]
+    stray = {b for b, e in big_before.items() if e["seq"] != majority}
+    assert len(stray) == 1  # exactly the u7 bucket
+
+    out = store.defrag("nodes", max_seq_spread=None, max_seq_groups=3)
+    assert "nodes" in out
+    man2 = store._manifest("nodes")
+    assert store._seq_group_count(man2) <= 3
+    big_after = man2["partitions"]["Big"]["buckets"]
+    # kept-seq buckets of the mixed partition carried BY REFERENCE
+    for b, e in big_before.items():
+        if b not in stray:
+            assert big_after[b] == e, f"kept bucket {b} was rewritten"
+    # the stray bucket was re-homed
+    assert all(big_after[b] != big_before[b] for b in stray)
+    # Other (heavy, homogeneous, kept) untouched wholesale
+    assert man2["partitions"]["Other"] == man["partitions"]["Other"]
+    rows = {r["id"]: r["props"] for r in store.read_nodes().where("label='Big'").collect()}
+    assert len(rows) == 400 and rows["u7"]["v"] == "hot"
+    assert store.read_nodes().count() == 705
 
 
 def test_defrag_retries_on_concurrent_merge(spark, tmp_path):
