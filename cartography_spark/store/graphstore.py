@@ -87,7 +87,9 @@ deletes such rows either).
 from __future__ import annotations
 
 import fcntl
+import functools
 import json
+import operator
 import os
 import time
 import urllib.parse
@@ -154,9 +156,11 @@ _SCHEMA = {"nodes": NODES_SCHEMA, "edges": EDGES_SCHEMA}
 _BUCKET_COLS = {"nodes": ["id"], "edges": ["src", "dst"]}
 
 
-def _not_stale(pred: F.Column) -> F.Column:
-    """Null-safe keep-filter: NULL predicate rows are kept, not dropped."""
-    return ~F.coalesce(pred, F.lit(False))
+def _is_stale(pred: F.Column) -> F.Column:
+    """Null-safe stale filter: rows where ``pred`` is NULL are NOT
+    stale (kept) — Cypher ``<>`` null semantics, which the reference's
+    cleanup WHERE clauses inherit."""
+    return F.coalesce(pred, F.lit(False))
 
 
 def merge_frames(
@@ -211,12 +215,27 @@ def merge_frames(
                 F.when(is_new, F.lit(int(update_tag))).otherwise(F.col("o.lastupdated")).alias(c)
             )
         if c == "props":
+            # new-wins merge WITHOUT duplicate keys by construction:
+            # old keys shadowed by the update are filtered out before
+            # the concat, so the semantics hold under ANY
+            # spark.sql.mapKeyDedupPolicy. merge_frames is exported for
+            # standalone plan reuse, where relying on the LAST_WIN conf
+            # GraphStore.__init__ sets would throw (default EXCEPTION)
+            # or silently invert the overwrite contract (FIRST_WIN) on
+            # any updated prop. Maps here are small declared-props
+            # dicts, so the interpreted map_filter is not a hot-loop
+            # array recompute (the PLANS.md HOF caveat targets those).
+            o_props = F.coalesce(F.col("o.props"), F.expr("map()"))
+            n_props = F.coalesce(F.col("n.props"), F.expr("map()"))
             return (
                 F.when(
                     is_new,
                     F.map_concat(
-                        F.coalesce(F.col("o.props"), F.expr("map()")),
-                        F.coalesce(F.col("n.props"), F.expr("map()")),
+                        F.map_filter(
+                            o_props,
+                            lambda k, _v: ~F.array_contains(F.map_keys(n_props), k),
+                        ),
+                        n_props,
                     ),
                 )
                 .otherwise(F.col("o.props"))
@@ -548,7 +567,38 @@ class GraphStore:
                             ),
                         ),
                     )
-            dels = [d for d in manifest.get("deletes", []) if d["seq"] > seq]
+            # Tombstones record the (partition, bucket) scope their keys
+            # hash to (_prepare_deletes); a delete whose scope is
+            # disjoint from THIS group's dirs cannot match any of its
+            # rows, so its anti-join is dropped from the plan — e.g.
+            # after sweeping one label, scans of file groups holding
+            # only other labels read with no anti-join at all. Entries
+            # without a recorded scope (none are written today) are
+            # conservatively applied. Safe vs re-bucketing: the only
+            # path that changes bucket_count is the full-snapshot
+            # compaction, which folds and CLEARS deletes — so recorded
+            # bucket ids always correspond to the live layout.
+            group_pb = set()
+            for dd in dirs:
+                comps = dd.split("/")
+                group_pb.add(
+                    (
+                        urllib.parse.unquote(comps[-2].split("=", 1)[1]),
+                        int(comps[-1].split("=", 1)[1]),
+                    )
+                )
+
+            def overlaps(d: dict) -> bool:
+                bmap = d.get("buckets")
+                if bmap is None:
+                    return True
+                return any(p in bmap and b in bmap[p] for p, b in group_pb)
+
+            dels = [
+                d
+                for d in manifest.get("deletes", [])
+                if d["seq"] > seq and overlaps(d)
+            ]
             if dels:
                 keys = self.spark.read.parquet(
                     *[os.path.join(self.root, d["path"]) for d in dels]
@@ -671,7 +721,6 @@ class GraphStore:
         self,
         table: str,
         df: DataFrame,
-        partition_col: str | None = None,
         expected_seq: int | None = None,
     ) -> str:
         """Full-snapshot write: every partition fresh, tombstones folded
@@ -711,7 +760,35 @@ class GraphStore:
         are older than the new data version, so by sequence-number
         semantics they keep applying to untouched partitions and stop
         applying to the rewritten ones (whose content already folded
-        them in at read time)."""
+        them in at read time).
+
+        Commit is ALWAYS CAS'd: when the caller doesn't pin
+        ``expected_seq``, the pointer seq is read here (before the
+        manifest, same ordering rule as ``_merge_cached``) and a losing
+        race retries against the winner's manifest — an unguarded
+        default would publish carried-forward stale entries over a
+        concurrent merge's commit, silently losing it, and leave
+        CURRENT pointing at an older version than the newest manifest
+        (breaking ``expire_versions``' newest-is-current retention
+        premise). NOTE: ``df`` must be independent of the store's
+        current state (true for analysis-style rewrites computed from a
+        snapshot the caller owns); a caller whose df READ this table
+        should pass ``expected_seq`` so the conflict surfaces instead."""
+        pinned = expected_seq is not None
+        last: CommitConflict | None = None
+        for _ in range(_COMMIT_RETRIES):
+            seq0 = expected_seq if pinned else self._pointer().get("seq", 0)
+            try:
+                return self._replace_partitions_once(table, df, partitions, seq0)
+            except CommitConflict as e:
+                if pinned:
+                    raise
+                last = e
+        raise last  # type: ignore[misc]
+
+    def _replace_partitions_once(
+        self, table: str, df: DataFrame, partitions: list[str], expected_seq: int
+    ) -> str:
         manifest = self._manifest(table) or {"partitions": {}, "deletes": []}
         # A df omitting a DECLARED promoted column would write partition
         # files lacking it at seq >= columns_seq — reads would NULL-fill
@@ -860,11 +937,32 @@ class GraphStore:
             # never row count. Recomputed per retry: a concurrent full
             # compaction may have re-bucketed the table.
             nb = self._bucket_count(manifest)
+            null_key = functools.reduce(
+                operator.or_, [F.col(k).isNull() for k in key]
+            )
             pairs = (
-                new.select(partition_col, self._bucket_col(table, nb).alias("__b"))
+                new.select(
+                    partition_col,
+                    self._bucket_col(table, nb).alias("__b"),
+                    null_key.alias("__nullkey"),
+                )
                 .distinct()
                 .collect()
             )
+            # NULL merge-key columns are rejected, not absorbed: a NULL
+            # key never equi-matches, so such rows would always take the
+            # create pass (duplicating on every merge), never match a
+            # tombstone anti-join (undeletable), and — worst — a NULL
+            # partition value would be dropped from `touched` while
+            # _write_data still emits it under __HIVE_DEFAULT_PARTITION__,
+            # REPLACING that partition's manifest entries and silently
+            # losing every previously stored row there. The reference has
+            # the same contract (Cypher MERGE on a null property errors).
+            if any(r["__nullkey"] for r in pairs):
+                raise ValueError(
+                    f"merge_{table}: updates contain NULL values in merge-key "
+                    f"column(s) {key} — keys must be non-null"
+                )
             if not pairs:
                 # Empty batch: a MERGE of nothing is a no-op — commit
                 # nothing (also: the write plan over an all-empty input
@@ -1106,7 +1204,7 @@ class GraphStore:
             )
             if has_sub:
                 stale_edge = stale_edge & (F.col("scope_id") == scope_id)
-            stale_edges = edges.where(~_not_stale(stale_edge))
+            stale_edges = edges.where(_is_stale(stale_edge))
 
             nodes_deleted = 0
             commits: dict[str, tuple[str, dict]] = {}
@@ -1115,7 +1213,7 @@ class GraphStore:
                 stale_node = (F.col("label") == label) & (F.col("lastupdated") != tag)
                 if has_sub:
                     stale_node = stale_node & (F.col("scope_id") == scope_id)
-                doomed = nodes.where(~_not_stale(stale_node)).select(*_NODE_KEY)
+                doomed = nodes.where(_is_stale(stale_node)).select(*_NODE_KEY)
                 nodes_deleted, dv, nman = self._prepare_deletes("nodes", doomed)
                 if nodes_deleted:
                     commits["nodes"] = (dv, nman)
@@ -1182,7 +1280,7 @@ class GraphStore:
         last: CommitConflict | None = None
         for _ in range(_COMMIT_RETRIES):
             seq0 = self._pointer().get("seq", 0)
-            doomed = self.read_edges().where(~_not_stale(stale)).select(*_EDGE_KEY)
+            doomed = self.read_edges().where(_is_stale(stale)).select(*_EDGE_KEY)
             deleted, v, man = self._prepare_deletes("edges", doomed)
             try:
                 if deleted:

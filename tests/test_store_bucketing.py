@@ -361,3 +361,59 @@ def test_merge_scan_file_list_is_exactly_touched_buckets(spark, tmp_path):
     scanned = {int(re.search(r"__bucket=(\d+)", f).group(1)) for f in files}
     assert scanned == touched["Page"]
     assert len(files) < len(store.read_nodes().inputFiles())
+
+
+def test_tombstone_anti_join_skipped_for_disjoint_groups(spark, tmp_path):
+    """Tombstones record their (partition, bucket) scope; a seq group
+    whose dirs are disjoint from every applicable tombstone's scope
+    must read with NO anti-join in its plan — after sweeping one label,
+    scans of file groups holding only other labels stay join-free."""
+    store = GraphStore(spark, str(tmp_path / "g"), n_buckets=2)
+    store.merge_nodes(_bulk(spark, 60, label="A"), 100)   # seq group 1
+    store.merge_nodes(_bulk(spark, 60, label="B"), 200)   # seq group 2
+    doomed = spark.createDataFrame(
+        [("A", f"u{i}") for i in range(5)], "label string, id string"
+    )
+    store._write_deletes("nodes", doomed)
+    plan = (
+        store.read_nodes()._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the delete's seq is newest, so BY SEQ it applies to both groups —
+    # only the recorded (partition, bucket) scope exempts the B group,
+    # leaving exactly one anti-join (the A group's) in the whole plan
+    assert plan.count("LeftAnti") == 1, plan
+    assert store.read_nodes().count() == 115
+    assert store.read_nodes().where("label='A'").count() == 55
+
+
+def test_replace_partitions_default_commit_is_cas_retried(spark, tmp_path):
+    """An unpinned replace_partitions must not silently erase a merge
+    that commits between its manifest read and its pointer swap — the
+    module invariant is 'no commit is ever silently lost'. The losing
+    attempt retries against the winner's manifest."""
+    root = str(tmp_path / "g")
+    a = GraphStore(spark, root, n_buckets=2)
+    b = GraphStore(spark, root, n_buckets=2)
+    a.merge_nodes(_bulk(spark, 40, label="X"), 100)
+    a.merge_nodes(_bulk(spark, 40, label="Y"), 100)
+
+    orig = a._write_data
+    fired = {"n": 0}
+
+    def hook(table, version, df, *args, **kwargs):
+        out = orig(table, version, df, *args, **kwargs)
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # a concurrent merge lands AFTER replace read its manifest
+            b.merge_nodes(
+                _nodes_df(spark, [("Y", "u1", "s1", {"v": "winner"})]), 300
+            )
+        return out
+
+    a._write_data = hook
+    new_x = _nodes_df(spark, [("X", "only", "s1", {"v": "replaced"})])
+    a.replace_partitions("nodes", new_x, ["X"])
+    assert fired["n"] == 1  # genuinely raced and retried
+    rows = {(r["label"], r["id"]): r["props"] for r in a.read_nodes().collect()}
+    assert rows[("Y", "u1")]["v"] == "winner"  # racing merge survived
+    assert ("X", "only") in rows and len([k for k in rows if k[0] == "X"]) == 1

@@ -503,3 +503,49 @@ def test_compact_full_snapshot_still_available(spark, store):
     seqs = {s for info in man["partitions"].values() for s in _entry_seqs(info)}
     assert len(seqs) == 1 and out["nodes"].startswith("v")
     assert store.read_nodes().count() == 2
+
+
+def test_merge_rejects_null_key_columns(spark, store):
+    """NULL merge keys are rejected loudly: a NULL key never
+    equi-matches (endless create-pass duplicates, undeletable rows) and
+    a NULL partition value would silently REPLACE the
+    __HIVE_DEFAULT_PARTITION__ manifest entries, losing stored rows.
+    The reference errors the same way (Cypher MERGE on null property)."""
+    store.merge_nodes(_nodes_df(spark, [("T", "t1", None, {})]), 100)
+    with pytest.raises(ValueError, match="NULL.*merge-key"):
+        store.merge_nodes(_nodes_df(spark, [(None, "x", None, {})]), 200)
+    with pytest.raises(ValueError, match="NULL.*merge-key"):
+        store.merge_nodes(_nodes_df(spark, [("T", None, None, {})]), 200)
+    # the rejected batches left no trace
+    assert store.read_nodes().count() == 1
+
+
+def test_merge_frames_props_overwrite_is_policy_independent(spark, store):
+    """merge_frames is exported for standalone plan reuse, so its
+    new-wins props merge must hold under ANY mapKeyDedupPolicy — not
+    just the LAST_WIN conf GraphStore.__init__ happens to set. Under
+    the Spark default (EXCEPTION) a naive map_concat would throw
+    'duplicate map key' on every updated prop."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.store.graphstore import NODES_SCHEMA, merge_frames
+
+    store.merge_nodes(
+        _nodes_df(spark, [("T", "t1", None, {"k": "old", "keep": "1"})]), 100
+    )
+    new = _nodes_df(spark, [("T", "t1", None, {"k": "new", "added": "2"})])
+    for f in NODES_SCHEMA.fields:
+        if f.name not in new.columns and f.name not in ("firstseen", "lastupdated"):
+            new = new.withColumn(f.name, F.lit(None).cast(f.dataType))
+    cols = [f.name for f in NODES_SCHEMA.fields]
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        rows = merge_frames(
+            store.read_nodes(), new, ["label", "id"], cols, 200
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+    assert len(rows) == 1
+    props = dict(rows[0]["props"])
+    assert props == {"k": "new", "keep": "1", "added": "2"}

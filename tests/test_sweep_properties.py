@@ -264,3 +264,36 @@ def test_scoped_layout_clusters_tenants_and_pushes_filter(spark, tmp_path_factor
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EqualTo(scope_id,s1)" in plan, plan[:2000]
+
+
+def test_sweep_on_fully_emptied_store_noops(spark, tmp_path_factory):
+    """A store whose every row was tombstoned and folded (manifest
+    partitions == {}) must sweep as a clean zero-count no-op — the
+    doomed-keys plans become statically-empty relations, and the delete
+    path's Observation/early-return must tolerate AQE's empty-relation
+    propagation (pinned empirically: fine on this Spark; a regression
+    here would wedge every post-exhaustion sweep)."""
+    from cartography_spark.store.graphstore import GraphStore
+
+    store = GraphStore(spark, str(tmp_path_factory.mktemp("emptied")), n_buckets=2)
+    ndf = spark.createDataFrame(
+        [("X", f"e{i}", None, "s1", None, 100, {}) for i in range(10)],
+        "label string, id string, extra_labels array<string>, scope_id string, "
+        "firstseen timestamp, lastupdated long, props map<string,string>",
+    )
+    store._write("nodes", ndf)
+    edf = spark.createDataFrame(
+        [("R", f"e{i}", f"e{(i + 1) % 10}", "X", "X", "s1", None, 100, {}) for i in range(10)],
+        "rel_label string, src string, dst string, src_label string, dst_label string, "
+        "scope_id string, firstseen timestamp, lastupdated long, props map<string,string>",
+    )
+    store._write("edges", edf)
+    store._write_deletes("nodes", store.read_nodes().select("label", "id"))
+    store._write_deletes("edges", store.read_edges().select("rel_label", "src", "dst"))
+    store.compact("nodes", full=True)
+    store.compact("edges", full=True)
+    assert store._manifest("nodes")["partitions"] == {}
+    assert store._manifest("edges")["partitions"] == {}
+
+    out = store.sweep(SCHEMAS["sub_scoped"], TAG, scope_id="s1")
+    assert out == {"nodes_deleted": 0, "edges_deleted": 0}
