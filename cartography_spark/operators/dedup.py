@@ -533,6 +533,26 @@ def simhash_pairs_md5(
 # ---------------- embedding cosine near-dup ----------------
 
 
+def _cosine_verify(joined: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verify over candidate pairs carrying STAGED norms.
+
+    ``joined`` must have (vid, vid_b, vec, vec_b, __nrm, __nrm_b) —
+    norms computed once per *row* upstream of the pair join, so the
+    interpreted HOF fold here runs once per pair (the dot product),
+    not three times (dot + two norms); see PLANS.md "HOF let-binding
+    idiom". Columns out: id_a, id_b, cosine."""
+    from cartography_spark.operators.similarity import dot
+
+    return (
+        joined.withColumn(
+            "cosine",
+            F.round(dot(F.col("vec"), F.col("vec_b")) / (F.col("__nrm") * F.col("__nrm_b")), 4),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -544,14 +564,19 @@ def embedding_near_dup_pairs(
     (e.g. an LSH/IVF bucket from operators.similarity) the join is an
     equi-join on the block; without it, a full cross self-join — only
     for small/broadcastable inputs. Columns: id_a, id_b, cosine."""
-    from cartography_spark.operators.similarity import cosine
+    from cartography_spark.operators.similarity import norm
 
     if block_col:
         # Bare-id pair dedup BEFORE the verify (a pair sharing several
         # blocks would otherwise be cosine-verified once per block);
         # vectors re-attach via equi-joins, so the dedup shuffle never
-        # carries float payloads.
-        vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).dropDuplicates(["vid"])
+        # carries float payloads. Norms are STAGED on the vecs side —
+        # evaluated once per row under the join, not once per pair.
+        vecs = (
+            df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+            .dropDuplicates(["vid"])
+            .withColumn("__nrm", norm(F.col("vec")))
+        )
         base = df.select(F.col(block_col).alias("block"), F.col(id_col).alias("vid"))
         b = base.select("block", F.col("vid").alias("vid_b"))
         joined = (
@@ -560,17 +585,26 @@ def embedding_near_dup_pairs(
             .select("vid", "vid_b")
             .dropDuplicates(["vid", "vid_b"])
             .join(vecs, "vid")
-            .join(vecs.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b")), "vid_b")
+            .join(
+                vecs.select(
+                    F.col("vid").alias("vid_b"),
+                    F.col("vec").alias("vec_b"),
+                    F.col("__nrm").alias("__nrm_b"),
+                ),
+                "vid_b",
+            )
         )
     else:
-        base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-        b = base.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b"))
+        base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).withColumn(
+            "__nrm", norm(F.col("vec"))
+        )
+        b = base.select(
+            F.col("vid").alias("vid_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("__nrm").alias("__nrm_b"),
+        )
         joined = base.crossJoin(b).where(F.col("vid") < F.col("vid_b"))
-    return (
-        joined.withColumn("cosine", F.round(cosine(F.col("vec"), F.col("vec_b")), 4))
-        .where(F.col("cosine") >= threshold)
-        .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
-    )
+    return _cosine_verify(joined, threshold)
 
 
 def embedding_near_dup_lsh(
@@ -601,28 +635,34 @@ def embedding_near_dup_lsh(
     from cartography_spark.operators.similarity import (
         coord_plane_dims,
         coord_sign_buckets,
-        cosine,
+        norm,
     )
 
     dims = coord_plane_dims(dim, bits, sets, seed)
-    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).withColumn(
+        "__nrm", norm(F.col("vec"))
+    )
     base = vecs.select(
         "vid", F.explode(coord_sign_buckets(F.col("vec"), dims)).alias("bucket")
     )
     b = base.select(F.col("vid").alias("vid_b"), F.col("bucket"))
     # Dedup BARE id pairs first (a pair sharing k buckets appears k
     # times) — the dedup shuffle then carries two ids, not two 64-float
-    # payloads; vectors re-attach afterwards via two equi-joins.
+    # payloads; vectors (with staged norms) re-attach afterwards via
+    # two equi-joins.
     pairs = (
         base.join(b, "bucket")
         .where(F.col("vid") < F.col("vid_b"))
         .select("vid", "vid_b")
         .dropDuplicates(["vid", "vid_b"])
         .join(vecs, "vid")
-        .join(vecs.select(F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b")), "vid_b")
+        .join(
+            vecs.select(
+                F.col("vid").alias("vid_b"),
+                F.col("vec").alias("vec_b"),
+                F.col("__nrm").alias("__nrm_b"),
+            ),
+            "vid_b",
+        )
     )
-    return (
-        pairs.withColumn("cosine", F.round(cosine(F.col("vec"), F.col("vec_b")), 4))
-        .where(F.col("cosine") >= threshold)
-        .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
-    )
+    return _cosine_verify(pairs, threshold)
