@@ -61,13 +61,19 @@ def brute_force_topk(
     per-query top-k aggregation). Self-matches are excluded.
     Deterministic tie-break: (-score, neighbor_id).
     """
+    # Norms are staged per SIDE below the join (the join boundary is the
+    # "let" — see PLANS.md HOF let-binding idiom): one norm fold per
+    # corpus row and per query row, not two folds per (corpus x query)
+    # pair. Same fold expression, so scores are bit-identical.
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-        )
+        ).withColumn("__qn", norm(F.col("qvec")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    score = cosine(F.col("qvec"), F.col("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("__cn", norm(F.col("cvec")))
+    score = dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn"))
     if round_dp is not None:
         score = F.round(score, round_dp)
     scored = (
@@ -152,22 +158,30 @@ def hyperplane_lsh_topk(
     ``bits`` or unioning multiple plane sets (multiprobe).
     """
     planes = _planes(dim, bits, seed)
+    # Norms staged per side below the bucket join (one fold per row,
+    # not two per candidate pair) — same bit-identical fold expression.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _sign_bits(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("__cn", norm(F.col("cvec")))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             _sign_bits(F.col(vec_col), planes).alias("bucket"),
-        )
+        ).withColumn("__qn", norm(F.col("qvec")))
     )
     scored = (
         c.join(q, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), 4
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -317,20 +331,28 @@ def ivf_topk(
     """IVF approximate top-k: corpus in 1 list each, queries probe
     ``nprobe`` lists; equi-join on list id."""
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    # Norms staged per side below the list-id join (one fold per
+    # assigned row, not two per candidate pair) — same fold expression.
     c = assign_ivf_buckets(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
         "cvec", cents, nprobe=1,
-    )
+    ).withColumn("__cn", norm(F.col("cvec")))
     q = F.broadcast(
         assign_ivf_buckets(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
             "qvec", cents, nprobe=nprobe,
-        )
+        ).withColumn("__qn", norm(F.col("qvec")))
     )
     scored = (
         c.join(q, "ivf_bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qvec"), F.col("cvec")), 4).alias("score"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), 4
+            ).alias("score"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))

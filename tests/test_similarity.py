@@ -145,3 +145,28 @@ def test_ivf_arrow_engine_agrees_with_expression(spark, corpus):
             for r in assign_ivf_buckets_arrow(corpus, "embedding", cents, nprobe=nprobe).collect()
         }
         assert expr == arrow
+
+
+def test_norm_folds_stay_below_the_pair_join(spark, corpus):
+    """Vector norms are staged per SIDE of the candidate join (one
+    interpreted fold per row), never recomputed per candidate pair.
+    Pin: every norm fold (aggregate(transform(x*x))) in the optimized
+    plan sits BELOW the first join node — if CollapseProject ever
+    inlines the staged column into the post-join score projection,
+    a fold line would appear above the join and this fails."""
+    from pyspark.sql import functions as F
+
+    queries = corpus.where(F.col("vec_id") < 8)
+    for name, df, expect in (
+        ("brute", brute_force_topk(corpus, queries, k=5), 2),
+        ("lsh", hyperplane_lsh_topk(corpus, queries, k=5, bits=4, dim=DIM, seed=42), 2),
+        # ivf: 2 staged score norms + 2 assign_ivf_buckets row norms
+        ("ivf", ivf_topk(corpus, queries, k=5, n_centroids=8, nprobe=2), 4),
+    ):
+        lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        fold_idx = [i for i, l in enumerate(lines) if "aggregate(transform(" in l]
+        join_idx = [i for i, l in enumerate(lines) if "Join" in l]
+        assert len(fold_idx) == expect, (name, len(fold_idx))
+        # tree printing puts children after their parent: below-join
+        # folds have larger line indices than the first join node
+        assert join_idx and all(i > join_idx[0] for i in fold_idx), (name, fold_idx, join_idx)
