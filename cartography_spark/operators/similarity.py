@@ -150,21 +150,33 @@ def hyperplane_lsh_topk(
     bits: int = 8,
     dim: int = 64,
     seed: int = 42,
+    stage_corpus_norm: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
     Equi-join on the bucket key (shuffle join, corpus never
     replicated). Recall < 1 by construction; raise recall by lowering
     ``bits`` or unioning multiple plane sets (multiprobe).
+
+    The query-side norm is always staged below the join (queries are
+    the replicated side — one fold per query, reused for every
+    candidate). ``stage_corpus_norm`` picks where the corpus norm
+    folds: staged (True, default) costs one fold per CORPUS row;
+    per-pair (False) costs one fold per CANDIDATE row. Candidates ~
+    |corpus| x |queries| / 2^bits, so stage iff the expected queries
+    per bucket >= 1 — True for batch ANN (the scale shape), False for
+    a handful of ad-hoc queries against a large corpus. Scores are
+    bit-identical either way (same fold expression).
     """
     planes = _planes(dim, bits, seed)
-    # Norms staged per side below the bucket join (one fold per row,
-    # not two per candidate pair) — same bit-identical fold expression.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _sign_bits(F.col(vec_col), planes).alias("bucket"),
-    ).withColumn("__cn", norm(F.col("cvec")))
+    )
+    if stage_corpus_norm:
+        c = c.withColumn("__cn", norm(F.col("cvec")))
+    cnorm = F.col("__cn") if stage_corpus_norm else norm(F.col("cvec"))
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -179,7 +191,7 @@ def hyperplane_lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * F.col("__cn")), 4
+                dot(F.col("qvec"), F.col("cvec")) / (F.col("__qn") * cnorm), 4
             ).alias("score"),
         )
     )

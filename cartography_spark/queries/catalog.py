@@ -680,7 +680,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return hyperplane_lsh_topk(emb, queries, k=5, bits=8, dim=64, seed=42)
+    # 8 queries over 2^8 buckets: expected queries/bucket << 1, so the
+    # corpus norm folds per candidate pair, not per corpus row (see
+    # hyperplane_lsh_topk's stage_corpus_norm cost model).
+    return hyperplane_lsh_topk(
+        emb, queries, k=5, bits=8, dim=64, seed=42, stage_corpus_norm=False
+    )
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

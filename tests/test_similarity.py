@@ -170,3 +170,24 @@ def test_norm_folds_stay_below_the_pair_join(spark, corpus):
         # tree printing puts children after their parent: below-join
         # folds have larger line indices than the first join node
         assert join_idx and all(i > join_idx[0] for i in fold_idx), (name, fold_idx, join_idx)
+
+
+def test_lsh_topk_corpus_norm_knob(spark, corpus):
+    """stage_corpus_norm=False moves exactly the corpus norm fold above
+    the join (per candidate pair, for few-queries/large-corpus use) and
+    returns bit-identical rows to the staged default."""
+    from pyspark.sql import functions as F
+
+    queries = corpus.where(F.col("vec_id") < 8)
+    staged = hyperplane_lsh_topk(corpus, queries, k=5, bits=4, dim=DIM, seed=42)
+    perpair = hyperplane_lsh_topk(
+        corpus, queries, k=5, bits=4, dim=DIM, seed=42, stage_corpus_norm=False
+    )
+    lines = perpair._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    fold_idx = [i for i, l in enumerate(lines) if "aggregate(transform(" in l]
+    join_idx = [i for i, l in enumerate(lines) if "Join" in l]
+    assert len(fold_idx) == 2 and join_idx
+    above = [i for i in fold_idx if i < join_idx[0]]
+    below = [i for i in fold_idx if i > join_idx[0]]
+    assert len(above) == 1 and len(below) == 1  # corpus fold above, query fold below
+    assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, perpair.collect()))
