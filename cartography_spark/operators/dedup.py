@@ -165,6 +165,14 @@ def minhash_lsh_pairs(
     sized = base.withColumn("__bs", F.count("*").over(Window.partitionBy("band_key")))
     bounded = sized.where(F.col("__bs") <= max_bucket).drop("__bs")
 
+    # No materialization barrier here, deliberately: the bucket-size
+    # window already forces an Exchange on band_key BELOW both self-join
+    # sides, and the sides canonicalize equal, so Spark's ReusedExchange
+    # runs the staged minhash fold ONCE (A/B-measured: an eager
+    # localCheckpoint here is ~1.5x SLOWER — it pays the extra
+    # materialization without removing any recompute). simhash_pairs is
+    # the opposite case (no exchange below its self-join) and does need
+    # the explicit barrier.
     b = bounded.select(F.col("doc_id").alias("doc_id_b"), F.col("band_key"))
     # Dedup BARE id pairs (a pair can collide in several bands), THEN
     # re-attach the shingle arrays via two equi-joins — the dedup
@@ -407,6 +415,15 @@ def simhash_pairs(
         base = df.select(
             F.col(id_col).alias("doc_id"), char_shingles(text_col, shingle_n).alias("__sh")
         ).select("doc_id", simhash_from_shingles(F.col("__sh")).alias("fp"))
+    # Materialize the fingerprints BEFORE the self-join: both join sides
+    # reference this subtree and Spark has no cross-side CSE, so without
+    # a barrier the whole shingle→hash→fold pipeline (the dominant cost)
+    # executes twice — measured ~2x the fingerprint wall at sf0.1. The
+    # stored frame is (doc_id, 8-byte fp): cheap to hold at ANY corpus
+    # size, expensive to recompute. localCheckpoint trades lineage
+    # (executor-loss re-run) for halving the compute — the same
+    # deliberate tradeoff operators/components.py documents.
+    base = base.localCheckpoint(eager=True)
     mask = (1 << width) - 1
     chunked = base.select(
         "doc_id",
