@@ -51,7 +51,7 @@ def test_exact_dedup(docs):
     assert survivors == {1, 3, 4, 5, 6}
 
 
-@pytest.mark.parametrize("family", ["xxhash64", "md5"])
+@pytest.mark.parametrize("family", ["xxhash64", "md5", "arrow"])
 def test_minhash_lsh_finds_near_dups(docs, family):
     pairs = {
         (r["id_a"], r["id_b"])
@@ -78,6 +78,69 @@ def test_lsh_jaccard_matches_bruteforce(docs):
     for (a, b), j in by_pair.items():
         truth = _py_jaccard(DOCS[a - 1][1], DOCS[b - 1][1])
         assert abs(j - truth) < 1e-3
+
+
+def test_minhash_arrow_signatures_match_python_model(docs):
+    """The arrow engine's signature must equal an independently coded
+    pure-Python model of the same family (shingle -> md5-low-64 ->
+    min over signed int64 view of a_i*H + b_i mod 2^64)."""
+    import hashlib
+
+    from cartography_spark.operators.dedup import (
+        _affine_coeffs,
+        minhash_signatures_arrow,
+    )
+
+    k = 8
+    a_co, b_co = _affine_coeffs(k, seed=1)
+    got = {
+        r["doc_id"]: r["__sig"]
+        for r in minhash_signatures_arrow(docs, "doc_id", "text", k).collect()
+    }
+    M64 = (1 << 64) - 1
+    for doc_id, text, _ in DOCS:
+        s = text.lower()
+        grams = {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+        hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") for g in grams]
+        expected = []
+        for a, b in zip(a_co, b_co):
+            vals = [(a * h + b) & M64 for h in hs]
+            signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
+            expected.append(str(min(signed)))
+        assert got[doc_id] == expected, f"doc {doc_id}"
+
+
+def test_minhash_arrow_family_matches_xxhash64_values(docs):
+    """Arrow and xxhash64 families differ only in LSH blocking (exact
+    verify is engine-independent): on the fixture corpus both find the
+    same pairs with the same 4dp jaccard values."""
+    xx = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.6, family="xxhash64"
+        ).collect()
+    }
+    ar = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.6, family="arrow"
+        ).collect()
+    }
+    assert xx == ar and len(ar) > 0
+
+
+def test_minhash_arrow_null_text_drops_pairs(spark):
+    """NULL text must behave like the JVM path: the doc never verifies
+    (NULL jaccard -> filtered), it does not match everything via ''."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"), (3, None)],
+        "doc_id int, text string",
+    )
+    rows = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, family="arrow"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert pairs == {(1, 2)}
 
 
 def test_ngram_jaccard_blocked(docs):
@@ -222,7 +285,8 @@ def test_minhash_lsh_join_caps_corpus_buckets(spark):
     assert (201, 100) in got or (201, 101) in got
 
 
-def test_minhash_lsh_join_excludes_same_id(spark):
+@pytest.mark.parametrize("family", ["xxhash64", "arrow"])
+def test_minhash_lsh_join_excludes_same_id(spark, family):
     """A doc present in both frames must not pair with itself."""
     from cartography_spark.operators.dedup import minhash_lsh_join
 
@@ -231,6 +295,6 @@ def test_minhash_lsh_join_excludes_same_id(spark):
         "doc_id long, text string",
     )
     got = {(r["id_l"], r["id_r"]) for r in
-           minhash_lsh_join(docs, docs, "doc_id", "text", threshold=0.6).collect()}
+           minhash_lsh_join(docs, docs, "doc_id", "text", threshold=0.6, family=family).collect()}
     assert (1, 1) not in got and (2, 2) not in got
     assert (1, 2) in got and (2, 1) in got
