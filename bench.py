@@ -75,13 +75,14 @@ def dedup_minhash_lsh_prod(spark, sf_dir):
 
 
 def dedup_simhash_prod(spark, sf_dir):
-    """Production SimHash: 64-bit xxhash64 fingerprints (single JVM
-    bit-fold, no hex strings). The catalog's dedup_simhash md5/32-bit
-    variant exists for oracle parity, not throughput."""
+    """Production SimHash: fully Arrow-side fingerprints (shingle +
+    memoized md5 base hash + numpy majority fold in one pass over the
+    text — no interpreted JVM shingling). The catalog's dedup_simhash
+    md5/32-bit variant exists for oracle parity, not throughput."""
     from cartography_spark.operators.dedup import simhash_pairs
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return simhash_pairs(docs, "doc_id", "text", shingle_n=3, max_hamming=3, engine="arrow")
+    return simhash_pairs(docs, "doc_id", "text", shingle_n=3, max_hamming=3, engine="arrow2")
 
 
 def kg_cc_cooccurrence(spark, sf_dir):

@@ -143,6 +143,45 @@ def test_minhash_arrow_null_text_drops_pairs(spark):
     assert pairs == {(1, 2)}
 
 
+def test_simhash_arrow2_engine_behavior(spark):
+    """arrow2 is its own fingerprint family (no cross-engine pin), so
+    pin its CONTRACT: identical texts collide at hamming 0, unrelated
+    texts stay outside a tight budget, NULL-text docs emit no pairs,
+    and its fingerprint matches an independent pure-Python model."""
+    import hashlib
+
+    from cartography_spark.operators.dedup import (
+        simhash_fingerprints_arrow2,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "entirely different subject matter with other words"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = simhash_pairs(docs, "doc_id", "text", max_hamming=3, engine="arrow2").collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got == {(1, 2): 0}
+
+    fps = {r["doc_id"]: r["fp"] for r in simhash_fingerprints_arrow2(docs, "doc_id", "text").collect()}
+    assert fps[4] is None
+    # independent model for doc 1
+    s = "the quick brown fox jumps over the lazy dog"
+    grams = {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+    hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") for g in grams]
+    val = 0
+    for bit in range(63, -1, -1):
+        ones = sum((h >> bit) & 1 for h in hs)
+        val = (val << 1) | (1 if ones * 2 >= len(hs) else 0)
+    expected = val - (1 << 64) if val >= (1 << 63) else val
+    assert fps[1] == expected and fps[2] == expected
+
+
 def test_ngram_jaccard_blocked(docs):
     pairs = {
         (r["id_a"], r["id_b"])
