@@ -803,17 +803,17 @@ def _cosine_verify(joined: DataFrame, threshold: float) -> DataFrame:
     """Exact-cosine verify over candidate pairs carrying STAGED norms.
 
     ``joined`` must have (vid, vid_b, vec, vec_b, __nrm, __nrm_b) —
-    norms computed once per *row* upstream of the pair join, so the
-    interpreted HOF fold here runs once per pair (the dot product),
-    not three times (dot + two norms); see PLANS.md "HOF let-binding
-    idiom". Columns out: id_a, id_b, cosine."""
-    from cartography_spark.operators.similarity import dot
+    norms computed once per *row* upstream of the pair join. The
+    per-pair dot product runs as the Arrow fold
+    (:func:`~cartography_spark.operators.similarity.pair_dot_arrow` —
+    bit-identical to the interpreted expression fold, so the rounded
+    cosines and oracle hashes are unchanged); division, rounding, and
+    the threshold stay JVM-side. Columns out: id_a, id_b, cosine."""
+    from cartography_spark.operators.similarity import pair_dot_arrow
 
     return (
-        joined.withColumn(
-            "cosine",
-            F.round(dot(F.col("vec"), F.col("vec_b")) / (F.col("__nrm") * F.col("__nrm_b")), 4),
-        )
+        pair_dot_arrow(joined, "vec", "vec_b")
+        .withColumn("cosine", F.round(F.col("__dot") / (F.col("__nrm") * F.col("__nrm_b")), 4))
         .where(F.col("cosine") >= threshold)
         .select(F.col("vid").alias("id_a"), F.col("vid_b").alias("id_b"), F.col("cosine"))
     )

@@ -147,6 +147,33 @@ def test_ivf_arrow_engine_agrees_with_expression(spark, corpus):
         assert expr == arrow
 
 
+def test_pair_dot_arrow_bit_identical_to_expression_fold(spark):
+    """pair_dot_arrow must equal dot()'s interpreted fold EXACTLY
+    (not approximately): same elementwise double cast, same sequential
+    accumulation order. Also pins NULL/length-mismatch -> NULL and
+    empty-vs-empty -> 0.0, matching zip_with+fold propagation."""
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.similarity import dot, pair_dot_arrow
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        a = rng.standard_normal(DIM).astype(np.float32)
+        b = rng.standard_normal(DIM).astype(np.float32)
+        rows.append((i, a.tolist(), b.tolist()))
+    rows.append((300, None, [1.0] * DIM))      # NULL side
+    rows.append((301, [1.0, 2.0], [1.0] * DIM))  # length mismatch
+    rows.append((302, [], []))                  # empty vs empty
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    expr = {r["id"]: r["d"] for r in df.select("id", dot(F.col("a"), F.col("b")).alias("d")).collect()}
+    arrow = {r["id"]: r["__dot"] for r in pair_dot_arrow(df, "a", "b").collect()}
+    assert set(expr) == set(arrow)
+    for i in expr:
+        assert expr[i] == arrow[i], (i, repr(expr[i]), repr(arrow[i]))  # exact, not approx
+    assert arrow[300] is None and arrow[301] is None and arrow[302] == 0.0
+
+
 def test_norm_folds_stay_below_the_pair_join(spark, corpus):
     """Vector norms are staged per SIDE of the candidate join (one
     interpreted fold per row), never recomputed per candidate pair.
