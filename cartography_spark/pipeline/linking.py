@@ -68,6 +68,7 @@ def link_entities_incremental(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 8,
+    family: str = "xxhash64",
 ) -> dict[str, int]:
     """Per-sync incremental linking: ONLY the nodes this run touched
     (``lastupdated == update_tag``, i.e. the just-merged batch) are
@@ -97,7 +98,7 @@ def link_entities_incremental(
     )
     raw = minhash_lsh_join(
         new, ents, "id", "__text",
-        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        num_hashes=num_hashes, bands=bands, threshold=threshold, family=family,
     )
     # orient src < dst and dedupe (a new-new pair is found in both
     # directions of the cross-frame join)
@@ -162,15 +163,21 @@ def link_entities(
     update_tag: int,
     scope_id: str | None = None,
     threshold: float = 0.8,
+    family: str = "xxhash64",
 ) -> dict[str, int]:
     """Link all ``label`` nodes in the store by near-duplicate
-    ``text_prop``; write canonical_id props + SAME_AS edges."""
+    ``text_prop``; write canonical_id props + SAME_AS edges.
+
+    ``family="arrow"`` switches the blocking+verify kernels to the
+    Arrow-vectorized engines (the production throughput path — see
+    ``operators/dedup``); pairs agree with the default at equal recall
+    bars since the exact-Jaccard verify is engine-independent."""
     nodes = store.read_nodes().where(F.col("label") == label)
     entities = nodes.select(
         F.col("id"), F.element_at("props", text_prop).alias("__text")
     ).where(F.col("__text").isNotNull())
 
-    pairs = candidate_pairs(entities, "id", "__text", threshold=threshold)
+    pairs = candidate_pairs(entities, "id", "__text", threshold=threshold, family=family)
     comp = connected_components(pairs, "src", "dst")
 
     canon_updates = (

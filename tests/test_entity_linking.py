@@ -34,15 +34,31 @@ def store(spark, tmp_path):
     return s
 
 
-def test_candidate_pairs_blocked_and_verified(spark):
+@pytest.mark.parametrize("family", ["xxhash64", "arrow"])
+def test_candidate_pairs_blocked_and_verified(spark, family):
     df = spark.createDataFrame(NAMES, "eid string, name string")
     pairs = {
-        (r["src"], r["dst"]) for r in candidate_pairs(df, "eid", "name", threshold=0.7).collect()
+        (r["src"], r["dst"])
+        for r in candidate_pairs(df, "eid", "name", threshold=0.7, family=family).collect()
     }
     assert ("e1", "e2") in pairs  # case variant (shingles lowercased)
     assert ("e1", "e3") in pairs
     assert ("e4", "e5") in pairs
     assert not any("e6" in p for p in pairs)
+
+
+def test_link_entities_arrow_family_same_canonical_ids(store):
+    """The arrow blocking/verify kernels plug into the store-integrated
+    flow and produce the same canonical assignment as the default."""
+    out = link_entities(store, "Entity", "name", 200, threshold=0.7, family="arrow")
+    assert out["linked_nodes"] >= 5
+    rows = {
+        r["id"]: (r["props"] or {}).get("canonical_id")
+        for r in store.read_nodes().where("label='Entity'").collect()
+    }
+    assert rows["e1"] == rows["e2"] == rows["e3"] == "e1"
+    assert rows["e4"] == rows["e5"] == "e4"
+    assert rows["e6"] is None
 
 
 def test_link_entities_canonicalizes(store):
