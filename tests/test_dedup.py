@@ -110,6 +110,60 @@ def test_minhash_arrow_signatures_match_python_model(docs):
         assert got[doc_id] == expected, f"doc {doc_id}"
 
 
+def test_minhash_arrow_signatures_property(spark):
+    """Hypothesis sweep of the arrow signature engine: arbitrary unicode
+    text (incl. empty / whitespace / short-of-one-shingle strings) must
+    (a) match the pure-Python model of the family and (b) be invariant
+    to partitioning (the per-batch md5 memoization is value-transparent)."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cartography_spark.operators.dedup import (
+        _affine_coeffs,
+        minhash_signatures_arrow,
+    )
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+        ),
+        min_size=1,
+        max_size=6,
+    )
+    M64 = (1 << 64) - 1
+    a_co, b_co = _affine_coeffs(4, seed=1)
+
+    def model(text):
+        s = text.lower()
+        grams = {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+        hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") for g in grams]
+        out = []
+        for a, b in zip(a_co, b_co):
+            vals = [(a * h + b) & M64 for h in hs]
+            out.append(str(min(v - (1 << 64) if v >= (1 << 63) else v for v in vals)))
+        return out
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(texts=texts)
+    def run(texts):
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df1 = spark.createDataFrame(rows, "doc_id int, text string").coalesce(1)
+        df2 = spark.createDataFrame(rows, "doc_id int, text string").repartition(4)
+        got1 = {r["doc_id"]: r["__sig"] for r in minhash_signatures_arrow(df1, "doc_id", "text", 4).collect()}
+        got2 = {r["doc_id"]: r["__sig"] for r in minhash_signatures_arrow(df2, "doc_id", "text", 4).collect()}
+        assert got1 == got2  # partition invariance
+        for i, t in rows:
+            assert got1[i] == model(t), (i, t)
+
+    run()
+
+
 def test_minhash_arrow_family_matches_xxhash64_values(docs):
     """Arrow and xxhash64 families differ only in LSH blocking (exact
     verify is engine-independent): on the fixture corpus both find the
