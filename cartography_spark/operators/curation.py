@@ -1,0 +1,186 @@
+"""Corpus-curation operators for training-data pipelines: repetition
+metrics, benchmark decontamination, and stratified sampling.
+
+These are the remaining curation stages a web-scale pretraining
+pipeline runs between extraction and dedup (the reference's analog is
+its per-module data shaping before MERGE — e.g.
+``cartography/intel/aws/ec2/instances.py`` transform steps — but these
+three are LLM-pipeline-specific and covered here as first-class
+operators per the round brief):
+
+- :func:`repetition_features` — Gopher-style per-document repetition
+  signals (Rae et al. 2021, "Scaling Language Models", §A.1.1:
+  duplicate-word fraction, duplicate n-gram fraction, most-frequent-
+  word fraction). Entirely per-row JVM expressions — ZERO shuffle, so
+  at 100 TB it is a pure map stage that rides the scan.
+- :func:`decontaminate` — benchmark n-gram overlap removal (the
+  GPT-3/PaLM eval-decontamination rule: drop any training doc sharing
+  an n-gram with an eval benchmark). The benchmark side is tiny by
+  definition, so the gram set broadcasts and the corpus side streams
+  through a broadcast semi-join: no corpus shuffle, only the matched
+  doc-id set (≪ corpus) shuffles for its distinct.
+- :func:`stratified_sample` — deterministic per-stratum hash sampling
+  (data-mixing / temperature-rebalancing between languages or
+  sources). A pure filter on an md5 bucket of the id: no shuffle, no
+  RNG state, reproducible across runs/executors/engines by
+  construction (md5 is hex-identical in DuckDB, so the driver oracle
+  hash-gates exact row membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cartography_spark.functions.textstats import tokens, word_shingles
+
+
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier
+    element: 1 - distinct/total (total >= 1 for any non-null text since
+    split('') = [''])."""
+    return F.round(F.lit(1.0) - F.size(F.array_distinct(arr)) / F.size(arr), 4)
+
+
+def _top_run_frac(arr: Column) -> Column:
+    """max(element multiplicity) / len(arr), computed per-row with a
+    single fold over the SORTED array (equal elements are adjacent, so
+    the longest run IS the highest multiplicity). No explode, no
+    shuffle — the groupBy(doc, word) formulation costs a corpus-sized
+    exchange for a value a fold gets for free."""
+    run1 = lambda acc, w: F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    best = F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            run1(acc, w).alias("run"),
+            F.greatest(acc["best"], run1(acc, w)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.round(best / F.size(arr), 4)
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 5,
+    top_word_max: float = 0.2,
+    dup_ngram_max: float = 0.2,
+) -> DataFrame:
+    """Append per-document repetition signals + a ``repetitive`` flag.
+
+    Columns added (all deterministic, 4-dp rounded for oracle hashing):
+    ``n_tokens``, ``dup_word_frac`` (1 - distinct words / words),
+    ``dup_ngram_frac`` (1 - distinct word n-grams / n-grams),
+    ``top_word_frac`` (most frequent word's share), and ``repetitive``
+    (true when either threshold trips — the Gopher-rule shape).
+
+    Every column is a JVM expression over the row's own token array:
+    the operator adds no exchange to whatever plan it is appended to.
+    The ``top_word_frac`` fold deliberately avoids the textbook
+    explode→groupBy(doc, word)→max formulation, which would shuffle
+    every token of a 100 TB corpus to compute a per-row scalar.
+    """
+    toks = tokens(text_col)
+    sh = word_shingles(text_col, ngram)
+    out = (
+        df.withColumn("n_tokens", F.size(toks).cast("long"))
+        .withColumn("dup_word_frac", _dup_frac(toks).cast("double"))
+        .withColumn("dup_ngram_frac", _dup_frac(sh).cast("double"))
+        .withColumn("top_word_frac", _top_run_frac(toks).cast("double"))
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_word_frac") > top_word_max)
+        | (F.col("dup_ngram_frac") > dup_ngram_max),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 10,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Remove corpus documents sharing any word ``ngram``-gram with the
+    benchmark set (eval-set decontamination).
+
+    Returns the surviving corpus rows (original schema). The benchmark
+    gram set is distinct-ed and (by default) BROADCAST: benchmarks are
+    a few thousand documents against a 10^12-page corpus, so the
+    corpus-side exploded grams stream through a broadcast hash
+    semi-join with no exchange; only the contaminated id set (bounded
+    by the benchmark's reach, not the corpus) shuffles for its
+    distinct, and the final removal is a broadcast-able anti-join on
+    ids. Set ``broadcast_benchmark=False`` if the benchmark gram set
+    genuinely exceeds driver memory — the joins then fall back to
+    shuffle joins keyed on the gram.
+
+    Documents shorter than ``ngram`` words contribute their whole text
+    as a single gram (same convention as
+    :func:`~cartography_spark.functions.textstats.word_shingles`), so
+    short-doc contamination degrades to exact-text match rather than
+    silently passing.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(text_col, ngram))).alias("__gram")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, ngram))).alias("__gram"),
+    )
+    contaminated = (
+        corpus_grams.join(bench_grams, "__gram").select(id_col).distinct()
+    )
+    return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def sample_bucket(id_col: Column | str, denom: int = 1000) -> Column:
+    """Deterministic sampling bucket in [0, denom): the first 8 md5 hex
+    digits of the stringified id as an integer, mod ``denom``. md5 (not
+    xxhash64) so the DuckDB oracle reproduces membership bit-exactly;
+    the per-row cost is one digest over a short key, paid only in this
+    operator (dedup's hot paths keep their faster families)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        % denom
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    denom: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    :func:`sample_bucket` falls below ``rate(stratum) * denom``.
+
+    This is the data-mixing primitive (rebalance languages / sources /
+    domains before training): a pure row-local filter — no shuffle, no
+    RNG seed plumbing, and membership is a function of the id alone, so
+    re-runs, retries, and different cluster sizes keep IDENTICAL
+    samples (the property `df.sample()` cannot give across plans).
+    Strata absent from ``rates`` keep ``default_rate``.
+    """
+    if not 0 < denom:
+        raise ValueError("denom must be positive")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(strata_col)), F.lit(float(default_rate))
+    )
+    return df.where(sample_bucket(id_col, denom) < rate * denom)

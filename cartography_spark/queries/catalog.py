@@ -750,6 +750,56 @@ def text_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (Rae et al. 2021 §A.1.1) over the
+    corpus: duplicate-word / duplicate-5-gram / top-word fractions and
+    the combined ``repetitive`` flag. Entirely per-row JVM folds — the
+    operator adds ZERO shuffle to the scan (the top-word share comes
+    from a sorted-array run fold, not an explode+groupBy)."""
+    from cartography_spark.operators.curation import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs).select(
+        "doc_id", "n_tokens", "dup_word_frac", "dup_ngram_frac",
+        "top_word_frac", "repetitive",
+    )
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-benchmark decontamination (the GPT-3/PaLM n-gram rule):
+    every 97th doc plays the held-out benchmark; corpus docs sharing
+    any word 4-gram with it are dropped (natural-text pipelines use
+    ~13-grams; the synthetic corpus draws from a ~40-word vocabulary,
+    so 4-grams are the collision scale that exercises the operator —
+    8 removals at the sf0.01 gate, 727 at sf0.1). The benchmark gram
+    set broadcasts (benchmarks are tiny by definition), so the corpus
+    side streams through a broadcast semi-join with no corpus
+    shuffle."""
+    from cartography_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", ngram=4).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample: downweight the two dominant
+    languages (en to 50%, zh to 25%) via the md5 bucket of the doc id —
+    a pure row-local filter whose membership is identical across
+    re-runs, cluster sizes, and engines (the DuckDB twin re-derives the
+    exact same kept set, so the driver hash-gates row membership)."""
+    from cartography_spark.operators.curation import sample_bucket, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.25}, "doc_id")
+    return kept.select(
+        "doc_id", "lang", sample_bucket("doc_id").cast("long").alias("bucket")
+    )
+
+
 def sim_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup blocked by IVF lists (nprobe=2 on both sides):
     candidates share a centroid list — the partition-pruned near-dup
@@ -966,6 +1016,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_dedup_survivors": text_dedup_survivors,
+    "text_repetition": text_repetition,
+    "text_decontaminate": text_decontaminate,
+    "sample_stratified": sample_stratified,
     "web_source_stats": web_source_stats,
     "text_quality_funnel": text_quality_funnel,
     "dedup_simhash": dedup_simhash,

@@ -404,6 +404,73 @@ SELECT doc_id,
 FROM documents
 """
 
+# Gopher-style repetition signals. The Spark side computes the
+# top-word share with a per-row sorted-run fold; the twin uses the
+# straightforward unnest+group formulation — same values, and the
+# hash gate proves the shuffle-free fold equals the textbook plan.
+ORACLES["text_repetition"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks,
+         [array_to_string(list_slice(toks, i, i + 4), ' ')
+          FOR i IN generate_series(1, greatest(len(toks) - 4, 1))] AS sh
+  FROM t
+),
+w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+m AS (SELECT doc_id, max(n) AS mx
+      FROM (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word)
+      GROUP BY doc_id),
+r AS (
+  SELECT g.doc_id AS doc_id,
+         CAST(len(g.toks) AS BIGINT) AS n_tokens,
+         ROUND(1.0 - len(list_distinct(g.toks)) / len(g.toks), 4)::DOUBLE AS dup_word_frac,
+         ROUND(1.0 - len(list_distinct(g.sh)) / len(g.sh), 4)::DOUBLE AS dup_ngram_frac,
+         ROUND(m.mx / len(g.toks), 4)::DOUBLE AS top_word_frac
+  FROM g JOIN m ON g.doc_id = m.doc_id
+)
+SELECT doc_id, n_tokens, dup_word_frac, dup_ngram_frac, top_word_frac,
+       (top_word_frac > 0.2 OR dup_ngram_frac > 0.2) AS repetitive
+FROM r
+"""
+
+# Benchmark 4-gram decontamination: docs sharing any word 4-gram with
+# the benchmark slice (doc_id % 97 = 0) are removed (4 = the collision
+# scale of the synthetic ~40-word vocabulary; natural text uses ~13).
+# Short docs contribute their whole text as one gram
+# (greatest(...,1)), same as word_shingles.
+ORACLES["text_decontaminate"] = """
+WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i + 3), ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - 3, 1))]) AS sh
+  FROM t
+),
+bg AS (SELECT DISTINCT unnest(sh) AS gram FROM g WHERE doc_id % 97 = 0),
+bad AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(sh) AS gram FROM g WHERE doc_id % 97 <> 0) c
+  JOIN bg ON c.gram = bg.gram
+)
+SELECT t.doc_id AS doc_id, t.lang AS lang, t.n_chars AS n_chars
+FROM t
+WHERE t.doc_id % 97 <> 0 AND t.doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+# Deterministic stratified sampling: md5-bucket membership re-derived
+# bit-exactly (first 8 md5 hex digits -> int, mod 1000), en kept at
+# 50%, zh at 25%, everything else whole.
+ORACLES["sample_stratified"] = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END) * 1000
+"""
+
 # 32-bit md5-family SimHash replicated step for step: bit j = high bit
 # of md5 hex nibble j, majority over distinct char-3-gram shingles;
 # pigeonhole chunk blocking (4 chunks of 8 bits); Hamming <= 3 verify.

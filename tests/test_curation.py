@@ -1,0 +1,143 @@
+"""Corpus-curation operator semantics: repetition metrics (values
+hand-computed), benchmark decontamination (planted overlaps, short-doc
+degradation, broadcast/shuffle parity), and stratified sampling
+(determinism, md5-bucket model parity, rate monotonicity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.curation import (
+    decontaminate,
+    repetition_features,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a a a b", "en"),
+        (2, "v w x y z", "en"),
+        (3, "p q p q p q p q", "zh"),
+        (4, "solo", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_repetition_values_hand_computed(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_features(docs, ngram=5).collect()
+    }
+    # doc 1: 4 tokens {a:3, b:1} -> top 3/4; distinct 2/4 -> dup 0.5;
+    # single 5-gram window (shorter than n) -> dup_ngram 0.
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["top_word_frac"] == 0.75
+    assert rows[1]["dup_word_frac"] == 0.5
+    assert rows[1]["dup_ngram_frac"] == 0.0
+    assert rows[1]["repetitive"] is True
+    # doc 2: all distinct -> nothing repeats.
+    assert rows[2]["top_word_frac"] == 0.2
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["repetitive"] is False
+    # doc 3: 8 tokens of 2 words -> top 0.5; 4 shingle windows, 2
+    # distinct ("p q p q p" / "q p q p q") -> dup_ngram 0.5.
+    assert rows[3]["top_word_frac"] == 0.5
+    assert rows[3]["dup_ngram_frac"] == 0.5
+    assert rows[3]["repetitive"] is True
+    # doc 4: one token; the fold must not divide by zero or inflate
+    # the run via the "" accumulator seed.
+    assert rows[4]["n_tokens"] == 1
+    assert rows[4]["top_word_frac"] == 1.0
+    assert rows[4]["repetitive"] is True  # top 1.0 > 0.2
+
+
+def test_repetition_fold_matches_explode_groupby(spark):
+    """The shuffle-free sorted-run fold equals the textbook
+    explode+groupBy top-word share on a wider random-ish corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fold = {
+        r["doc_id"]: r["top_word_frac"]
+        for r in repetition_features(docs).select("doc_id", "top_word_frac").collect()
+    }
+    textbook = {
+        r["doc_id"]: r["frac"]
+        for r in (
+            docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("doc_id", "w").count()
+            .groupBy("doc_id")
+            .agg(F.round(F.max("count") / F.sum("count"), 4).alias("frac"))
+            .collect()
+        )
+    }
+    assert fold == textbook
+
+
+def test_decontaminate_drops_planted_overlap(spark, docs):
+    bench = spark.createDataFrame(
+        [(100, "v w x y z overlaps here")], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, "doc_id", "text", ngram=5).collect()}
+    # doc 2 shares the 5-gram "v w x y z"; others survive.
+    assert kept == {1, 3, 4}
+
+
+def test_decontaminate_short_doc_exact_match(spark, docs):
+    # a benchmark doc shorter than n contributes its whole text as one
+    # gram -> exact-text contamination still fires.
+    bench = spark.createDataFrame([(100, "solo")], "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, "doc_id", "text", ngram=5).collect()}
+    assert kept == {1, 2, 3}
+
+
+def test_decontaminate_broadcast_and_shuffle_paths_agree(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    a = {r["doc_id"] for r in decontaminate(corpus, bench, "doc_id", "text", ngram=4).collect()}
+    b = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", ngram=4, broadcast_benchmark=False
+        ).collect()
+    }
+    assert a == b
+    assert len(a) < corpus.count()  # the gate actually removes something
+
+
+def test_sample_bucket_matches_python_md5_model(spark):
+    rows = spark.range(200).select(
+        F.col("id"), sample_bucket("id", denom=1000).alias("bucket")
+    ).collect()
+    for r in rows:
+        expect = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:8], 16) % 1000
+        assert r["bucket"] == expect
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept1 = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()}
+    assert kept1 == kept2  # no RNG state: identical membership across runs
+    # non-en strata keep default_rate=1.0 exactly
+    non_en = {r["doc_id"] for r in docs.where(F.col("lang") != "en").collect()}
+    assert non_en <= kept1
+    # the en stratum is actually downsampled
+    n_en_total = docs.where(F.col("lang") == "en").count()
+    n_en_kept = len(kept1) - len(non_en)
+    assert 0 < n_en_kept < n_en_total
+
+
+def test_stratified_sample_rate_monotone_nesting(spark):
+    """Lowering a stratum's rate only removes rows (hash-bucket samples
+    nest: bucket < 250 implies bucket < 500) — the property that makes
+    re-mixing cheap (a lower-rate sample is a subset, not a re-roll)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()}
+    quarter = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.25}, "doc_id").collect()}
+    assert quarter <= half
