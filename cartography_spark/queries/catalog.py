@@ -36,7 +36,10 @@ Operator coverage map (SURVEY §2 row -> query):
   Training-data ops      -> dedup_* (exact/minhash/simhash/ngram/embedding),
                             text_* (+ text_dedup_survivors, web_source_stats,
                             text_quality_funnel), sim_* (brute/LSH/IVF top-k,
-                            LSH- and IVF-blocked near-dup)
+                            LSH- and IVF-blocked near-dup), curation
+                            (text_repetition Gopher gates,
+                            text_decontaminate benchmark n-gram removal,
+                            sample_stratified deterministic data mixing)
   Flagship KG pipeline   -> kg_flagship_pipeline (oracle-gated r4),
                             kg_pages_e2e (html->text->triples vs the
                             generator's ground-truth picks, splitmix64
