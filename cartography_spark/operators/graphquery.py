@@ -108,10 +108,15 @@ def match_path_2hop(
         F.col("src").alias("b"), F.col("dst").alias("c")
     )
     out = e1.join(e2, "b").select("a", "b", "c")
+    # Label guards are SEMI joins with no forced broadcast: a label's
+    # id set in a web-scale KG is the size of the table (10^9+ Page
+    # ids), so F.broadcast here would be a forced driver OOM at scale.
+    # Left to AQE, a genuinely small label still broadcasts from
+    # runtime stats; a huge one falls back to a shuffle semi-join.
     if start_label is not None:
         ok = nodes.where(F.col("label") == start_label).select(F.col("id").alias("a"))
-        out = out.join(F.broadcast(ok), "a")
+        out = out.join(ok, "a", "left_semi")
     if end_label is not None:
         ok = nodes.where(F.col("label") == end_label).select(F.col("id").alias("c"))
-        out = out.join(F.broadcast(ok), "c")
+        out = out.join(ok, "c", "left_semi")
     return out

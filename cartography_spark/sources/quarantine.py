@@ -24,15 +24,41 @@ from pyspark.sql import DataFrame, functions as F
 def quarantined_stage(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     out_cols: list[str],
+    passthrough: list[str] | None = None,
 ):
     """Wrap a per-batch transform: good rows -> ``fn``'s output columns
     + error=null; a failing batch falls back row-by-row so only the
-    poisoned rows quarantine (error=repr, outputs null)."""
+    poisoned rows quarantine (error=repr, outputs null).
+
+    ``passthrough`` names INPUT columns copied verbatim onto every
+    output row (they lead the output schema, before ``out_cols`` and
+    ``error``). Without it a dead-letter row is all-null + error — it
+    records THAT a row poisoned the batch but not WHICH, so it can
+    neither be traced to its source record nor reprocessed (the
+    reference's error path keeps the failing region/record id:
+    ``cartography/util.py:258-306``). Pass the id/url column here for
+    any stage feeding a real dead-letter sink. Requires ``fn`` to be
+    row-aligned (one output row per input row) — fan-out transforms
+    can't carry a per-row passthrough and must embed the id in their
+    own output instead."""
+    keep = list(passthrough or [])
+
+    def _attach(out: pd.DataFrame, src: pd.DataFrame) -> pd.DataFrame:
+        if keep and len(out) != len(src):
+            raise ValueError(
+                f"passthrough requires a row-aligned transform: "
+                f"{len(src)} rows in, {len(out)} out"
+            )
+        # positional copy (to_numpy), never index-aligned: fn may return
+        # a fresh default-indexed frame for a sliced input batch.
+        for c in reversed(keep):
+            out.insert(0, c, src[c].to_numpy())
+        return out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             try:
-                out = fn(pdf)
+                out = _attach(fn(pdf), pdf)
                 out["error"] = None
                 yield out
                 continue
@@ -42,11 +68,12 @@ def quarantined_stage(
             for i in range(len(pdf)):
                 single = pdf.iloc[i : i + 1]
                 try:
-                    good = fn(single)
+                    good = _attach(fn(single), single)
                     good["error"] = None
                     rows.append(good)
                 except Exception as e:  # noqa: BLE001
                     bad = pd.DataFrame({c: [None] for c in out_cols})
+                    bad = _attach(bad, single)
                     bad["error"] = repr(e)
                     rows.append(bad)
             yield pd.concat(rows, ignore_index=True)

@@ -209,6 +209,46 @@ def test_quarantine_isolates_poison_rows(spark):
     assert len(bad_rows) == 1 and "negative" in bad_rows[0]["error"]
 
 
+def test_quarantine_passthrough_keeps_row_identity(spark):
+    """Dead-letter rows must carry their source id (else they can be
+    neither traced nor reprocessed) — and good rows carry it too, so
+    the output schema is uniform."""
+
+    def parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["x"] < 0).any():
+            raise ValueError("negative!")
+        return pd.DataFrame({"y": pdf["x"] * 2})
+
+    df = spark.createDataFrame([(10, 1), (20, -5), (30, 3)], "rid int, x int")
+    out = df.mapInPandas(
+        quarantined_stage(parse, ["y"], passthrough=["rid"]),
+        "rid int, y int, error string",
+    )
+    good, bad = split_quarantine(out)
+    assert {(r["rid"], r["y"]) for r in good.collect()} == {(10, 2), (30, 6)}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["rid"] == 20 and bad_rows[0]["y"] is None
+    assert "negative" in bad_rows[0]["error"]
+
+
+def test_quarantine_passthrough_rejects_fanout_transform(spark):
+    """A fan-out fn cannot carry a per-row passthrough: rows quarantine
+    loudly with the alignment error instead of mis-attributing ids."""
+
+    def fan(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"y": list(pdf["x"]) * 2})
+
+    df = spark.createDataFrame([(10, 1), (20, 2)], "rid int, x int")
+    out = df.mapInPandas(
+        quarantined_stage(fan, ["y"], passthrough=["rid"]),
+        "rid int, y int, error string",
+    )
+    good, bad = split_quarantine(out)
+    assert good.count() == 0
+    assert all("row-aligned" in r["error"] for r in bad.collect())
+
+
 def test_incremental_window_filter_is_pushed_down(spark, tmp_path):
     """The watermark window predicate must reach the parquet scan as a
     PushedFilters entry (bare-column comparison against a timestamp
