@@ -77,7 +77,14 @@ def stream_dedup_first_seen(
     Output columns: (key, id) of the surviving first occurrence. State
     per key is one boolean — bounded by the number of distinct keys
     (shard it by key range / TTL in production via
-    ``GroupStateTimeout`` if the key space is unbounded)."""
+    ``GroupStateTimeout`` if the key space is unbounded).
+
+    Within the first batch that contains a key, the survivor is the
+    MIN id — row order inside a micro-batch is partition-order
+    nondeterministic, so "first row seen" would pick a different
+    survivor on re-run/retry; min-id matches the batch operator's
+    winner (:func:`operators.dedup.drop_exact_duplicates`), keeping
+    stream-vs-batch equality exact, not just key-set-equal."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -89,8 +96,9 @@ def stream_dedup_first_seen(
             return
         first_id = None
         for pdf in pdfs:
-            if len(pdf) and first_id is None:
-                first_id = pdf["id"].iloc[0]
+            if len(pdf):
+                m = pdf["id"].min()
+                first_id = m if first_id is None else min(first_id, m)
         state.update((True,))
         yield pd.DataFrame({"key": [key[0]], "id": [first_id]})
 

@@ -161,6 +161,48 @@ def test_stream_stateful_dedup_first_seen(spark, tmp_path):
     assert ("d2" in got) != ("d3" in got)  # exactly one textB survivor
 
 
+def test_stream_dedup_survivor_is_min_id_within_batch(spark, tmp_path):
+    """Row order inside a micro-batch is partition-order
+    nondeterministic, so the within-batch winner must be the MIN id
+    (the batch operator's convention), not the first row seen —
+    arrival order here is d9 before d2, and d2 must still win."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cartography_spark.streaming.stream import stream_dedup_first_seen
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [("d9", "same"), ("d2", "same"), ("d5", "other")],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f1"))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+        .select("doc_id", F.md5("text").alias("h"))
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_dedup_first_seen(stream, "h", "doc_id")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    got = {
+        r["id"]
+        for r in spark.read.parquet(out_dir).where("id IS NOT NULL").collect()
+    }
+    assert got == {"d2", "d5"}
+
+
 def test_stream_incremental_new_files(spark, tmp_path):
     pages_dir = str(tmp_path / "pages")
     out_dir = str(tmp_path / "out")
