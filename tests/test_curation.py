@@ -133,6 +133,31 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     assert 0 < n_en_kept < n_en_total
 
 
+def test_repetition_plan_has_zero_exchange(spark):
+    """The whole point of the run-fold formulation: every repetition
+    signal is a per-row expression, so appending the operator adds NO
+    Exchange to the scan (the textbook explode+groupBy would shuffle
+    every token)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = repetition_features(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_joins_are_broadcast(spark):
+    """Corpus-side shape: the gram semi-join and the id anti-join both
+    carry the broadcast hint — the corpus itself is never shuffled."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    out = decontaminate(corpus, bench, "doc_id", "text", ngram=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert len(joins) == 2
+    assert all("strategy=broadcast" in ln for ln in joins)
+
+
 def test_stratified_sample_rate_monotone_nesting(spark):
     """Lowering a stratum's rate only removes rows (hash-bucket samples
     nest: bucket < 250 implies bucket < 500) — the property that makes
