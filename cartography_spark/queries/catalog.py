@@ -803,6 +803,51 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel as ONE scan + one aggregation, per
+    language: total -> passes the repetition gate (top-word share <=
+    0.12, ~p80 of this corpus; dup-5-gram <= 0.2) -> additionally not
+    benchmark-contaminated (4-gram rule, doc_id%97 benchmark) -> and
+    inside the deterministic mixing sample (en 50%, zh 25%). Stages
+    compose as conditional aggregation flags over one corpus pass; the
+    only non-row-local input is the contaminated-id set, which arrives
+    as a broadcast flag join (bounded by benchmark reach)."""
+    from cartography_spark.functions.textstats import word_shingles
+    from cartography_spark.operators.curation import repetition_features, sample_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    feats = repetition_features(corpus, top_word_max=0.12, dup_ngram_max=0.2)
+    bench_grams = bench.select(
+        F.explode(F.array_distinct(word_shingles("text", 4))).alias("__gram")
+    ).distinct()
+    contaminated = (
+        corpus.select(
+            "doc_id", F.explode(F.array_distinct(word_shingles("text", 4))).alias("__gram")
+        )
+        .join(F.broadcast(bench_grams), "__gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__cont", F.lit(True))
+    )
+    flagged = feats.join(F.broadcast(contaminated), "doc_id", "left")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(0.5))
+        .when(F.col("lang") == "zh", F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    ok_rep = ~F.col("repetitive")
+    ok_dec = ok_rep & F.col("__cont").isNull()
+    ok_samp = ok_dec & (sample_bucket("doc_id") < rate * 1000)
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(ok_rep.cast("long")).alias("n_clean"),
+        F.sum(ok_dec.cast("long")).alias("n_decontaminated"),
+        F.sum(ok_samp.cast("long")).alias("n_sampled"),
+    )
+
+
 def sim_ivf_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup blocked by IVF lists (nprobe=2 on both sides):
     candidates share a centroid list — the partition-pruned near-dup
@@ -1022,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": text_repetition,
     "text_decontaminate": text_decontaminate,
     "sample_stratified": sample_stratified,
+    "curation_funnel": curation_funnel,
     "web_source_stats": web_source_stats,
     "text_quality_funnel": text_quality_funnel,
     "dedup_simhash": dedup_simhash,

@@ -457,6 +457,55 @@ FROM t
 WHERE t.doc_id % 97 <> 0 AND t.doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
+# Full curation funnel (repetition -> decontamination -> sampling) as
+# conditional aggregation per lang; every gate re-derived exactly
+# (textbook top-word plan, 4-gram contamination join, md5 bucket).
+ORACLES["curation_funnel"] = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           FROM documents WHERE doc_id % 97 <> 0),
+g AS (
+  SELECT doc_id, lang, toks,
+         [array_to_string(list_slice(toks, i, i + 4), ' ')
+          FOR i IN generate_series(1, greatest(len(toks) - 4, 1))] AS sh
+  FROM t
+),
+w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+m AS (SELECT doc_id, max(n) AS mx
+      FROM (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word)
+      GROUP BY doc_id),
+bt AS (SELECT doc_id, string_split(text, ' ') AS toks
+       FROM documents WHERE doc_id % 97 = 0),
+bg AS (SELECT DISTINCT unnest([array_to_string(list_slice(toks, i, i + 3), ' ')
+                               FOR i IN generate_series(1, greatest(len(toks) - 3, 1))]) AS gram
+       FROM bt),
+bad AS (
+  -- contamination is the 4-gram rule (i+3), NOT the repetition gate's
+  -- 5-gram shingles in g.sh
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id,
+               unnest(list_distinct([array_to_string(list_slice(toks, i, i + 3), ' ')
+                                     FOR i IN generate_series(1, greatest(len(toks) - 3, 1))])) AS gram
+        FROM t) c
+  JOIN bg ON c.gram = bg.gram
+),
+f AS (
+  SELECT g.doc_id, g.lang,
+         NOT (ROUND(m.mx / len(g.toks), 4) > 0.12
+              OR ROUND(1.0 - len(list_distinct(g.sh)) / len(g.sh), 4) > 0.2) AS ok_rep,
+         g.doc_id IN (SELECT doc_id FROM bad) AS cont,
+         ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS bucket
+  FROM g JOIN m ON g.doc_id = m.doc_id
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN ok_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN ok_rep AND NOT cont THEN 1 ELSE 0 END) AS BIGINT) AS n_decontaminated,
+       CAST(SUM(CASE WHEN ok_rep AND NOT cont
+                 AND bucket < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 1.0 END) * 1000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM f GROUP BY lang
+"""
+
 # Deterministic stratified sampling: md5-bucket membership re-derived
 # bit-exactly (first 8 md5 hex digits -> int, mod 1000), en kept at
 # 50%, zh at 25%, everything else whole.

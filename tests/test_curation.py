@@ -158,6 +158,20 @@ def test_decontaminate_joins_are_broadcast(spark):
     assert all("strategy=broadcast" in ln for ln in joins)
 
 
+def test_curation_funnel_counts_are_monotone(spark):
+    """Each funnel stage can only lose documents, and every gate
+    actually fires somewhere on the corpus (the funnel discriminates
+    rather than passing everything through)."""
+    from cartography_spark.queries.catalog import curation_funnel
+
+    rows = curation_funnel(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["n_total"] >= r["n_clean"] >= r["n_decontaminated"] >= r["n_sampled"]
+    assert sum(r["n_clean"] for r in rows) < sum(r["n_total"] for r in rows)
+    assert sum(r["n_sampled"] for r in rows) < sum(r["n_decontaminated"] for r in rows)
+
+
 def test_stratified_sample_rate_monotone_nesting(spark):
     """Lowering a stratum's rate only removes rows (hash-bucket samples
     nest: bucket < 250 implies bucket < 500) — the property that makes
