@@ -23,7 +23,15 @@ from pyspark.sql import Column, DataFrame, functions as F
 def with_salt(df: DataFrame, buckets: int, col_name: str = "__salt") -> DataFrame:
     """Uniform deterministic salt in [0, buckets) — derived from the
     whole row (monotonically_increasing_id is partition-dependent;
-    rand() breaks retry idempotence)."""
+    rand() breaks retry idempotence).
+
+    Caveat: rows identical in EVERY column hash to the same salt, so a
+    hot key consisting of byte-identical duplicate rows will not
+    spread. Any deterministic, retry-stable salt has this property (the
+    duplicates are indistinguishable); if that shape matters, dedup (or
+    pre-count) the exact duplicates first — exact-dup collapse is
+    itself a decomposable aggregate and removes the skew at the
+    source."""
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
     )
