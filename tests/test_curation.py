@@ -158,6 +158,91 @@ def test_decontaminate_joins_are_broadcast(spark):
     assert all("strategy=broadcast" in ln for ln in joins)
 
 
+def test_repetition_fold_matches_python_model_property(spark):
+    """Property: the sorted-run fold's signals equal a pure-Python
+    counter model on generated word lists (drawn from a small alphabet
+    so repeats and runs actually occur), across partitioning."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "x"]), min_size=1, max_size=12
+    )
+
+    def model(toks):
+        n = len(toks)
+        counts = Counter(toks)
+        sh = [" ".join(toks[i : i + 5]) for i in range(max(n - 4, 1))]
+        return (
+            n,
+            round(1.0 - len(set(toks)) / n, 4),
+            round(1.0 - len(set(sh)) / len(sh), 4),
+            round(max(counts.values()) / n, 4),
+        )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(docs=st.lists(words, min_size=1, max_size=5))
+    def run(docs):
+        rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id int, text string").repartition(3)
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["dup_word_frac"], r["dup_ngram_frac"], r["top_word_frac"]
+            )
+            for r in repetition_features(df).collect()
+        }
+        assert got == {i: model(w) for i, w in enumerate(docs)}
+
+    run()
+
+
+def test_decontaminate_sound_and_complete_property(spark):
+    """Property: a doc is removed IFF it shares at least one word
+    n-gram with some benchmark doc (Python set model) — no false
+    removals (soundness) and no misses (completeness)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=8
+    )
+
+    def grams(toks, n):
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(
+        corpus=st.lists(words, min_size=1, max_size=5),
+        bench=st.lists(words, min_size=1, max_size=3),
+    )
+    def run(corpus, bench):
+        n = 3
+        cdf = spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in enumerate(corpus)], "doc_id int, text string"
+        )
+        bdf = spark.createDataFrame(
+            [(i, " ".join(w)) for i, w in enumerate(bench)], "doc_id int, text string"
+        )
+        kept = {r["doc_id"] for r in decontaminate(cdf, bdf, "doc_id", "text", ngram=n).collect()}
+        bench_grams = set().union(*(grams(w, n) for w in bench))
+        expect = {
+            i for i, w in enumerate(corpus) if not (grams(w, n) & bench_grams)
+        }
+        assert kept == expect
+
+    run()
+
+
 def test_curation_funnel_counts_are_monotone(spark):
     """Each funnel stage can only lose documents, and every gate
     actually fires somewhere on the corpus (the funnel discriminates
