@@ -170,6 +170,79 @@ def cmd_link(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """One-pass corpus curation over a parquet documents table: Gopher
+    repetition gate -> optional benchmark decontamination -> optional
+    deterministic per-stratum sampling. Prints per-stage survivor
+    counts as JSON; ``--output`` writes the surviving rows.
+
+    Scale shape: every gate is a row-local flag computed in the scan
+    stage; the only non-row-local input is the contaminated-id set,
+    which is bounded by benchmark reach (not corpus size) and
+    broadcast-joined as a flag. With ``--output`` the stage counts ride
+    the write job as an Observation — the whole funnel is ONE corpus
+    pass end to end.
+    """
+    from pyspark.sql import Observation, functions as F
+
+    from cartography_spark.functions.textstats import word_shingles
+    from cartography_spark.operators.curation import repetition_features, sample_bucket
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    flagged = repetition_features(
+        docs, args.text_col,
+        top_word_max=args.top_word_max, dup_ngram_max=args.dup_ngram_max,
+    )
+    ok = ~F.col("repetitive")
+    stages = {"total": F.lit(True), "repetition": ok}
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        bench_grams = bench.select(
+            F.explode(
+                F.array_distinct(word_shingles(args.text_col, args.ngram))
+            ).alias("__gram")
+        ).distinct()
+        contaminated = (
+            docs.select(
+                args.id_col,
+                F.explode(
+                    F.array_distinct(word_shingles(args.text_col, args.ngram))
+                ).alias("__gram"),
+            )
+            .join(F.broadcast(bench_grams), "__gram")
+            .select(args.id_col)
+            .distinct()
+            .withColumn("__cont", F.lit(True))
+        )
+        flagged = flagged.join(F.broadcast(contaminated), args.id_col, "left")
+        ok = ok & F.col("__cont").isNull()
+        stages["decontamination"] = ok
+    if args.rate:
+        rates = dict(
+            (k, float(v)) for k, v in (kv.split("=", 1) for kv in args.rate)
+        )
+        rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+        rate = F.coalesce(
+            F.element_at(rate_map, F.col(args.strata_col).cast("string")),
+            F.lit(1.0),
+        )
+        ok = ok & (sample_bucket(args.id_col) < rate * 1000)
+        stages["sample"] = ok
+    aggs = [F.sum(c.cast("long")).alias(name) for name, c in stages.items()]
+    out: dict = {}
+    if args.output:
+        obs = Observation("curate")
+        survivors = flagged.observe(obs, *aggs).where(ok).select(*docs.columns)
+        survivors.write.mode("overwrite").parquet(args.output)
+        out["stages"] = obs.get
+        out["written"] = args.output
+    else:
+        out["stages"] = flagged.agg(*aggs).collect()[0].asDict()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_store(args) -> int:
     """Store maintenance: compact (fold merge-on-read tombstones) and
     expire (retention GC) — the Iceberg rewrite_data_files /
@@ -251,6 +324,21 @@ def main(argv: list[str] | None = None) -> int:
     ln.add_argument("--incremental", action="store_true",
                     help="block only this update-tag's batch against the corpus")
     ln.set_defaults(fn=cmd_link)
+
+    c = sub.add_parser(
+        "curate", help="corpus curation funnel (repetition/decontaminate/sample)"
+    )
+    c.add_argument("--input", required=True, help="parquet documents table")
+    c.add_argument("--output", help="write surviving rows here (parquet)")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--strata-col", default="lang")
+    c.add_argument("--benchmark", help="parquet of benchmark docs (same text col)")
+    c.add_argument("--ngram", type=int, default=10, help="decontamination n-gram size")
+    c.add_argument("--top-word-max", type=float, default=0.2)
+    c.add_argument("--dup-ngram-max", type=float, default=0.2)
+    c.add_argument("--rate", action="append", help="STRATUM=RATE sample rate (repeatable)")
+    c.set_defaults(fn=cmd_curate)
 
     st = sub.add_parser("store", help="store maintenance (compact / expire)")
     stsub = st.add_subparsers(dest="store_command", required=True)

@@ -115,12 +115,24 @@ def langid(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") ->
 
 
 def word_shingles(col: Column | str, n: int = 5) -> Column:
-    """Word n-gram shingle strings (space-joined windows)."""
-    toks = tokens(col)
-    length = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), length),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    """Word n-gram shingle strings (space-joined windows).
+
+    The token array is let-bound via a 1-element-array transform (the
+    same idiom as ``minhash_signature``): higher-order lambdas are
+    interpreted with no CSE, so an inline ``tokens(col)`` would be
+    re-split once per window position — O(len^2) per row, measured ~3x
+    slower at sf0.1 corpus width."""
+    return F.element_at(
+        F.transform(
+            F.array(tokens(col)),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ),
+        1,
     )
 
 

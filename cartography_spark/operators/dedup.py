@@ -497,6 +497,131 @@ def ngram_jaccard_pairs(
     )
 
 
+# ---------------- bottom-k containment ----------------
+
+
+def bottomk_sketch(shingles: Column, k: int) -> Column:
+    """Bottom-k sketch: the ``k`` lexicographically smallest md5 hex
+    digests of the (distinct) shingle array — Cohen & Kaplan's
+    coordinated bottom-k sample. md5 hex strings sort identically in
+    Spark and DuckDB, so the driver oracle re-derives sketches
+    bit-exactly. The whole sketch is one row-local sort+slice: ZERO
+    shuffle at any corpus size."""
+    return F.slice(F.array_sort(F.transform(shingles, F.md5)), 1, k)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 100000,
+    shingle_mode: str = "char",
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs via bottom-k sketches.
+
+    MinHash-LSH answers the symmetric question (Jaccard >= t) and
+    structurally misses containment: a short page quoted wholesale
+    inside a long one has |A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B| → 0,
+    so no band ever fires. The bottom-k coordinated sample supports the
+    asymmetric estimator (Cohen & Kaplan 2007; the problem setting of
+    LSH Ensemble, Zhu et al. VLDB 2016): with
+    ``K = bottom-k(sketch(A) ∪ sketch(B))``,
+
+        containment(A in B) ≈ |K ∩ skA ∩ skB| / |K ∩ skA|
+
+    (the denominator restricts the coordinated sample to A's elements;
+    reference analog: the J4 fuzzy CONTAINS matcher,
+    ``cartography/graph/querybuilder.py:139-141``, whose semantics are
+    one-sided by construction).
+
+    Scale shape, mirroring :func:`minhash_lsh_pairs`:
+    - the sketch is a row-local fold (k smallest shingle hashes) — a
+      pure map stage riding the scan;
+    - candidates come from an equi-join on INDIVIDUAL sketch hashes
+      (two docs are compared only when their bottom-k samples share an
+      element — any pair with non-trivial containment collides w.h.p.);
+    - hot hashes (boilerplate shingles) are capped at ``max_bucket``
+      exactly like LSH band buckets;
+    - pairs are deduped on BARE ids first, then the k-element sketches
+      re-attach via SHUFFLE_HASH-hinted equi-joins, so the dedup
+      shuffle carries ids only and nothing is ever broadcast at corpus
+      size.
+
+    Columns: ``id_a, id_b, containment_ab, containment_ba,
+    jaccard_est`` (doubles, 4dp, ``max(c_ab, c_ba) >= threshold``).
+
+    ``shingle_mode="word"`` sketches distinct word ``shingle_n``-grams
+    instead of char n-grams — the right granularity for quoted-passage
+    containment (and far more selective on small vocabularies).
+    """
+    if shingle_mode == "word":
+        from cartography_spark.functions.textstats import word_shingles
+
+        sh = F.array_distinct(word_shingles(text_col, shingle_n))
+    elif shingle_mode == "char":
+        sh = char_shingles(text_col, shingle_n)
+    else:
+        raise ValueError(f"unknown shingle_mode {shingle_mode!r}")
+    sk_store = df.select(
+        F.col(id_col).alias("doc_id"),
+        bottomk_sketch(sh, k).alias("__sk"),
+    )
+    base = sk_store.select("doc_id", F.explode("__sk").alias("__h"))
+    sized = base.withColumn("__bs", F.count("*").over(Window.partitionBy("__h")))
+    bounded = sized.where(F.col("__bs") <= max_bucket).drop("__bs")
+    b = bounded.select(F.col("doc_id").alias("doc_id_b"), F.col("__h"))
+    bare = (
+        bounded.join(b, "__h")
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("id_a"), F.col("doc_id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = bare.join(
+        sk_store.select(F.col("doc_id").alias("id_a"), F.col("__sk").alias("sk_a"))
+        .hint("shuffle_hash"),
+        "id_a",
+    ).join(
+        sk_store.select(F.col("doc_id").alias("id_b"), F.col("__sk").alias("sk_b"))
+        .hint("shuffle_hash"),
+        "id_b",
+    )
+    # Stage K and the restricted samples in their own projections (the
+    # let-binding idiom): each array expression below is computed once
+    # per pair and then only sized.
+    staged = pairs.withColumn(
+        "__ku", F.slice(F.array_sort(F.array_union("sk_a", "sk_b")), 1, k)
+    ).withColumn("__ka", F.array_intersect("__ku", "sk_a")).withColumn(
+        "__kb", F.array_intersect("__ku", "sk_b")
+    )
+    m = staged.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("__ka", "sk_b")).alias("__nboth"),
+        F.size("__ka").alias("__na"),
+        F.size("__kb").alias("__nb"),
+        F.size("__ku").alias("__nk"),
+    )
+    c_ab = F.when(
+        F.col("__na") > 0, F.round(F.col("__nboth") / F.col("__na"), 4)
+    ).otherwise(F.lit(0.0))
+    c_ba = F.when(
+        F.col("__nb") > 0, F.round(F.col("__nboth") / F.col("__nb"), 4)
+    ).otherwise(F.lit(0.0))
+    return (
+        m.select(
+            "id_a",
+            "id_b",
+            c_ab.cast("double").alias("containment_ab"),
+            c_ba.cast("double").alias("containment_ba"),
+            F.round(F.col("__nboth") / F.col("__nk"), 4).cast("double").alias("jaccard_est"),
+        )
+        .where(F.greatest("containment_ab", "containment_ba") >= threshold)
+    )
+
+
 # ---------------- SimHash ----------------
 
 

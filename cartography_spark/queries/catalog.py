@@ -630,6 +630,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", "lang", shingle_n=3, threshold=0.6)
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs via bottom-k sketches (k=16
+    over distinct word 4-grams). Catches the shape symmetric Jaccard
+    LSH structurally misses — a short doc quoted wholesale inside a
+    long one (|A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B| → 0); the filter
+    is on max(c_ab, c_ba), so a 0.5/0.07 quote-pair survives.
+    Candidates come from an equi-join on shared bottom-k hashes (never
+    a cross join); the DuckDB twin re-derives the md5 sketches
+    bit-exactly."""
+    from cartography_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", shingle_n=4, k=16, threshold=0.5,
+        shingle_mode="word",
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cartography_spark.functions.textstats import quality_features
 
@@ -1059,6 +1077,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

@@ -328,6 +328,53 @@ WHERE ROUND(len(list_intersect(da.sh, db.sh))::DOUBLE
             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.6
 """
 
+# Bottom-k containment sketch (k=16 smallest md5s of the distinct word
+# 4-grams). The twin re-derives the coordinated sample bit-exactly:
+# candidates share a bottom-k hash, K = bottom-k of the sketch union,
+# containment(A in B) = |K∩skA∩skB| / |K∩skA|. The Spark side's
+# max_bucket hot-hash cap (100000) never fires at gate scale, so the
+# uncapped twin is exact here.
+ORACLES["dedup_containment"] = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(list_slice(toks, i, i + 3), ' ')
+                        FOR i IN generate_series(1, greatest(len(toks) - 3, 1))]) AS sh
+  FROM t
+),
+sk AS (
+  SELECT doc_id, list_slice(list_sort([md5(s) FOR s IN sh]), 1, 16) AS sk
+  FROM g
+),
+h AS (SELECT doc_id, unnest(sk) AS h FROM sk),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+p AS (
+  SELECT c.id_a, c.id_b, sa.sk AS ska, sb.sk AS skb,
+         list_slice(list_sort(list_distinct(list_concat(sa.sk, sb.sk))), 1, 16) AS ku
+  FROM cand c
+  JOIN sk sa ON sa.doc_id = c.id_a
+  JOIN sk sb ON sb.doc_id = c.id_b
+),
+m AS (
+  SELECT id_a, id_b,
+         len(list_intersect(list_intersect(ku, ska), skb)) AS nboth,
+         len(list_intersect(ku, ska)) AS na,
+         len(list_intersect(ku, skb)) AS nb,
+         len(ku) AS nk
+  FROM p
+)
+SELECT id_a AS id_a, id_b AS id_b,
+       COALESCE(ROUND(nboth / NULLIF(na, 0), 4), 0.0)::DOUBLE AS containment_ab,
+       COALESCE(ROUND(nboth / NULLIF(nb, 0), 4), 0.0)::DOUBLE AS containment_ba,
+       ROUND(nboth / nk, 4)::DOUBLE AS jaccard_est
+FROM m
+WHERE greatest(COALESCE(ROUND(nboth / NULLIF(na, 0), 4), 0.0),
+               COALESCE(ROUND(nboth / NULLIF(nb, 0), 4), 0.0)) >= 0.5
+"""
+
 ORACLES["dedup_ngram_jaccard"] = """
 WITH d AS (
   SELECT doc_id, lang,

@@ -1,5 +1,6 @@
 from cartography_spark.streaming.stream import (
     run_to_table,
+    stream_curate,
     stream_dedup_first_seen,
     stream_pages_to_triples,
     stream_to_store,
@@ -8,5 +9,5 @@ from cartography_spark.streaming.stream import (
 
 __all__ = [
     "stream_pages_to_triples", "stream_triple_counts", "run_to_table",
-    "stream_to_store", "stream_dedup_first_seen",
+    "stream_to_store", "stream_dedup_first_seen", "stream_curate",
 ]

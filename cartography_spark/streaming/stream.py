@@ -115,6 +115,68 @@ def stream_dedup_first_seen(
     )
 
 
+def stream_curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    ngram: int = 10,
+    top_word_max: float = 0.2,
+    dup_ngram_max: float = 0.2,
+    rates: dict[str, float] | None = None,
+    strata_col: str | None = None,
+    timeout: int | None = None,
+) -> None:
+    """Continuous corpus curation: the BATCH funnel operators
+    (repetition gate -> benchmark decontamination -> deterministic
+    stratified sample) applied per micro-batch via ``foreachBatch``,
+    surviving rows appended as parquet.
+
+    Stream output is EXACTLY the batch funnel over the union of all
+    batches (pinned by test), because every gate's verdict for a row
+    depends only on that row plus the STATIC benchmark set: the
+    repetition signals are row-local folds, contamination is membership
+    of the row's own grams in the benchmark gram set, and sample
+    membership is a function of the row's id alone. No verdict reads
+    other corpus rows, so micro-batch boundaries cannot change it —
+    which also means the operator carries ZERO streaming state (the
+    exactly-once bookkeeping is the sink's file-level commit log).
+    ``foreachBatch`` (not a chained streaming plan) so the batch and
+    stream paths are the SAME code objects — parity by construction,
+    the module's house rule.
+    """
+    from cartography_spark.operators.curation import (
+        decontaminate,
+        repetition_features,
+        stratified_sample,
+    )
+
+    cols = docs.columns
+
+    def curate_batch(batch: DataFrame, _epoch_id: int) -> None:
+        out = repetition_features(
+            batch, text_col, top_word_max=top_word_max, dup_ngram_max=dup_ngram_max
+        )
+        out = out.where(~F.col("repetitive")).select(*cols)
+        if benchmark is not None:
+            out = decontaminate(out, benchmark, id_col, text_col, ngram=ngram)
+        if rates:
+            if strata_col is None:
+                raise ValueError("rates given without strata_col")
+            out = stratified_sample(out, strata_col, rates, id_col)
+        out.write.mode("append").parquet(output_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(curate_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=timeout)
+
+
 def stream_to_store(
     triples: DataFrame,
     store,

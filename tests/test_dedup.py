@@ -391,3 +391,99 @@ def test_minhash_lsh_join_excludes_same_id(spark, family):
            minhash_lsh_join(docs, docs, "doc_id", "text", threshold=0.6, family=family).collect()}
     assert (1, 1) not in got and (2, 2) not in got
     assert (1, 2) in got and (2, 1) in got
+
+
+# ---------------- bottom-k containment ----------------
+
+
+def _py_bottomk(text: str, n: int = 4, k: int = 16) -> list[str]:
+    import hashlib
+
+    toks = text.split(" ")
+    length = max(len(toks) - n + 1, 1)
+    grams = {" ".join(toks[i : i + n]) for i in range(length)}
+    return sorted(hashlib.md5(g.encode()).hexdigest() for g in grams)[:k]
+
+
+def test_containment_catches_asymmetric_quote_minhash_misses(spark):
+    """The motivating shape: a 30-word doc quoted wholesale inside a
+    200-word doc. True containment is 1.0 and the bottom-k estimator is
+    EXACT there (every sketch hash of the subset that survives into the
+    union's bottom-k is provably in the superset's sketch too), while
+    Jaccard ~ 30/200, so symmetric MinHash-LSH at the same bar misses
+    the pair. Also: the candidate join must never plan a cross
+    product."""
+    from cartography_spark.operators.dedup import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    short_doc = " ".join(f"w{i}" for i in range(50, 80))
+    other = " ".join(f"u{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short_doc), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    got = containment_pairs(
+        df, "doc_id", "text", shingle_n=4, k=16, threshold=0.9, shingle_mode="word"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {(r["id_a"], r["id_b"]): r for r in got.collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["containment_ab"] == 1.0          # short fully inside long
+    assert r["containment_ba"] < 0.5           # long NOT inside short
+    assert r["jaccard_est"] < 0.5              # symmetric view small
+
+    from cartography_spark.operators.dedup import minhash_lsh_pairs
+
+    sym = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9, family="md5")
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in sym.collect()}
+
+
+def test_containment_pairs_match_python_sketch_model(spark):
+    """Every emitted pair's three estimates equal a pure-Python
+    bottom-k model (same md5 sketches, same K = bottom-k of the sketch
+    union), and the emitted pair set is exactly the model's thresholded
+    set over candidate pairs sharing a sketch hash."""
+    from cartography_spark.operators.dedup import containment_pairs
+
+    base = [f"t{i}" for i in range(40)]
+    docs = [
+        (1, " ".join(base)),                      # full
+        (2, " ".join(base[:20])),                 # prefix half
+        (3, " ".join(base[10:30])),               # middle slice
+        (4, " ".join(f"z{i}" for i in range(25))),  # unrelated
+        (5, " ".join(base[::-1])),                # same words, reversed order
+    ]
+    k, n, thr = 8, 3, 0.4
+    sk = {i: _py_bottomk(t, n, k) for i, t in docs}
+
+    def est(a, b):
+        ku = sorted(set(sk[a]) | set(sk[b]))[:k]
+        ka = [x for x in ku if x in sk[a]]
+        kb = [x for x in ku if x in sk[b]]
+        nboth = len([x for x in ka if x in sk[b]])
+        c_ab = round(nboth / len(ka), 4) if ka else 0.0
+        c_ba = round(nboth / len(kb), 4) if kb else 0.0
+        return c_ab, c_ba, round(nboth / len(ku), 4)
+
+    expect = {}
+    for a, _ in docs:
+        for b, _ in docs:
+            if a < b and set(sk[a]) & set(sk[b]):
+                c_ab, c_ba, j = est(a, b)
+                if max(c_ab, c_ba) >= thr:
+                    expect[(a, b)] = (c_ab, c_ba, j)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["containment_ab"], r["containment_ba"], r["jaccard_est"]
+        )
+        for r in containment_pairs(
+            df, "doc_id", "text", shingle_n=n, k=k, threshold=thr,
+            shingle_mode="word",
+        ).collect()
+    }
+    assert got == expect
+    assert expect, "model produced no pairs - fixture too weak"

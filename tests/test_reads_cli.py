@@ -160,3 +160,44 @@ def test_cli_link_full_and_incremental(spark, tmp_path, capsys):
         for r in g.read_nodes().where("label='Brand'").collect()
     }
     assert canon["b1"] == canon["b2"] == canon["b3"] == "b1"
+
+
+def test_cli_curate_funnel_single_pass(spark, tmp_path, capsys):
+    """The curate command's stage counts must be monotone, the written
+    survivor parquet must have exactly the final stage's rows (the
+    Observation rides the same write job — one corpus pass), and the
+    kept set must be the deterministic md5-bucket membership (re-run
+    identical)."""
+    from cartography_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    bench = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "curated")
+    rows = [
+        (i, f"lang{i % 2}", " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.write.parquet(src)
+    df.where("doc_id % 11 = 0").write.parquet(bench)
+
+    argv = ["--cores", "8", "curate", "--input", src, "--output", out_dir,
+            "--benchmark", bench, "--ngram", "3",
+            "--rate", "lang0=0.5", "--rate", "lang1=0.25"]
+    assert main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    s = out["stages"]
+    assert s["total"] == 120
+    assert s["total"] >= s["repetition"] >= s["decontamination"] >= s["sample"]
+    written = spark.read.parquet(out_dir)
+    assert written.count() == s["sample"]
+    assert set(written.columns) == {"doc_id", "lang", "text"}
+
+    # determinism: a second run keeps the identical id set
+    out2_dir = str(tmp_path / "curated2")
+    argv2 = argv[:]
+    argv2[argv2.index(out_dir)] = out2_dir
+    assert main(argv2) == 0
+    capsys.readouterr()
+    ids = lambda d: {r["doc_id"] for r in spark.read.parquet(d).select("doc_id").collect()}
+    assert ids(out_dir) == ids(out2_dir)

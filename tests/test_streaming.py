@@ -443,3 +443,54 @@ def test_stream_weight_rebuilds_plan_on_concurrent_writer(spark, tmp_path):
     assert len(rows) == 1
     # winner's n=17 + this batch's 1 — NOT the stale 10 + 1
     assert rows[0]["props"]["n"] == "18"
+
+
+def test_stream_curate_matches_batch_funnel(spark, tmp_path):
+    """stream_curate over micro-batches must emit EXACTLY the batch
+    funnel's survivors on the union: every gate verdict is row-local
+    given the static benchmark, so micro-batch boundaries cannot change
+    membership. The fixture makes each gate fire (a repetitive doc, a
+    benchmark-contaminated doc, sampled-out strata rows)."""
+    from cartography_spark.operators.curation import (
+        decontaminate, repetition_features, stratified_sample,
+    )
+    from cartography_spark.streaming.stream import stream_curate
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    rows = []
+    for i in range(90):
+        if i % 13 == 0:
+            text = "spam " * 40                        # repetition gate
+        else:
+            # per-doc-unique words: a doc shares grams only with its
+            # own benchmark copy, so contamination removes exactly the
+            # doc_id % 17 == 3 rows
+            text = " ".join(f"u{i}w{j}" for j in range(25))
+        rows.append((i, "en" if i % 2 else "de", text.strip()))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    docs.repartition(5).write.parquet(docs_dir)          # >1 micro-batch
+    bench = docs.where("doc_id % 17 = 3").select("doc_id", "text")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    assert stream.isStreaming
+    rates = {"en": 0.5}
+    stream_curate(
+        stream, bench, "doc_id", "text", out_dir, ckpt,
+        ngram=3, rates=rates, strata_col="lang", timeout=120,
+    )
+
+    got = spark.read.parquet(out_dir)
+    expected = repetition_features(spark.read.parquet(docs_dir))
+    expected = expected.where(~F.col("repetitive")).select("doc_id", "lang", "text")
+    expected = decontaminate(expected, bench, "doc_id", "text", ngram=3)
+    expected = stratified_sample(expected, "lang", rates, "doc_id")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    n_total, n_got = 90, got.count()
+    assert 0 < n_got < n_total     # every gate actually removed something
