@@ -1,0 +1,112 @@
+"""Temporal joins for event / page-version data: a distributed as-of
+join.
+
+Spark has no native ASOF JOIN (pandas ``merge_asof``, DuckDB ``ASOF
+JOIN``, kdb ``aj`` are single-node); the reference has no temporal
+joins at all (SURVEY.md §2 "NOT PRESENT" row — join strategy is
+delegated to Neo4j). For web-scale page data the as-of question is
+constant: "which crawl snapshot of this url was current at time T?",
+"which view preceded this click?". The distributed formulation here is
+the union-tag + partitioned carry-forward window:
+
+1. tag versions (side 0) and queries (side 1), union on (key, ts);
+2. ONE hash exchange on the key + one sort on (ts, side) within each
+   partition — the same lower bound as a sort-merge equi-join;
+3. ``last(payload, ignorenulls=True)`` over
+   ``rowsBetween(unboundedPreceding, currentRow)`` carries the newest
+   at-or-before version onto every query row (ties at equal ts put the
+   version row first, so at-or-before INCLUDES equality — DuckDB
+   ``ON q.ts >= v.ts`` semantics);
+4. keep the side-1 rows.
+
+No range explosion, no cross product, no per-row Python. Hot keys (a
+url/domain with millions of versions) stay within one partition's
+sort — the standard window skew profile; AQE cannot split a window
+partition, so pre-filter versions (time-range prune) if a single key's
+history exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    versions: DataFrame,
+    queries: DataFrame,
+    on: str | list[str],
+    version_ts: str,
+    query_ts: str,
+    payload: list[str],
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """LEFT as-of join: every ``queries`` row, plus ``payload`` columns
+    from the single ``versions`` row with the newest ``version_ts`` at
+    or before that row's ``query_ts`` (``direction="backward"``; with
+    ``"forward"``, the oldest at or after). Unmatched queries keep NULL
+    payload (left-join semantics). ``tolerance_seconds`` additionally
+    nulls the payload when the matched version is further than that
+    from the query timestamp.
+
+    Preconditions: ``payload`` column names must not collide with
+    ``queries`` columns, and (for a deterministic winner) versions
+    should be unique per (key, version_ts) — pre-dedup with a
+    last-wins groupBy if they are not.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = set(payload) & set(queries.columns)
+    if clash:
+        raise ValueError(f"payload columns collide with query columns: {sorted(clash)}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+
+    v_struct = F.struct(
+        F.col(version_ts).alias("__v_ts"), *[F.col(c) for c in payload]
+    )
+    v_type = versions.select(v_struct.alias("x")).schema["x"].dataType
+    q_cols = [c for c in queries.columns]
+    q_struct = F.struct(*[F.col(c) for c in q_cols])
+    q_type = queries.select(q_struct.alias("x")).schema["x"].dataType
+
+    tagged_v = versions.select(
+        *[F.col(k) for k in keys],
+        F.col(version_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        v_struct.alias("__v"),
+        F.lit(None).cast(q_type).alias("__q"),
+    )
+    tagged_q = queries.select(
+        *[F.col(k) for k in keys],
+        F.col(query_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(v_type).alias("__v"),
+        q_struct.alias("__q"),
+    )
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_v.unionByName(tagged_q).withColumn(
+        "__match", F.last("__v", ignorenulls=True).over(w)
+    )
+    match: Column = F.col("__match")
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        if direction == "backward":
+            gap = F.unix_micros(F.col("__ts")) - F.unix_micros(match["__v_ts"])
+        else:
+            gap = F.unix_micros(match["__v_ts"]) - F.unix_micros(F.col("__ts"))
+        match = F.when(gap <= F.lit(tol_us), match)
+    out = carried.where(F.col("__side") == 1).select(
+        *[F.col("__q")[c].alias(c) for c in q_cols],
+        match["__v_ts"].alias("matched_ts"),
+        *[match[c].alias(c) for c in payload],
+    )
+    return out

@@ -544,6 +544,37 @@ def join_multihop_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (temporal joins are NOT PRESENT in the
+    reference — SURVEY §2; DuckDB's native ASOF JOIN is the oracle
+    twin): for every click event, the same user's newest view at or
+    before it. union-tag + carry-forward window: ONE hash exchange on
+    the key + one in-partition sort — the sort-merge-join lower bound,
+    no range explosion, no cross product. Unmatched clicks keep NULL
+    payload (left semantics)."""
+    from cartography_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"), F.col("value").alias("view_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts",
+    )
+    out = asof_join(
+        views, clicks, on="user_id", version_ts="ts", query_ts="ts",
+        payload=["view_id", "view_value"],
+    )
+    return out.select(
+        "click_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "view_id",
+        F.date_format("matched_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        "view_value",
+    )
+
+
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (cleanup's core op) as a standalone query: customers
     with no orders, counted per nation."""
@@ -1071,6 +1102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_window_topk_o1": agg_window_topk_o1,
     "join_multihop_j8": join_multihop_j8,
     "join_semi_anti": join_semi_anti,
+    "join_asof": join_asof,
     "set_union_x1": set_union_x1,
     "set_drift_x2": set_drift_x2,
     "incremental_watermark_s2": incremental_watermark_s2,

@@ -256,6 +256,22 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """
 
+# As-of join: DuckDB's NATIVE ASOF JOIN is the twin for the Spark
+# union-tag + carry-forward-window formulation — the strongest kind of
+# oracle (independent algorithm, engine-native semantics). Equal
+# timestamps match (>=); unmatched clicks keep NULL payload.
+ORACLES["join_asof"] = """
+WITH e AS (SELECT * FROM events)
+SELECT c.event_id AS click_id, c.user_id AS user_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       v.event_id AS view_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       v.value AS view_value
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
 ORACLES["join_semi_anti"] = """
 SELECT n.n_name AS n_name, COUNT(*) AS n_without_orders
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

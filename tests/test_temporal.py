@@ -1,0 +1,138 @@
+"""As-of join semantics on small fixtures with a pure-Python model
+(the same brute-force-oracle test style as test_dedup.py). Temporal
+joins are NOT PRESENT in the reference (SURVEY §2) — the contract here
+is pandas-merge_asof / DuckDB-ASOF-JOIN semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.temporal import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    versions = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01T00:00:10"), "v1"),
+            ("k1", _ts("2024-01-01T00:00:20"), "v2"),
+            ("k1", _ts("2024-01-01T00:00:30"), "v3"),
+            ("k2", _ts("2024-01-01T00:00:15"), "w1"),
+        ],
+        "key string, vts timestamp, val string",
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01T00:00:05")),   # before any version
+            (2, "k1", _ts("2024-01-01T00:00:20")),   # exactly at v2
+            (3, "k1", _ts("2024-01-01T00:00:25")),   # between v2 and v3
+            (4, "k1", _ts("2024-01-01T00:01:40")),   # long after v3
+            (5, "k2", _ts("2024-01-01T00:00:14")),   # before w1
+            (6, "k3", _ts("2024-01-01T00:00:50")),   # key with no versions
+        ],
+        "qid long, key string, qts timestamp",
+    )
+    return versions, queries
+
+
+def test_asof_backward_model(frames):
+    versions, queries = frames
+    out = asof_join(
+        versions, queries, on="key", version_ts="vts", query_ts="qts",
+        payload=["val"],
+    )
+    got = {r["qid"]: r["val"] for r in out.collect()}
+    # at-or-before, equality included, left semantics for no-match
+    assert got == {1: None, 2: "v2", 3: "v2", 4: "v3", 5: None, 6: None}
+    assert out.count() == queries.count()
+
+
+def test_asof_forward_model(frames):
+    versions, queries = frames
+    out = asof_join(
+        versions, queries, on="key", version_ts="vts", query_ts="qts",
+        payload=["val"], direction="forward",
+    )
+    got = {r["qid"]: r["val"] for r in out.collect()}
+    # at-or-after, equality included
+    assert got == {1: "v1", 2: "v2", 3: "v3", 4: None, 5: "w1", 6: None}
+
+
+def test_asof_tolerance_nulls_stale_matches(frames):
+    versions, queries = frames
+    out = asof_join(
+        versions, queries, on="key", version_ts="vts", query_ts="qts",
+        payload=["val"], tolerance_seconds=10.0,
+    )
+    got = {r["qid"]: r["val"] for r in out.collect()}
+    # qid=4 is 70s after v3 -> out of tolerance; qid=3 is 5s after v2 -> in
+    assert got == {1: None, 2: "v2", 3: "v2", 4: None, 5: None, 6: None}
+    # matched_ts nulled together with the payload
+    mt = {r["qid"]: r["matched_ts"] for r in out.collect()}
+    assert mt[4] is None and mt[2] is not None
+
+
+def test_asof_plan_is_single_exchange_no_cartesian(frames):
+    """The whole as-of is ONE hash exchange of the tagged union plus an
+    in-partition sort — the sort-merge-join lower bound. No cross
+    product, no range-join explosion."""
+    versions, queries = frames
+    out = asof_join(
+        versions, queries, on="key", version_ts="vts", query_ts="qts",
+        payload=["val"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_payload_collision_raises(frames):
+    versions, queries = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            versions, queries.withColumnRenamed("qid", "val"),
+            on="key", version_ts="vts", query_ts="qts", payload=["val"],
+        )
+
+
+def test_asof_matches_duckdb_native(spark):
+    """Cross-engine: the Spark window formulation equals DuckDB's
+    native ASOF JOIN on a generated fixture (independent algorithm,
+    engine-native semantics)."""
+    import duckdb
+
+    versions = [
+        (f"k{i % 7}", _ts(f"2024-01-01T00:{i % 60:02d}:{(i * 13) % 60:02d}"), float(i))
+        for i in range(120)
+    ]
+    queries = [
+        (i, f"k{i % 9}", _ts(f"2024-01-01T00:{(i * 7) % 60:02d}:{(i * 29) % 60:02d}"))
+        for i in range(80)
+    ]
+    vdf = spark.createDataFrame(versions, "key string, vts timestamp, val double")
+    qdf = spark.createDataFrame(queries, "qid long, key string, qts timestamp")
+    out = asof_join(vdf, qdf, on="key", version_ts="vts", query_ts="qts", payload=["val"])
+    got = sorted(
+        (r["qid"], r["key"], r["val"]) for r in out.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(key VARCHAR, vts TIMESTAMP, val DOUBLE)")
+    con.executemany("INSERT INTO v VALUES (?, ?, ?)", versions)
+    con.execute("CREATE TABLE q(qid BIGINT, key VARCHAR, qts TIMESTAMP)")
+    con.executemany("INSERT INTO q VALUES (?, ?, ?)", queries)
+    exp = sorted(
+        tuple(r) for r in con.execute(
+            "SELECT q.qid, q.key, v.val FROM q ASOF LEFT JOIN v "
+            "ON q.key = v.key AND q.qts >= v.vts"
+        ).fetchall()
+    )
+    assert got == exp
