@@ -32,6 +32,13 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _us(c: Column) -> Column:
+    """Microseconds since epoch; the cast accepts TIMESTAMP_NTZ inputs
+    (parquet event times) — value-preserving under the session's pinned
+    UTC timezone."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     versions: DataFrame,
     queries: DataFrame,
@@ -100,9 +107,9 @@ def asof_join(
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds * 1_000_000)
         if direction == "backward":
-            gap = F.unix_micros(F.col("__ts")) - F.unix_micros(match["__v_ts"])
+            gap = _us(F.col("__ts")) - _us(match["__v_ts"])
         else:
-            gap = F.unix_micros(match["__v_ts"]) - F.unix_micros(F.col("__ts"))
+            gap = _us(match["__v_ts"]) - _us(F.col("__ts"))
         match = F.when(gap <= F.lit(tol_us), match)
     out = carried.where(F.col("__side") == 1).select(
         *[F.col("__q")[c].alias(c) for c in q_cols],

@@ -497,6 +497,29 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hot_key", "n", F.round("total", 2).alias("total"), "first_user")
 
 
+def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (8h inactivity gap over the events
+    table): per-session event counts, bounds, exact microsecond
+    duration, summed value — the batch web-analytics primitive (no
+    reference analog; training-data/web family). One hash exchange on
+    the key; the lag boundary flag and the running session number share
+    the same window sort; the DuckDB twin re-derives the numbering
+    independently."""
+    from cartography_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev, "user_id", "ts", 8 * 3600.0, value_col="value")
+    return s.select(
+        "user_id", "session_seq", "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        (F.unix_micros(F.col("session_end").cast("timestamp"))
+         - F.unix_micros(F.col("session_start").cast("timestamp")))
+        .cast("long").alias("duration_us"),
+        "sum_value",
+    )
+
+
 def agg_dedup_lastwins_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 dedup-by-key last-wins: the latest event per user wins."""
     ev = _t(spark, sf_dir, "events")
@@ -1099,6 +1122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running_total": window_running_total,
     "agg_salted_skew": agg_salted_skew,
     "agg_dedup_lastwins_a2": agg_dedup_lastwins_a2,
+    "agg_sessionize": agg_sessionize,
     "agg_window_topk_o1": agg_window_topk_o1,
     "join_multihop_j8": join_multihop_j8,
     "join_semi_anti": join_semi_anti,

@@ -228,6 +228,35 @@ SELECT CASE WHEN event_type IN ('click','view','error') THEN 'hot'
 FROM events GROUP BY 1
 """
 
+# Gap-based sessionization: lag boundary flag -> running-sum session
+# number -> per-session aggregates, 8h gap (strictly greater breaks).
+# Durations are exact integer microseconds (no float rounding).
+ORACLES["agg_sessionize"] = """
+WITH b AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM b
+)
+SELECT user_id AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+       ROUND(SUM(value), 2)::DOUBLE AS sum_value
+FROM s
+GROUP BY user_id, session_seq
+"""
+
 ORACLES["agg_dedup_lastwins_a2"] = """
 SELECT user_id AS user_id, event_type AS last_event_type,
        ROUND(value, 2)::DOUBLE AS last_value

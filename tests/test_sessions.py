@@ -1,0 +1,105 @@
+"""Gap-based sessionization semantics vs a pure-Python model, plus the
+one-exchange plan pin."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.sessions import session_stats, sessionize
+
+T0 = datetime(2024, 1, 1)
+
+
+def _rows(spec):
+    """spec: {key: [offset_seconds,...]} -> (key, ts, value) rows."""
+    out = []
+    for key, offs in spec.items():
+        for i, off in enumerate(offs):
+            out.append((key, T0 + timedelta(seconds=off), float(i)))
+    return out
+
+
+def _model(offs, gap):
+    """Python model: session number per event (1-based, time order)."""
+    sess, prev, n = [], None, 0
+    for off in sorted(offs):
+        if prev is None or off - prev > gap:
+            n += 1
+        sess.append((off, n))
+        prev = off
+    return dict(sess)
+
+
+def test_sessionize_matches_python_model(spark):
+    spec = {
+        "a": [0, 10, 25, 100, 101, 400],
+        "b": [5],
+        "c": [0, 31, 62, 93],     # every gap breaks at gap=30
+    }
+    gap = 30.0
+    df = spark.createDataFrame(_rows(spec), "key string, ts timestamp, value double")
+    got = {
+        (r["key"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, "key", "ts", gap).collect()
+    }
+    for key, offs in spec.items():
+        model = _model(offs, gap)
+        for off, sess in model.items():
+            assert got[(key, T0 + timedelta(seconds=off))] == sess, (key, off)
+
+
+def test_sessionize_gap_boundary_is_strictly_greater(spark):
+    """A gap EXACTLY equal to the threshold does NOT break the session
+    (strictly-greater rule, pinned so both engines agree forever)."""
+    df = spark.createDataFrame(
+        [("k", T0), ("k", T0 + timedelta(seconds=30)),
+         ("k", T0 + timedelta(seconds=60, microseconds=1))],
+        "key string, ts timestamp",
+    )
+    got = sorted(
+        (r["ts"], r["session_seq"]) for r in sessionize(df, "key", "ts", 30.0).collect()
+    )
+    assert [s for _, s in got] == [1, 1, 2]
+
+
+def test_session_stats_aggregates(spark):
+    df = spark.createDataFrame(
+        _rows({"a": [0, 10, 100, 130]}), "key string, ts timestamp, value double"
+    )
+    got = {
+        r["session_seq"]: (r["n_events"], r["duration_sec"], r["sum_value"])
+        for r in session_stats(df, "key", "ts", 30.0, value_col="value").collect()
+    }
+    assert got == {1: (2, 10.0, 1.0), 2: (2, 30.0, 5.0)}
+
+
+def test_sessionize_is_single_exchange(spark):
+    """Both windows (lag flag + running sum) share the (key, ts) sort:
+    the whole operator is ONE hash exchange; session_stats adds only
+    the aggregation exchange."""
+    df = spark.createDataFrame(
+        _rows({"a": [0, 10], "b": [5]}), "key string, ts timestamp, value double"
+    )
+    plan = sessionize(df, "key", "ts", 30.0)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    plan2 = (
+        session_stats(df, "key", "ts", 30.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan2.count("Exchange hashpartitioning") <= 2
+
+
+def test_sessionize_handles_ntz_timestamps(spark, tmp_path):
+    """Parquet round-trip produces TIMESTAMP_NTZ columns — the operator
+    must accept them (regression: unix_micros rejects NTZ without the
+    cast)."""
+    p = str(tmp_path / "ev")
+    spark.createDataFrame(
+        _rows({"a": [0, 10, 100]}), "key string, ts timestamp_ntz, value double"
+    ).write.parquet(p)
+    back = spark.read.parquet(p)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    got = sorted(r["session_seq"] for r in sessionize(back, "key", "ts", 30.0).collect())
+    assert got == [1, 1, 2]

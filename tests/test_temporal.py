@@ -136,3 +136,25 @@ def test_asof_matches_duckdb_native(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_asof_tolerance_handles_ntz_timestamps(spark, tmp_path):
+    """Parquet round-trip yields TIMESTAMP_NTZ; the tolerance gap math
+    must accept it (regression: unix_micros rejects NTZ without the
+    cast)."""
+    vp, qp = str(tmp_path / "v"), str(tmp_path / "q")
+    spark.createDataFrame(
+        [("k", _ts("2024-01-01T00:00:10"), "v1")],
+        "key string, vts timestamp_ntz, val string",
+    ).write.parquet(vp)
+    spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T00:00:15")), (2, "k", _ts("2024-01-01T00:05:00"))],
+        "qid long, key string, qts timestamp_ntz",
+    ).write.parquet(qp)
+    out = asof_join(
+        spark.read.parquet(vp), spark.read.parquet(qp),
+        on="key", version_ts="vts", query_ts="qts", payload=["val"],
+        tolerance_seconds=60.0,
+    )
+    got = {r["qid"]: r["val"] for r in out.collect()}
+    assert got == {1: "v1", 2: None}
