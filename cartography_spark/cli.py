@@ -230,10 +230,17 @@ def cmd_curate(args) -> int:
         ok = ok & (sample_bucket(args.id_col) < rate * 1000)
         stages["sample"] = ok
     aggs = [F.sum(c.cast("long")).alias(name) for name, c in stages.items()]
+    out_cols = list(docs.columns)
+    if args.redact:
+        from cartography_spark.functions.textstats import redact_pii
+
+        out_cols = [
+            redact_pii(c).alias(c) if c == args.text_col else c for c in out_cols
+        ]
     out: dict = {}
     if args.output:
         obs = Observation("curate")
-        survivors = flagged.observe(obs, *aggs).where(ok).select(*docs.columns)
+        survivors = flagged.observe(obs, *aggs).where(ok).select(*out_cols)
         survivors.write.mode("overwrite").parquet(args.output)
         out["stages"] = obs.get
         out["written"] = args.output
@@ -338,6 +345,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--top-word-max", type=float, default=0.2)
     c.add_argument("--dup-ngram-max", type=float, default=0.2)
     c.add_argument("--rate", action="append", help="STRATUM=RATE sample rate (repeatable)")
+    c.add_argument("--redact", action="store_true",
+                   help="scrub emails/URLs/IPv4s from the text column of survivors")
     c.set_defaults(fn=cmd_curate)
 
     st = sub.add_parser("store", help="store maintenance (compact / expire)")

@@ -147,3 +147,47 @@ def kmin_fingerprints(col: Column | str, n: int = 5, k: int = 4) -> Column:
     """k smallest shingle hashes (bottom-k sketch) — a compact signature
     whose overlap estimates containment."""
     return F.slice(F.array_sort(F.array_distinct(F.transform(word_shingles(col, n), F.md5))), 1, k)
+
+
+# ---------------- PII scrubbing (C4-style cleanup) ----------------
+
+# Patterns chosen to mean the SAME thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, ASCII classes only — so the
+# driver oracle can replicate redaction byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://\S+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+# Application order is part of the contract: emails first (a URL can
+# contain '@' userinfo), then URLs, then bare IPs.
+PII_ORDER: tuple[str, ...] = ("email", "url", "ipv4")
+
+
+def redact_pii(
+    col: Column | str,
+    replacement: str = "<PII>",
+    kinds: tuple[str, ...] = PII_ORDER,
+) -> Column:
+    """Redact emails / URLs / IPv4s from a string column — the C4-style
+    pre-training scrub. A pure row-local chain of ``regexp_replace``
+    (JVM, codegen'd): ZERO shuffle at any corpus size; patterns and
+    application order are pinned in ``PII_PATTERNS``/``PII_ORDER`` and
+    are valid, semantics-identical in both Java regex and RE2 so the
+    DuckDB oracle reproduces the redacted bytes exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], replacement)
+    return c
+
+
+def pii_counts(col: Column | str, kinds: tuple[str, ...] = PII_ORDER) -> list[Column]:
+    """Per-kind match counts (``n_<kind>`` columns), counted on the
+    SAME progressively-redacted text the scrub sees, so a URL's
+    userinfo '@' is not double-counted as an email."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for kind in kinds:
+        out.append(F.regexp_count(c, F.lit(PII_PATTERNS[kind])).alias(f"n_{kind}"))
+        c = F.regexp_replace(c, PII_PATTERNS[kind], "<PII>")
+    return out

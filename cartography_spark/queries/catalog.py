@@ -684,6 +684,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", "lang", shingle_n=3, threshold=0.6)
 
 
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub, byte-exact across engines: every doc gets a
+    deterministic synthetic email + URL + IPv4 prepended (the corpus
+    itself is PII-free, so the gate injects what it scrubs — same
+    generator-twin trick as kg_pages_e2e), then the redaction chain
+    runs and the oracle hash covers md5(redacted_bytes) — any pattern
+    or ordering divergence between Java regex and RE2 flips the hash.
+    Pure row-local regexp chain: zero shuffle."""
+    from cartography_spark.functions.textstats import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("contact u"), F.col("doc_id").cast("string"), F.lit("@ex.org or "),
+        F.lit("https://s"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example/a?x=1 ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    staged = docs.select("doc_id", injected.alias("__t"))
+    red = staged.select(
+        "doc_id", *pii_counts("__t"), redact_pii("__t").alias("__r")
+    )
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.md5("__r").alias("redacted_md5"),
+        F.length("__r").cast("long").alias("n_chars_redacted"),
+    )
+
+
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-CONTAINMENT pairs via bottom-k sketches (k=16
     over distinct word 4-grams). Catches the shape symmetric Jaccard
@@ -1134,6 +1166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
+    "text_redact_pii": text_redact_pii,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

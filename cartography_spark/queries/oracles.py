@@ -373,6 +373,46 @@ WHERE ROUND(len(list_intersect(da.sh, db.sh))::DOUBLE
             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 4) >= 0.6
 """
 
+# C4-style PII scrub: inject a deterministic email+URL+IPv4 per doc,
+# then replicate the redaction chain (email -> url -> ipv4, global
+# replace) in RE2. md5(redacted) makes any regex-semantics divergence
+# between Java regex and RE2 flip the hash. Counts are taken on the
+# progressively-redacted text, same as pii_counts.
+ORACLES["text_redact_pii"] = """
+WITH t AS (
+  SELECT doc_id,
+         'contact u' || doc_id || '@ex.org or https://s' || (doc_id % 50)
+         || '.example/a?x=1 ip 10.' || (doc_id % 256) || '.0.'
+         || ((doc_id * 7) % 256) || ' ' || text AS tt
+  FROM documents
+),
+r1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(tt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(tt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g') AS t1
+  FROM t
+),
+r2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, 'https?://\\S+')) AS n_url,
+         regexp_replace(t1, 'https?://\\S+', '<PII>', 'g') AS t2
+  FROM r1
+),
+r3 AS (
+  SELECT doc_id, n_email, n_url,
+         len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+         regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<PII>', 'g') AS t3
+  FROM r2
+)
+SELECT doc_id AS doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_url AS BIGINT) AS n_url,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       md5(t3) AS redacted_md5,
+       CAST(len(t3) AS BIGINT) AS n_chars_redacted
+FROM r3
+"""
+
 # Bottom-k containment sketch (k=16 smallest md5s of the distinct word
 # 4-grams). The twin re-derives the coordinated sample bit-exactly:
 # candidates share a bottom-k hash, K = bottom-k of the sketch union,

@@ -201,3 +201,17 @@ def test_cli_curate_funnel_single_pass(spark, tmp_path, capsys):
     capsys.readouterr()
     ids = lambda d: {r["doc_id"] for r in spark.read.parquet(d).select("doc_id").collect()}
     assert ids(out_dir) == ids(out2_dir)
+
+
+def test_cli_curate_redact_scrubs_survivor_text(spark, tmp_path, capsys):
+    from cartography_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "curated")
+    rows = [(i, "en", f"doc {i} mail bob{i}@ex.org ok") for i in range(20)]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(src)
+    assert main(["--cores", "8", "curate", "--input", src,
+                 "--output", out_dir, "--redact"]) == 0
+    capsys.readouterr()
+    texts = [r["text"] for r in spark.read.parquet(out_dir).collect()]
+    assert texts and all("@" not in t and "<PII>" in t for t in texts)

@@ -77,3 +77,44 @@ def test_kmin_fingerprints_shape(docs):
     for r in rows:
         assert len(r["fp"]) <= 4
         assert r["fp"] == sorted(r["fp"])
+
+
+def test_redact_pii_known_strings(spark):
+    """Byte-level redaction semantics on hand-checked fixtures,
+    including the ordering contract (email before URL: a URL with
+    userinfo loses its address part to the email pass first)."""
+    from cartography_spark.functions.textstats import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@site.org now"),
+        (2, "go to https://x.example/path?q=1 today"),
+        (3, "ping 192.168.0.1 and 10.0.0.255."),
+        (4, "none here"),
+        (5, "mixed bob@ex.io at https://h.io/u 127.0.0.1 end"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = df.select(
+        "i", *pii_counts("t"), redact_pii("t").alias("r")
+    )
+    got = {r["i"]: (r["n_email"], r["n_url"], r["n_ipv4"], r["r"]) for r in out.collect()}
+    assert got[1] == (1, 0, 0, "mail <PII> now")
+    assert got[2] == (0, 1, 0, "go to <PII> today")
+    assert got[3] == (0, 0, 2, "ping <PII> and <PII>.")
+    assert got[4] == (0, 0, 0, "none here")
+    assert got[5] == (1, 1, 1, "mixed <PII> at <PII> <PII> end")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan        # pure row-local scrub
+
+
+def test_redact_pii_counts_do_not_double_count_url_userinfo(spark):
+    """user@host inside a URL: the email pass claims it first, so the
+    remaining URL fragment is still redacted but counted consistently
+    with what the scrub actually saw."""
+    from cartography_spark.functions.textstats import pii_counts, redact_pii
+
+    df = spark.createDataFrame([(1, "see https://u.name@host.example/p x")], "i long, t string")
+    r = df.select(*pii_counts("t"), redact_pii("t").alias("r")).collect()[0]
+    # email pattern eats 'u.name@host.example'; no full URL remains intact
+    assert r["n_email"] == 1
+    assert "<PII>" in r["r"] and "host.example" not in r["r"]
