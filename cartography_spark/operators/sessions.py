@@ -46,6 +46,9 @@ def sessionize(
     ``gap_seconds`` since the key's previous event. Deterministic for
     distinct (key, ts) pairs; events at the identical timestamp order
     by the window's stable sort and never break a session (gap 0).
+    Precondition: event timestamps are non-null (a NULL ts cannot be
+    ordered; such rows sort first and fold into the key's first
+    session — filter them upstream if that is not intended).
     """
     gap_us = int(gap_seconds * 1_000_000)
     w = Window.partitionBy(key_col).orderBy(ts_col)

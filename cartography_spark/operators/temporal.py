@@ -63,7 +63,7 @@ def asof_join(
     last-wins groupBy if they are not.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    clash = set(payload) & set(queries.columns)
+    clash = (set(payload) | {"matched_ts"}) & set(queries.columns)
     if clash:
         raise ValueError(f"payload columns collide with query columns: {sorted(clash)}")
     if direction not in ("backward", "forward"):
@@ -77,7 +77,11 @@ def asof_join(
     q_struct = F.struct(*[F.col(c) for c in q_cols])
     q_type = queries.select(q_struct.alias("x")).schema["x"].dataType
 
-    tagged_v = versions.select(
+    # NULL-timestamp handling, deterministic by construction: a version
+    # with no timestamp cannot be ordered and is dropped; a query with
+    # no timestamp keeps its row with NULL payload (left semantics)
+    # regardless of direction.
+    tagged_v = versions.where(F.col(version_ts).isNotNull()).select(
         *[F.col(k) for k in keys],
         F.col(version_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -103,7 +107,7 @@ def asof_join(
     carried = tagged_v.unionByName(tagged_q).withColumn(
         "__match", F.last("__v", ignorenulls=True).over(w)
     )
-    match: Column = F.col("__match")
+    match: Column = F.when(F.col("__ts").isNotNull(), F.col("__match"))
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds * 1_000_000)
         if direction == "backward":

@@ -158,3 +158,35 @@ def test_asof_tolerance_handles_ntz_timestamps(spark, tmp_path):
     )
     got = {r["qid"]: r["val"] for r in out.collect()}
     assert got == {1: "v1", 2: None}
+
+
+def test_asof_null_timestamps_are_deterministic(spark):
+    """NULL-ts versions are dropped (unorderable); NULL-ts queries keep
+    their row with NULL payload in BOTH directions."""
+    versions = spark.createDataFrame(
+        [("k", _ts("2024-01-01T00:00:10"), "v1"), ("k", None, "vN")],
+        "key string, vts timestamp, val string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T00:00:15")), (2, "k", None)],
+        "qid long, key string, qts timestamp",
+    )
+    for direction, want1 in (("backward", "v1"), ("forward", None)):
+        got = {
+            r["qid"]: r["val"]
+            for r in asof_join(
+                versions, queries, on="key", version_ts="vts", query_ts="qts",
+                payload=["val"], direction=direction,
+            ).collect()
+        }
+        assert got[2] is None, direction        # null-ts query -> null payload
+        assert got[1] == want1, direction       # vN never matches anything
+
+
+def test_asof_matched_ts_collision_raises(spark, frames):
+    versions, queries = frames
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            versions, queries.withColumnRenamed("qid", "matched_ts"),
+            on="key", version_ts="vts", query_ts="qts", payload=["val"],
+        )
