@@ -497,6 +497,26 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hot_key", "n", F.round("total", 2).alias("total"), "first_user")
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p95/p99 of event value per type):
+    Spark's exact ``percentile`` agg interpolates identically to
+    DuckDB's ``quantile_cont``, so the gate is value-hashed with no
+    tolerance. Scale note (in-code, deliberate): the exact agg buffers
+    each group's values — correct here because the group count is tiny
+    and fixed (event types), while per-URL/per-domain percentiles at
+    corpus scale should use ``approx_percentile`` (t-digest-style
+    bounded memory; its agreement with the exact form is pinned in
+    tests/test_sessions.py rather than the oracle, since the sketch is
+    engine-specific)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
 def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (8h inactivity gap over the events
     table): per-session event counts, bounds, exact microsecond
@@ -1155,6 +1175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_salted_skew": agg_salted_skew,
     "agg_dedup_lastwins_a2": agg_dedup_lastwins_a2,
     "agg_sessionize": agg_sessionize,
+    "agg_percentiles": agg_percentiles,
     "agg_window_topk_o1": agg_window_topk_o1,
     "join_multihop_j8": join_multihop_j8,
     "join_semi_anti": join_semi_anti,

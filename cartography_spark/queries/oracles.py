@@ -228,6 +228,19 @@ SELECT CASE WHEN event_type IN ('click','view','error') THEN 'hot'
 FROM events GROUP BY 1
 """
 
+# Exact grouped percentiles: Spark percentile() and DuckDB
+# quantile_cont() share the linear-interpolation definition, so the
+# values hash-match with no tolerance.
+ORACLES["agg_percentiles"] = """
+SELECT event_type AS event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 4)::DOUBLE AS p50,
+       ROUND(quantile_cont(value, 0.95), 4)::DOUBLE AS p95,
+       ROUND(quantile_cont(value, 0.99), 4)::DOUBLE AS p99
+FROM events
+GROUP BY event_type
+"""
+
 # Gap-based sessionization: lag boundary flag -> running-sum session
 # number -> per-session aggregates, 8h gap (strictly greater breaks).
 # Durations are exact integer microseconds (no float rounding).

@@ -103,3 +103,20 @@ def test_sessionize_handles_ntz_timestamps(spark, tmp_path):
     assert dict(back.dtypes)["ts"] == "timestamp_ntz"
     got = sorted(r["session_seq"] for r in sessionize(back, "key", "ts", 30.0).collect())
     assert got == [1, 1, 2]
+
+
+def test_approx_percentile_agrees_with_exact_within_bound(spark):
+    """The 100-TB percentile path is approx_percentile (bounded-memory
+    sketch); pin its agreement with the exact form on a generated
+    distribution so the documented scale guidance stays honest."""
+    rows = [(i % 4, float((i * 37) % 1000) + (i % 7) * 0.1) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    joined = (
+        df.groupBy("g").agg(
+            F.percentile("v", 0.95).alias("exact"),
+            F.percentile_approx("v", 0.95, 10000).alias("approx"),
+        )
+    ).collect()
+    for r in joined:
+        spread = 1000.0
+        assert abs(r["exact"] - r["approx"]) <= 0.01 * spread, r
