@@ -121,3 +121,63 @@ def asof_join(
         *[match[c].alias(c) for c in payload],
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    payload: list[str],
+    bucket_seconds: float = 86400.0,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT a cross product or a
+    BroadcastNestedLoopJoin (which is what Spark plans for the naive
+    ``p.ts BETWEEN i.start AND i.end`` theta-join).
+
+    The classic bucketized formulation: each interval explodes into the
+    fixed-width time buckets it covers; each point computes its single
+    bucket; an EQUI-join on (key, bucket) pairs every point with
+    exactly the intervals whose bucket span covers it — each such
+    interval appears once per bucket and the point joins only its own
+    bucket, so no pair can duplicate and no dedup pass is needed — then
+    the exact ``start <= ts <= end`` filter removes same-bucket misses.
+
+    Cost model: the interval side inflates by ``ceil(duration /
+    bucket_seconds) + 1`` rows; pick ``bucket_seconds`` near the median
+    interval duration so the inflation stays ~2x while each point's
+    bucket holds few intervals. Everything shuffles on (key, bucket) —
+    hash-partitionable, AQE-splittable, skew-salvageable like any
+    equi-join.
+
+    Returns all ``points`` columns plus the interval ``payload``
+    columns (inner semantics: points in no interval drop; a point in N
+    overlapping intervals yields N rows).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    clash = set(payload) & set(points.columns)
+    if clash:
+        raise ValueError(f"payload columns collide with point columns: {sorted(clash)}")
+    bucket_us = int(bucket_seconds * 1_000_000)
+    i_buckets = intervals.select(
+        *[F.col(k) for k in keys],
+        F.col(start_ts).alias("__lo"),
+        F.col(end_ts).alias("__hi"),
+        *[F.col(c) for c in payload],
+        F.explode(
+            F.sequence(
+                F.floor(_us(F.col(start_ts)) / bucket_us).cast("long"),
+                F.floor(_us(F.col(end_ts)) / bucket_us).cast("long"),
+            )
+        ).alias("__bucket"),
+    )
+    p_buckets = points.withColumn(
+        "__bucket", F.floor(_us(F.col(point_ts)) / bucket_us).cast("long")
+    )
+    joined = p_buckets.join(i_buckets, [*keys, "__bucket"])
+    pt = _us(F.col(point_ts))
+    return joined.where(
+        (pt >= _us(F.col("__lo"))) & (pt <= _us(F.col("__hi")))
+    ).select(*points.columns, *payload)

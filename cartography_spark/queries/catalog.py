@@ -540,6 +540,32 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval join (the second temporal primitive
+    Spark lacks a scalable plan for — the naive BETWEEN theta-join
+    plans a BroadcastNestedLoopJoin): every event equi-joins on
+    (user, day-bucket) to the exploded session intervals of
+    `agg_sessionize`, then the exact range filter keeps true
+    containment. By construction each event lands in EXACTLY its own
+    session, so the gate simultaneously checks the interval-join
+    mechanics and sessionization self-consistency. The oracle is the
+    straightforward BETWEEN theta-join (DuckDB plans IEJoin for it)."""
+    from cartography_spark.operators.sessions import session_stats
+    from cartography_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    sess = session_stats(ev, "user_id", "ts", 8 * 3600.0).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    out = interval_join(
+        pts, sess, on="user_id", point_ts="ts",
+        start_ts="session_start", end_ts="session_end",
+        payload=["session_seq"], bucket_seconds=86400.0,
+    )
+    return out.select("event_id", "user_id", "session_seq")
+
+
 def agg_dedup_lastwins_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 dedup-by-key last-wins: the latest event per user wins."""
     ev = _t(spark, sf_dir, "events")
@@ -1176,6 +1202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_dedup_lastwins_a2": agg_dedup_lastwins_a2,
     "agg_sessionize": agg_sessionize,
     "agg_percentiles": agg_percentiles,
+    "join_interval": join_interval,
     "agg_window_topk_o1": agg_window_topk_o1,
     "join_multihop_j8": join_multihop_j8,
     "join_semi_anti": join_semi_anti,

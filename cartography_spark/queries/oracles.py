@@ -228,6 +228,36 @@ SELECT CASE WHEN event_type IN ('click','view','error') THEN 'hot'
 FROM events GROUP BY 1
 """
 
+# Point-in-interval join: events vs their user's 8h-gap session
+# intervals. Oracle = the straightforward BETWEEN theta-join over
+# independently re-derived sessions (DuckDB plans IEJoin); the Spark
+# side is the bucketized equi-join, so a green hash proves the
+# bucket-explode + exact-filter formulation equals the range join.
+ORACLES["join_interval"] = """
+WITH b AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM b
+),
+g AS (
+  SELECT user_id, session_seq, MIN(ts) AS lo, MAX(ts) AS hi
+  FROM s GROUP BY user_id, session_seq
+)
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       CAST(g.session_seq AS BIGINT) AS session_seq
+FROM events e
+JOIN g ON e.user_id = g.user_id AND e.ts BETWEEN g.lo AND g.hi
+"""
+
 # Exact grouped percentiles: Spark percentile() and DuckDB
 # quantile_cont() share the linear-interpolation definition, so the
 # values hash-match with no tolerance.

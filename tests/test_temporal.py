@@ -190,3 +190,60 @@ def test_asof_matched_ts_collision_raises(spark, frames):
             versions, queries.withColumnRenamed("qid", "matched_ts"),
             on="key", version_ts="vts", query_ts="qts", payload=["val"],
         )
+
+
+def test_interval_join_model_and_plan(spark):
+    """Boundary inclusivity at both ends, multi-bucket intervals,
+    overlap fan-out (N containing intervals -> N rows), inner drop for
+    uncontained points — vs a brute-force Python model — and the plan
+    must be an equi-join (no BNLJ/cartesian, which is what the naive
+    BETWEEN theta-join plans)."""
+    from cartography_spark.operators.temporal import interval_join
+
+    iv = [
+        ("k", _ts("2024-01-01T00:00:10"), _ts("2024-01-03T00:00:20"), "i1"),  # 3 buckets at 1d
+        ("k", _ts("2024-01-01T00:00:15"), _ts("2024-01-01T00:00:30"), "i2"),  # overlaps i1
+        ("x", _ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:01:00"), "i3"),
+    ]
+    pts = [
+        (1, "k", _ts("2024-01-01T00:00:10")),  # == i1.start (inclusive)
+        (2, "k", _ts("2024-01-01T00:00:20")),  # inside i1 AND i2
+        (3, "k", _ts("2024-01-03T00:00:20")),  # == i1.end (inclusive), 2 buckets away
+        (4, "k", _ts("2024-01-05T00:00:00")),  # in nothing
+        (5, "x", _ts("2024-01-01T00:00:30")),  # other key
+        (6, "k", _ts("2024-01-01T00:00:30")),  # i1 + i2 end boundary
+    ]
+    ivdf = spark.createDataFrame(iv, "key string, lo timestamp, hi timestamp, name string")
+    ptdf = spark.createDataFrame(pts, "pid long, key string, pt timestamp")
+    out = interval_join(
+        ptdf, ivdf, on="key", point_ts="pt", start_ts="lo", end_ts="hi",
+        payload=["name"], bucket_seconds=86400.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = sorted((r["pid"], r["name"]) for r in out.collect())
+    model = sorted(
+        (pid, name)
+        for pid, pkey, pt in pts
+        for key, lo, hi, name in iv
+        if pkey == key and lo <= pt <= hi
+    )
+    assert got == model
+    assert (4, "i1") not in got and got.count((2, "i1")) == 1
+
+
+def test_interval_join_payload_collision_raises(spark):
+    from cartography_spark.operators.temporal import interval_join
+
+    ivdf = spark.createDataFrame(
+        [("k", _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), "n")],
+        "key string, lo timestamp, hi timestamp, pid string",
+    )
+    ptdf = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T12:00:00"))], "pid long, key string, pt timestamp"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(ptdf, ivdf, on="key", point_ts="pt", start_ts="lo",
+                      end_ts="hi", payload=["pid"])
