@@ -413,3 +413,50 @@ def run_to_table(
         q.awaitTermination(timeout=timeout)
     else:
         q.awaitTermination()
+
+
+def stream_session_stats(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    watermark: str = "30 days",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming sessionization on Spark's NATIVE ``session_window``
+    aggregation with watermark-bounded state — the streaming form of
+    :func:`operators.sessions.session_stats`.
+
+    The gap is adjusted by +1µs so the session rule is EXACTLY the
+    batch operator's strictly-greater break: ``session_window`` starts
+    a new session when the gap is ``>= duration`` while the batch rule
+    breaks when ``> gap_seconds``; timestamps are integer microseconds,
+    so ``gap > g  <=>  gap >= g + 1µs`` — the two forms agree
+    bit-for-bit (pinned by the stream≡batch test, multi-micro-batch,
+    out-of-order capable via the watermark).
+
+    Output columns match ``session_stats`` except ``session_seq``: a
+    global per-key ordinal is inherently cross-session state, so the
+    streaming form identifies a session by its ``session_start``
+    instead — join on (key, session_start) to reconcile, as the parity
+    test does. In append mode a session emits exactly once, when the
+    watermark passes its close (the production contract for downstream
+    consumers); state per key is bounded by the watermark horizon.
+    """
+    from cartography_spark.operators.sessions import _us
+
+    gap = f"{int(gap_seconds * 1_000_000) + 1} microseconds"
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        ((_us(F.max(ts_col)) - _us(F.min(ts_col))) / 1_000_000.0).alias("duration_sec"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .drop("session_window")
+    )

@@ -494,3 +494,55 @@ def test_stream_curate_matches_batch_funnel(spark, tmp_path):
     assert expected.exceptAll(got).count() == 0
     n_total, n_got = 90, got.count()
     assert 0 < n_got < n_total     # every gate actually removed something
+
+
+def test_stream_session_stats_matches_batch(spark, tmp_path):
+    """Streaming sessionization (native session_window, +1µs gap
+    adjustment) must emit EXACTLY the batch operator's sessions once
+    the watermark passes them: same bounds, counts, durations, sums —
+    across multiple micro-batches. A far-future sentinel event advances
+    the global watermark so every real session finalizes; the
+    sentinel's own session stays open and must NOT emit."""
+    from datetime import datetime, timedelta
+
+    from cartography_spark.operators.sessions import session_stats
+    from cartography_spark.streaming.stream import stream_session_stats
+
+    t0 = datetime(2024, 1, 1)
+    src = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spec = {"a": [0, 10, 25, 4000, 4010, 9000], "b": [5, 3600, 3630]}
+    rows = [
+        (k, t0 + timedelta(seconds=s), float(int(s) % 7))
+        for k, offs in spec.items() for s in offs
+    ]
+    real = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    real.repartition(3).write.parquet(src)
+    sentinel = spark.createDataFrame(
+        [("zz", t0 + timedelta(days=30), 0.0)], "key string, ts timestamp, value double"
+    )
+    sentinel.write.mode("append").parquet(src)   # later mtime -> last batch
+
+    stream = (
+        spark.readStream.schema(real.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    agg = stream_session_stats(stream, "key", "ts", 30.0, watermark="1 hour",
+                               value_col="value")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.where(F.col("key") == "zz").count() == 0   # open session held back
+    expected = session_stats(real, "key", "ts", 30.0, value_col="value").drop("session_seq")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    assert got.count() == 5   # a:3 sessions, b:2 sessions
