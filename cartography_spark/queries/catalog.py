@@ -497,6 +497,26 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("hot_key", "n", F.round("total", 2).alias("total"), "first_user")
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (reference analog: the JSON-blob
+    handling every intel transform does before MERGE, e.g.
+    ``cartography/intel/aws/ec2/instances.py`` tag flattening): parse
+    the events ``props`` JSON column with a TYPED ``from_json`` schema
+    (JVM Jackson path — stays in codegen; never a Python json.loads)
+    and aggregate the extracted field per event type. Malformed/missing
+    keys become NULLs and are counted, so the gate also pins the
+    null-on-bad-parse contract."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    staged = ev.select("event_type", k.alias("__k"))
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("__k").alias("sum_k"),
+        F.round(F.avg("__k"), 4).alias("avg_k"),
+        F.sum(F.col("__k").isNull().cast("long")).alias("n_missing"),
+    )
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (p50/p95/p99 of event value per type):
     Spark's exact ``percentile`` agg interpolates identically to
@@ -1203,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_sessionize": agg_sessionize,
     "agg_percentiles": agg_percentiles,
     "join_interval": join_interval,
+    "events_json_props": events_json_props,
     "agg_window_topk_o1": agg_window_topk_o1,
     "join_multihop_j8": join_multihop_j8,
     "join_semi_anti": join_semi_anti,

@@ -258,6 +258,18 @@ FROM events e
 JOIN g ON e.user_id = g.user_id AND e.ts BETWEEN g.lo AND g.hi
 """
 
+# Semi-structured extraction: typed JSON field per event type;
+# missing/malformed keys are NULL in both engines.
+ORACLES["events_json_props"] = """
+SELECT event_type AS event_type,
+       COUNT(*) AS n,
+       SUM(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       ROUND(AVG(json_extract(props, '$.k')::BIGINT), 4)::DOUBLE AS avg_k,
+       SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
 # Exact grouped percentiles: Spark percentile() and DuckDB
 # quantile_cont() share the linear-interpolation definition, so the
 # values hash-match with no tolerance.

@@ -118,3 +118,15 @@ def test_redact_pii_counts_do_not_double_count_url_userinfo(spark):
     # email pattern eats 'u.name@host.example'; no full URL remains intact
     assert r["n_email"] == 1
     assert "<PII>" in r["r"] and "host.example" not in r["r"]
+
+
+def test_from_json_null_contract_for_props_extraction(spark):
+    """events_json_props relies on typed from_json returning NULL for
+    malformed JSON, missing keys, and NULL input — pin all three."""
+    df = spark.createDataFrame(
+        [('{"k": 5}',), ("not json",), ('{"x": 1}',), (None,)], "props string"
+    )
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in df.select(F.from_json("props", "k BIGINT")["k"]).collect()]
+    assert got == [5, None, None, None]
