@@ -392,6 +392,23 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Day-2 operator families, reported in their OWN section so the
+    # headline total stays comparable across rounds (r1-r5 trendlines
+    # reference the 25-query total).
+    NEW_OPS = [
+        "dedup_containment", "join_asof", "join_interval",
+        "agg_sessionize", "text_redact_pii", "agg_percentiles",
+        "events_json_props",
+    ]
+    new_ops: dict[str, float] = {}
+    for name in NEW_OPS:
+        dt = float("inf")
+        for _ in range(max(1, bestof)):
+            t0 = time.time()
+            materialize(BENCH_QUERIES[name](spark, sf_dir))
+            dt = min(dt, time.time() - t0)
+        new_ops[name] = round(dt, 3)
+
     store_stats = run_store_bench(spark)
 
     out = {
@@ -399,6 +416,8 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "queries": timings,
+        "new_ops": new_ops,
+        "new_ops_total_sec": round(sum(new_ops.values()), 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship": flagship_stats,
         "store": store_stats,
