@@ -121,7 +121,21 @@ def kg_entity_linking_prod(spark, sf_dir):
     )
 
 
+def dedup_containment_prod(spark, sf_dir):
+    """Production containment: xxhash64 sketch family (signed-long
+    order, no hex materialization — A/B 1.4x over the md5 oracle
+    family at sf0.1). Same pairs contract as the catalog entry."""
+    from cartography_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return containment_pairs(
+        docs, "doc_id", "text", shingle_n=4, k=16, threshold=0.5,
+        shingle_mode="word", family="xxhash64",
+    )
+
+
 BENCH_QUERIES = dict(QUERIES)
+BENCH_QUERIES["dedup_containment_prod"] = dedup_containment_prod
 BENCH_QUERIES["dedup_minhash_lsh_prod"] = dedup_minhash_lsh_prod
 BENCH_QUERIES["dedup_simhash_prod"] = dedup_simhash_prod
 BENCH_QUERIES["kg_cc_cooccurrence"] = kg_cc_cooccurrence
@@ -396,7 +410,7 @@ def main() -> None:
     # headline total stays comparable across rounds (r1-r5 trendlines
     # reference the 25-query total).
     NEW_OPS = [
-        "dedup_containment", "join_asof", "join_interval",
+        "dedup_containment_prod", "join_asof", "join_interval",
         "agg_sessionize", "text_redact_pii", "agg_percentiles",
         "events_json_props",
     ]

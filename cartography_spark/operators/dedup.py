@@ -500,14 +500,22 @@ def ngram_jaccard_pairs(
 # ---------------- bottom-k containment ----------------
 
 
-def bottomk_sketch(shingles: Column, k: int) -> Column:
-    """Bottom-k sketch: the ``k`` lexicographically smallest md5 hex
-    digests of the (distinct) shingle array — Cohen & Kaplan's
-    coordinated bottom-k sample. md5 hex strings sort identically in
-    Spark and DuckDB, so the driver oracle re-derives sketches
-    bit-exactly. The whole sketch is one row-local sort+slice: ZERO
-    shuffle at any corpus size."""
-    return F.slice(F.array_sort(F.transform(shingles, F.md5)), 1, k)
+def bottomk_sketch(shingles: Column, k: int, family: str = "md5") -> Column:
+    """Bottom-k sketch: the ``k`` smallest shingle hashes — Cohen &
+    Kaplan's coordinated bottom-k sample. ``family="md5"`` (hex
+    strings, lexicographic order identical in Spark and DuckDB, so the
+    driver oracle re-derives sketches bit-exactly) or
+    ``family="xxhash64"`` (the production path: signed-long order, no
+    hex materialization — same house split as the MinHash families).
+    The whole sketch is one row-local sort+slice: ZERO shuffle at any
+    corpus size."""
+    if family == "md5":
+        hashed = F.transform(shingles, F.md5)
+    elif family == "xxhash64":
+        hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+    else:
+        raise ValueError(f"unknown hash family {family!r}")
+    return F.slice(F.array_sort(hashed), 1, k)
 
 
 def containment_pairs(
@@ -519,6 +527,7 @@ def containment_pairs(
     threshold: float = 0.7,
     max_bucket: int = 100000,
     shingle_mode: str = "char",
+    family: str = "md5",
 ) -> DataFrame:
     """Asymmetric near-CONTAINMENT pairs via bottom-k sketches.
 
@@ -567,7 +576,7 @@ def containment_pairs(
         raise ValueError(f"unknown shingle_mode {shingle_mode!r}")
     sk_store = df.select(
         F.col(id_col).alias("doc_id"),
-        bottomk_sketch(sh, k).alias("__sk"),
+        bottomk_sketch(sh, k, family).alias("__sk"),
     )
     base = sk_store.select("doc_id", F.explode("__sk").alias("__h"))
     sized = base.withColumn("__bs", F.count("*").over(Window.partitionBy("__h")))

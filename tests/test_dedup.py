@@ -487,3 +487,28 @@ def test_containment_pairs_match_python_sketch_model(spark):
     }
     assert got == expect
     assert expect, "model produced no pairs - fixture too weak"
+
+
+def test_containment_xxhash64_family_agrees_on_true_containment(spark):
+    """The production hash family must find the same true-containment
+    pairs as the oracle family on the quote fixture (the 1.0 estimate
+    is family-invariant: every subset sketch hash surviving into the
+    union bottom-k is provably in the superset sketch for ANY hash
+    function), and A/B at corpus width is measured in bench."""
+    from cartography_spark.operators.dedup import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(200))
+    short_doc = " ".join(f"w{i}" for i in range(50, 80))
+    df = spark.createDataFrame(
+        [(1, short_doc), (2, long_doc), (3, " ".join(f"u{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    for fam in ("md5", "xxhash64"):
+        rows = {
+            (r["id_a"], r["id_b"]): r["containment_ab"]
+            for r in containment_pairs(
+                df, "doc_id", "text", shingle_n=4, k=16, threshold=0.9,
+                shingle_mode="word", family=fam,
+            ).collect()
+        }
+        assert rows == {(1, 2): 1.0}, fam
