@@ -180,13 +180,19 @@ def cmd_curate(args) -> int:
     stage; the only non-row-local input is the contaminated-id set,
     which is bounded by benchmark reach (not corpus size) and
     broadcast-joined as a flag. With ``--output`` the stage counts ride
-    the write job as an Observation — the whole funnel is ONE corpus
-    pass end to end.
+    the write job as an Observation, so the flag+filter+write side is
+    ONE corpus pass; deriving the contaminated-id set itself costs one
+    additional gram-exploded scan when ``--benchmark`` is given (same
+    cost note as ``decontaminate``).
     """
     from pyspark.sql import Observation, functions as F
 
-    from cartography_spark.functions.textstats import word_shingles
-    from cartography_spark.operators.curation import repetition_features, sample_bucket
+    from cartography_spark.operators.curation import (
+        contaminated_ids, repetition_features, sample_keep,
+    )
+
+    if args.redact and not args.output:
+        raise SystemExit("--redact requires --output (counts-only mode writes nothing to scrub)")
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
@@ -198,36 +204,15 @@ def cmd_curate(args) -> int:
     stages = {"total": F.lit(True), "repetition": ok}
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
-        bench_grams = bench.select(
-            F.explode(
-                F.array_distinct(word_shingles(args.text_col, args.ngram))
-            ).alias("__gram")
-        ).distinct()
-        contaminated = (
-            docs.select(
-                args.id_col,
-                F.explode(
-                    F.array_distinct(word_shingles(args.text_col, args.ngram))
-                ).alias("__gram"),
-            )
-            .join(F.broadcast(bench_grams), "__gram")
-            .select(args.id_col)
-            .distinct()
-            .withColumn("__cont", F.lit(True))
-        )
+        contaminated = contaminated_ids(
+            docs, bench, args.id_col, args.text_col, args.ngram
+        ).withColumn("__cont", F.lit(True))
         flagged = flagged.join(F.broadcast(contaminated), args.id_col, "left")
         ok = ok & F.col("__cont").isNull()
         stages["decontamination"] = ok
     if args.rate:
-        rates = dict(
-            (k, float(v)) for k, v in (kv.split("=", 1) for kv in args.rate)
-        )
-        rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
-        rate = F.coalesce(
-            F.element_at(rate_map, F.col(args.strata_col).cast("string")),
-            F.lit(1.0),
-        )
-        ok = ok & (sample_bucket(args.id_col) < rate * 1000)
+        rates = dict(args.rate)
+        ok = ok & sample_keep(args.strata_col, rates, args.id_col)
         stages["sample"] = ok
     aggs = [F.sum(c.cast("long")).alias(name) for name, c in stages.items()]
     out_cols = list(docs.columns)
@@ -344,7 +329,17 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--ngram", type=int, default=10, help="decontamination n-gram size")
     c.add_argument("--top-word-max", type=float, default=0.2)
     c.add_argument("--dup-ngram-max", type=float, default=0.2)
-    c.add_argument("--rate", action="append", help="STRATUM=RATE sample rate (repeatable)")
+    def _rate(kv: str) -> tuple:
+        try:
+            k, v = kv.split("=", 1)
+            return (k, float(v))
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"expected STRATUM=RATE with a numeric rate, got {kv!r}"
+            )
+
+    c.add_argument("--rate", action="append", type=_rate,
+                   help="STRATUM=RATE sample rate (repeatable)")
     c.add_argument("--redact", action="store_true",
                    help="scrub emails/URLs/IPv4s from the text column of survivors")
     c.set_defaults(fn=cmd_curate)

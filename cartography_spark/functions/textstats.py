@@ -145,8 +145,13 @@ def doc_fingerprint(col: Column | str, n: int = 5) -> Column:
 
 def kmin_fingerprints(col: Column | str, n: int = 5, k: int = 4) -> Column:
     """k smallest shingle hashes (bottom-k sketch) — a compact signature
-    whose overlap estimates containment."""
-    return F.slice(F.array_sort(F.array_distinct(F.transform(word_shingles(col, n), F.md5))), 1, k)
+    whose overlap estimates containment. Delegates to the ONE bottom-k
+    builder (``operators.dedup.bottomk_sketch``, which dedups hashes
+    internally — distinct-after-md5 equals distinct-before) so the repo
+    has a single sketch convention."""
+    from cartography_spark.operators.dedup import bottomk_sketch
+
+    return bottomk_sketch(word_shingles(col, n), k)
 
 
 # ---------------- PII scrubbing (C4-style cleanup) ----------------
@@ -181,13 +186,20 @@ def redact_pii(
     return c
 
 
-def pii_counts(col: Column | str, kinds: tuple[str, ...] = PII_ORDER) -> list[Column]:
+def pii_counts(
+    col: Column | str,
+    kinds: tuple[str, ...] = PII_ORDER,
+    replacement: str = "<PII>",
+) -> list[Column]:
     """Per-kind match counts (``n_<kind>`` columns), counted on the
     SAME progressively-redacted text the scrub sees, so a URL's
-    userinfo '@' is not double-counted as an email."""
+    userinfo '@' is not double-counted as an email. Pass the SAME
+    ``replacement`` as :func:`redact_pii` — the intermediate text (and
+    therefore the counts) depends on it (e.g. an empty replacement can
+    merge adjacent tokens into new matches)."""
     c = F.col(col) if isinstance(col, str) else col
     out = []
     for kind in kinds:
         out.append(F.regexp_count(c, F.lit(PII_PATTERNS[kind])).alias(f"n_{kind}"))
-        c = F.regexp_replace(c, PII_PATTERNS[kind], "<PII>")
+        c = F.regexp_replace(c, PII_PATTERNS[kind], replacement)
     return out

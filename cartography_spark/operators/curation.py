@@ -99,6 +99,33 @@ def repetition_features(
     )
 
 
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 10,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """The contaminated-id frame (ids of corpus docs sharing any word
+    ``ngram``-gram with the benchmark; bounded by benchmark reach, not
+    corpus size) — the shared core of :func:`decontaminate`, the
+    curation-funnel query, and the ``cli curate`` flag join: ONE
+    implementation of the gram join, not three divergent copies."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(text_col, ngram))).alias("__gram")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, ngram))).alias("__gram"),
+    )
+    return corpus_grams.join(bench_grams, "__gram").select(id_col).distinct()
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -127,19 +154,8 @@ def decontaminate(
     short-doc contamination degrades to exact-text match rather than
     silently passing.
     """
-    bench_grams = (
-        benchmark.select(
-            F.explode(F.array_distinct(word_shingles(text_col, ngram))).alias("__gram")
-        ).distinct()
-    )
-    if broadcast_benchmark:
-        bench_grams = F.broadcast(bench_grams)
-    corpus_grams = corpus.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, ngram))).alias("__gram"),
-    )
-    contaminated = (
-        corpus_grams.join(bench_grams, "__gram").select(id_col).distinct()
+    contaminated = contaminated_ids(
+        corpus, benchmark, id_col, text_col, ngram, broadcast_benchmark
     )
     return corpus.join(F.broadcast(contaminated), id_col, "left_anti")
 
@@ -155,6 +171,26 @@ def sample_bucket(id_col: Column | str, denom: int = 1000) -> Column:
         F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
         % denom
     )
+
+
+def sample_keep(
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 1.0,
+    denom: int = 1000,
+) -> Column:
+    """The row-local keep-condition of :func:`stratified_sample`,
+    exposed so the CLI funnel and streaming paths share the EXACT same
+    membership expression (same map, same bucket, same denominator)."""
+    if not 0 < denom:
+        raise ValueError("denom must be positive")
+    rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(strata_col).cast("string")),
+        F.lit(float(default_rate)),
+    )
+    return sample_bucket(id_col, denom) < rate * denom
 
 
 def stratified_sample(
@@ -175,12 +211,4 @@ def stratified_sample(
     samples (the property `df.sample()` cannot give across plans).
     Strata absent from ``rates`` keep ``default_rate``.
     """
-    if not 0 < denom:
-        raise ValueError("denom must be positive")
-    rate_map = F.create_map(
-        *[F.lit(x) for kv in rates.items() for x in kv]
-    )
-    rate = F.coalesce(
-        F.element_at(rate_map, F.col(strata_col)), F.lit(float(default_rate))
-    )
-    return df.where(sample_bucket(id_col, denom) < rate * denom)
+    return df.where(sample_keep(strata_col, rates, id_col, default_rate, denom))

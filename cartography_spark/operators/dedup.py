@@ -515,7 +515,10 @@ def bottomk_sketch(shingles: Column, k: int, family: str = "md5") -> Column:
         hashed = F.transform(shingles, lambda s: F.xxhash64(s))
     else:
         raise ValueError(f"unknown hash family {family!r}")
-    return F.slice(F.array_sort(hashed), 1, k)
+    # array_distinct here (on hashes == on shingles, collisions aside)
+    # makes the sketch unbiased for callers that pass NON-distinct
+    # shingle arrays; a no-op for the pre-distincted callers.
+    return F.slice(F.array_sort(F.array_distinct(hashed)), 1, k)
 
 
 def containment_pairs(

@@ -26,12 +26,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def _us(c: Column | str) -> Column:
-    """Microseconds since epoch; the cast accepts TIMESTAMP_NTZ inputs
-    (parquet event times) — value-preserving because sessions pin the
-    UTC timezone (see session.py)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.unix_micros(c.cast("timestamp"))
+from cartography_spark.operators.temporal import ts_micros as _us
 
 
 def sessionize(
@@ -50,7 +45,10 @@ def sessionize(
     ordered; such rows sort first and fold into the key's first
     session — filter them upstream if that is not intended).
     """
-    gap_us = int(gap_seconds * 1_000_000)
+    # round, not int(): decimal gaps like 0.7s are 699999.999...µs in
+    # float and truncation would break the pinned gap-equal-is-same-
+    # session boundary by 1µs
+    gap_us = round(gap_seconds * 1_000_000)
     w = Window.partitionBy(key_col).orderBy(ts_col)
     prev = F.lag(_us(ts_col)).over(w)
     is_new = F.when(

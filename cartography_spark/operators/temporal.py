@@ -32,11 +32,16 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def _us(c: Column) -> Column:
+def ts_micros(c: Column | str) -> Column:
     """Microseconds since epoch; the cast accepts TIMESTAMP_NTZ inputs
     (parquet event times) — value-preserving under the session's pinned
-    UTC timezone."""
+    UTC timezone. Shared by the temporal operators, sessionization, and
+    the streaming session aggregate (one definition, not three)."""
+    c = F.col(c) if isinstance(c, str) else c
     return F.unix_micros(c.cast("timestamp"))
+
+
+_us = ts_micros
 
 
 def asof_join(
@@ -77,11 +82,17 @@ def asof_join(
     q_struct = F.struct(*[F.col(c) for c in q_cols])
     q_type = queries.select(q_struct.alias("x")).schema["x"].dataType
 
-    # NULL-timestamp handling, deterministic by construction: a version
-    # with no timestamp cannot be ordered and is dropped; a query with
-    # no timestamp keeps its row with NULL payload (left semantics)
-    # regardless of direction.
-    tagged_v = versions.where(F.col(version_ts).isNotNull()).select(
+    # NULL handling, deterministic by construction and matching the
+    # DuckDB-ASOF / pandas-merge_asof contract: a version with a NULL
+    # timestamp OR a NULL join key cannot match anything and is dropped
+    # (NULL never equals NULL in a join — Window.partitionBy would
+    # otherwise group NULL keys together and hand out phantom matches);
+    # a query with NULL ts or key keeps its row with NULL payload (left
+    # semantics) regardless of direction.
+    v_valid = F.col(version_ts).isNotNull()
+    for kcol in keys:
+        v_valid = v_valid & F.col(kcol).isNotNull()
+    tagged_v = versions.where(v_valid).select(
         *[F.col(k) for k in keys],
         F.col(version_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -107,9 +118,14 @@ def asof_join(
     carried = tagged_v.unionByName(tagged_q).withColumn(
         "__match", F.last("__v", ignorenulls=True).over(w)
     )
-    match: Column = F.when(F.col("__ts").isNotNull(), F.col("__match"))
+    q_valid = F.col("__ts").isNotNull()
+    for kcol in keys:
+        q_valid = q_valid & F.col(kcol).isNotNull()
+    match: Column = F.when(q_valid, F.col("__match"))
     if tolerance_seconds is not None:
-        tol_us = int(tolerance_seconds * 1_000_000)
+        # round, not int(): 0.7*1e6 is 699999.999... and truncation
+        # would shave 1µs off the inclusive boundary
+        tol_us = round(tolerance_seconds * 1_000_000)
         if direction == "backward":
             gap = _us(F.col("__ts")) - _us(match["__v_ts"])
         else:
@@ -160,7 +176,7 @@ def interval_join(
     clash = set(payload) & set(points.columns)
     if clash:
         raise ValueError(f"payload columns collide with point columns: {sorted(clash)}")
-    bucket_us = int(bucket_seconds * 1_000_000)
+    bucket_us = round(bucket_seconds * 1_000_000)
     i_buckets = intervals.select(
         *[F.col(k) for k in keys],
         F.col(start_ts).alias("__lo"),

@@ -982,24 +982,16 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     compose as conditional aggregation flags over one corpus pass; the
     only non-row-local input is the contaminated-id set, which arrives
     as a broadcast flag join (bounded by benchmark reach)."""
-    from cartography_spark.functions.textstats import word_shingles
-    from cartography_spark.operators.curation import repetition_features, sample_bucket
+    from cartography_spark.operators.curation import (
+        contaminated_ids, repetition_features, sample_bucket,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     feats = repetition_features(corpus, top_word_max=0.12, dup_ngram_max=0.2)
-    bench_grams = bench.select(
-        F.explode(F.array_distinct(word_shingles("text", 4))).alias("__gram")
-    ).distinct()
-    contaminated = (
-        corpus.select(
-            "doc_id", F.explode(F.array_distinct(word_shingles("text", 4))).alias("__gram")
-        )
-        .join(F.broadcast(bench_grams), "__gram")
-        .select("doc_id")
-        .distinct()
-        .withColumn("__cont", F.lit(True))
+    contaminated = contaminated_ids(corpus, bench, "doc_id", "text", ngram=4).withColumn(
+        "__cont", F.lit(True)
     )
     flagged = feats.join(F.broadcast(contaminated), "doc_id", "left")
     rate = (

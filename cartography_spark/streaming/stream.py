@@ -141,11 +141,18 @@ def stream_curate(
     of the row's own grams in the benchmark gram set, and sample
     membership is a function of the row's id alone. No verdict reads
     other corpus rows, so micro-batch boundaries cannot change it —
-    which also means the operator carries ZERO streaming state (the
-    exactly-once bookkeeping is the sink's file-level commit log).
+    which also means the operator carries ZERO streaming state.
     ``foreachBatch`` (not a chained streaming plan) so the batch and
     stream paths are the SAME code objects — parity by construction,
     the module's house rule.
+
+    Replay idempotence: ``foreachBatch`` is at-least-once (a crash
+    between the sink write and the offset commit replays the epoch), so
+    each epoch OVERWRITES its own ``epoch=<id>`` partition directory —
+    a replay rewrites identical rows (the funnel is deterministic)
+    instead of appending duplicates. Read the result with
+    ``spark.read.parquet(output_dir)``; the epoch id surfaces as a
+    partition column — drop it if unwanted.
     """
     from cartography_spark.operators.curation import (
         decontaminate,
@@ -166,7 +173,7 @@ def stream_curate(
             if strata_col is None:
                 raise ValueError("rates given without strata_col")
             out = stratified_sample(out, strata_col, rates, id_col)
-        out.write.mode("append").parquet(output_dir)
+        out.write.mode("overwrite").parquet(f"{output_dir}/epoch={int(_epoch_id)}")
 
     q = (
         docs.writeStream.foreachBatch(curate_batch)
@@ -443,9 +450,9 @@ def stream_session_stats(
     watermark passes its close (the production contract for downstream
     consumers); state per key is bounded by the watermark horizon.
     """
-    from cartography_spark.operators.sessions import _us
+    from cartography_spark.operators.temporal import ts_micros as _us
 
-    gap = f"{int(gap_seconds * 1_000_000) + 1} microseconds"
+    gap = f"{round(gap_seconds * 1_000_000) + 1} microseconds"
     aggs = [
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("session_start"),

@@ -215,3 +215,17 @@ def test_cli_curate_redact_scrubs_survivor_text(spark, tmp_path, capsys):
     capsys.readouterr()
     texts = [r["text"] for r in spark.read.parquet(out_dir).collect()]
     assert texts and all("@" not in t and "<PII>" in t for t in texts)
+
+
+def test_cli_curate_redact_requires_output_and_rate_validates(spark, tmp_path, capsys):
+    from cartography_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "en", "x")], "doc_id long, lang string, text string").write.parquet(src)
+    with pytest.raises(SystemExit):
+        main(["--cores", "8", "curate", "--input", src, "--redact"])
+    with pytest.raises(SystemExit):    # argparse usage error, not a traceback
+        main(["--cores", "8", "curate", "--input", src, "--rate", "lang0"])
+    with pytest.raises(SystemExit):
+        main(["--cores", "8", "curate", "--input", src, "--rate", "en=abc"])
+    capsys.readouterr()

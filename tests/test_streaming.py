@@ -485,7 +485,7 @@ def test_stream_curate_matches_batch_funnel(spark, tmp_path):
         ngram=3, rates=rates, strata_col="lang", timeout=120,
     )
 
-    got = spark.read.parquet(out_dir)
+    got = spark.read.parquet(out_dir).drop("epoch")   # epoch=N partition dirs
     expected = repetition_features(spark.read.parquet(docs_dir))
     expected = expected.where(~F.col("repetitive")).select("doc_id", "lang", "text")
     expected = decontaminate(expected, bench, "doc_id", "text", ngram=3)
@@ -494,6 +494,23 @@ def test_stream_curate_matches_batch_funnel(spark, tmp_path):
     assert expected.exceptAll(got).count() == 0
     n_total, n_got = 90, got.count()
     assert 0 < n_got < n_total     # every gate actually removed something
+
+    # Replay idempotence: a SECOND full run over the same input into the
+    # SAME output dir (fresh checkpoint => every epoch replays, the
+    # worst-case at-least-once scenario) must leave the output
+    # unchanged — each epoch overwrites its own partition.
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    stream_curate(
+        stream2, bench, "doc_id", "text", out_dir, str(tmp_path / "ckpt2"),
+        ngram=3, rates=rates, strata_col="lang", timeout=120,
+    )
+    again = spark.read.parquet(out_dir).drop("epoch")
+    assert again.count() == n_got
+    assert again.exceptAll(expected).count() == 0
 
 
 def test_stream_session_stats_matches_batch(spark, tmp_path):

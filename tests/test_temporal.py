@@ -247,3 +247,52 @@ def test_interval_join_payload_collision_raises(spark):
     with pytest.raises(ValueError, match="collide"):
         interval_join(ptdf, ivdf, on="key", point_ts="pt", start_ts="lo",
                       end_ts="hi", payload=["pid"])
+
+
+def test_asof_null_keys_never_match(spark):
+    """NULL join keys must not match each other (DuckDB/pandas
+    contract: NULL != NULL in a join) — regression for the window
+    partitioning grouping NULL keys together."""
+    versions = spark.createDataFrame(
+        [(None, _ts("2024-01-01T00:00:10"), "v1")],
+        "key string, vts timestamp, val string",
+    )
+    queries = spark.createDataFrame(
+        [(1, None, _ts("2024-01-01T00:00:15")),
+         (2, "k", _ts("2024-01-01T00:00:15"))],
+        "qid long, key string, qts timestamp",
+    )
+    got = {
+        r["qid"]: r["val"]
+        for r in asof_join(
+            versions, queries, on="key", version_ts="vts", query_ts="qts",
+            payload=["val"],
+        ).collect()
+    }
+    assert got == {1: None, 2: None}   # phantom match would give 1: 'v1'
+
+
+def test_gap_and_tolerance_microsecond_rounding(spark):
+    """Decimal gaps like 0.7s are 699999.999...µs in float; int()
+    truncation would break the inclusive boundary by 1µs. Pin round():
+    a gap of exactly 0.7s does NOT break a 0.7s session, and an as-of
+    match exactly at a 0.7s tolerance is kept."""
+    from datetime import timedelta
+
+    from cartography_spark.operators.sessions import sessionize
+
+    t0 = _ts("2024-01-01T00:00:00")
+    df = spark.createDataFrame(
+        [("k", t0), ("k", t0 + timedelta(microseconds=700000))],
+        "key string, ts timestamp",
+    )
+    seqs = sorted(r["session_seq"] for r in sessionize(df, "key", "ts", 0.7).collect())
+    assert seqs == [1, 1]
+
+    versions = spark.createDataFrame([("k", t0, "v1")], "key string, vts timestamp, val string")
+    queries = spark.createDataFrame(
+        [(1, "k", t0 + timedelta(microseconds=700000))], "qid long, key string, qts timestamp"
+    )
+    out = asof_join(versions, queries, on="key", version_ts="vts", query_ts="qts",
+                    payload=["val"], tolerance_seconds=0.7).collect()
+    assert out[0]["val"] == "v1"
