@@ -16,7 +16,9 @@ of its own; this module is the training-data extension mandated by the
 build contract.
 
 Scale: all narrow, embarrassingly parallel column expressions evaluated
-in the scan stage; nothing here shuffles.
+in the scan stage; nothing here shuffles — except ``tfidf_top_terms``,
+the one corpus-level scorer (TF-IDF needs corpus document frequencies
+by definition), whose shuffle budget is documented on the function.
 """
 
 from __future__ import annotations
@@ -203,3 +205,57 @@ def pii_counts(
         out.append(F.regexp_count(c, F.lit(PII_PATTERNS[kind])).alias(f"n_{kind}"))
         c = F.regexp_replace(c, PII_PATTERNS[kind], replacement)
     return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the standard corpus
+    relevance scorer (retrieval keywording / curation weighting over a
+    training corpus). Returns ``(doc_id, term, score, term_rank)``
+    with the smooth-idf formulation (sklearn's default):
+
+        idf(t)   = ln((1 + N) / (1 + df(t))) + 1
+        score    = tf(t, d) * idf(t)
+
+    Ties break by term ascending (deterministic across engines and
+    partitionings).
+
+    Scale shape: ONE corpus-token shuffle total. ``tf`` groups on
+    (doc, term) with map-side combine; ``df`` derives from the already
+    distinct-per-doc ``tf`` frame (never re-reads the corpus); the idf
+    table is vocabulary-sized (bounded — it does NOT grow with corpus
+    row count, Heaps' law) and joins back onto ``tf`` as a broadcast,
+    so scoring never re-shuffles the corpus. The final top-k window
+    repartitions by doc — the second and last exchange.
+    """
+    n_docs = docs.count()  # 1-row driver aggregate
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf is distinct per (doc, term), so df(t) = count rows per term.
+    idf = tf.groupBy("term").agg(
+        (F.log((F.lit(1.0 + n_docs)) / (F.lit(1.0) + F.count("*"))) + F.lit(1.0)).alias("idf")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        (F.col("tf") * F.col("idf")).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+            F.col("term_rank"),
+        )
+    )

@@ -270,6 +270,94 @@ def kg_cc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id"), F.col("canonical_id").alias("component"))
 
 
+def _entity_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared node/edge frames for the graph-analytics gates: string-id
+    entity graph Customer -> Nation -> Region (+ Supplier -> Nation),
+    i.e. the membership structure of the KG with genuinely skewed
+    in-degrees (a nation's in-degree = its customer+supplier count)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nodes = (
+        cust.select(F.concat(F.lit("C"), F.col("c_custkey")).alias("id"))
+        .unionAll(supp.select(F.concat(F.lit("S"), F.col("s_suppkey")).alias("id")))
+        .unionAll(nation.select(F.concat(F.lit("N"), F.col("n_nationkey")).alias("id")))
+        .unionAll(region.select(F.concat(F.lit("R"), F.col("r_regionkey")).alias("id")))
+    )
+    edges = (
+        cust.select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("N"), F.col("c_nationkey")).alias("dst"),
+        )
+        .unionAll(
+            supp.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("N"), F.col("s_nationkey")).alias("dst"),
+            )
+        )
+        .unionAll(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return nodes, edges
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank entity salience over the KG membership graph (5 power
+    iterations, d=0.85, dangling mass redistributed — regions are the
+    dangling hubs here, exactly the web-graph shape). The oracle twin
+    is the SAME power iteration unrolled into chained DuckDB CTEs, so
+    the green hash proves the distributed iterate-join-aggregate loop
+    equals the textbook sequential formulation."""
+    from cartography_spark.operators.graphrank import pagerank
+
+    nodes, edges = _entity_graph(spark, sf_dir)
+    out = pagerank(nodes, edges, damping=0.85, iterations=5)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation. Edge
+    set = membership graph + the customer/supplier->region shortcut
+    edges, so every customer and supplier closes exactly one
+    (member, nation, region) triangle — hub counts are the per-nation
+    / per-region rollups. Integer-exact; the oracle twin enumerates
+    triangles with the independent id-ordered 3-way self-join."""
+    from cartography_spark.operators.graphrank import triangle_count
+
+    _, edges = _entity_graph(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    shortcut = (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+        )
+        .unionAll(
+            supp.join(nation, supp["s_nationkey"] == nation["n_nationkey"]).select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("src"),
+                F.concat(F.lit("R"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return triangle_count(edges.unionAll(shortcut))
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf, deterministic
+    term-asc tie-break) — corpus relevance scoring for retrieval /
+    curation weighting."""
+    from cartography_spark.functions.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def kg_var_length_path_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 bounded var-length path [*1..2]: customer -> nation -> region
     over a unified string-id edge set, using the real expand() loop."""
@@ -1200,6 +1288,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_one_to_many_j5": kg_link_one_to_many_j5,
     "kg_matchlink_j7": kg_matchlink_j7,
     "kg_cc_canonical": kg_cc_canonical,
+    "kg_pagerank": kg_pagerank,
+    "kg_triangles": kg_triangles,
+    "text_tfidf": text_tfidf,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
     "kg_policy_eval_j6": kg_policy_eval_j6,

@@ -1177,3 +1177,105 @@ ORACLES["kg_pages_e2e"] = _pages_e2e_oracle_sql()
 # independent seed — so the driver's value-hash check covers the
 # html->text->triples chain at 8x the r4 gate's scale.
 ORACLES["kg_pages_e2e_large"] = _pages_e2e_oracle_sql(4000, 7)
+
+
+def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank twin for ``kg_pagerank``.
+
+    The same update rule as ``operators/graphrank.py::pagerank`` —
+    r'(v) = (1-d)/N + d*(sum contribs + dangling/N) — expressed as one
+    chained CTE per iteration (DuckDB's recursive CTEs can't aggregate
+    over the recursive term, so the fixed iteration count is unrolled
+    programmatically). All literals are ::DOUBLE so DuckDB's
+    decimal-literal typing can't diverge from Spark's double math; the
+    final ROUND(6) absorbs summation-order ulps."""
+    d = f"{damping!r}::DOUBLE"
+    head = f"""
+WITH nodes AS (
+  SELECT 'C' || c_custkey AS id FROM customer
+  UNION ALL SELECT 'S' || s_suppkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey FROM nation
+  UNION ALL SELECT 'R' || r_regionkey FROM region),
+edges AS (
+  SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+  UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM params) AS pr FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS id, SUM(r.pr / o.outdeg) AS contrib
+  FROM {p} r JOIN edges e ON r.id = e.src JOIN od o ON r.id = o.id
+  GROUP BY e.dst),
+d{i} AS (
+  SELECT COALESCE(SUM(r.pr), 0.0::DOUBLE) AS dm
+  FROM {p} r LEFT JOIN od o ON r.id = o.id WHERE o.id IS NULL),
+{c} AS (
+  SELECT r.id,
+         (1.0::DOUBLE - {d}) / (SELECT n FROM params)
+         + {d} * (COALESCE(c.contrib, 0.0::DOUBLE)
+                  + (SELECT dm FROM d{i}) / (SELECT n FROM params)) AS pr
+  FROM {p} r LEFT JOIN c{i} c ON r.id = c.id)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT id, ROUND(pr, 6) AS pagerank FROM r{iters}\n"
+    )
+
+
+ORACLES["kg_pagerank"] = _pagerank_oracle_sql()
+
+# Independent triangle formulation: id-ordered 3-way self-join (the
+# Spark side orients by DEGREE — a different total order producing the
+# same triangle set, so the green hash cross-checks the orientation
+# trick against the textbook enumeration).
+ORACLES["kg_triangles"] = """
+WITH raw AS (
+  SELECT 'C' || c_custkey AS x, 'N' || c_nationkey AS y FROM customer
+  UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+  UNION ALL SELECT 'C' || c_custkey, 'R' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT 'S' || s_suppkey, 'R' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+und AS (
+  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+  FROM raw WHERE x <> y),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
+"""
+
+ORACLES["text_tfidf"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term),
+idf AS (
+  SELECT term,
+         ln((1.0::DOUBLE + (SELECT COUNT(*) FROM documents))
+            / (1.0::DOUBLE + COUNT(*))) + 1.0::DOUBLE AS idf
+  FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf * i.idf AS s
+  FROM tf t JOIN idf i USING (term)),
+ranked AS (
+  SELECT doc_id, term, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC)
+           AS term_rank
+  FROM scored)
+SELECT doc_id, term, ROUND(s, 6) AS score, CAST(term_rank AS INT) AS term_rank
+FROM ranked WHERE term_rank <= 3
+"""

@@ -1,0 +1,177 @@
+"""PageRank + triangle counting: model parity against pure-Python
+power iteration / brute-force enumeration, mass conservation, and
+partition-count determinism."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.graphrank import pagerank, triangle_count
+
+
+def _py_pagerank(nodes, edges, damping=0.85, iterations=5):
+    """Sequential reference: same update rule, dict arithmetic."""
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, targets in out.items():
+            share = ranks[s] / len(targets)
+            for t in targets:
+                contrib[t] += share
+        dang = sum(r for v, r in ranks.items() if v not in out)
+        base = (1.0 - damping) / n
+        ranks = {
+            v: base + damping * (contrib[v] + dang / n) for v in nodes
+        }
+    return ranks
+
+
+def _df_nodes_edges(spark, nodes, edges):
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame(list(edges), "src string, dst string")
+    return ndf, edf
+
+
+def test_pagerank_matches_python_model(spark):
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    # e is isolated (dangling, no in-edges); d is dangling-free source.
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    got = {r["id"]: r["pagerank"] for r in pagerank(ndf, edf).collect()}
+    want = _py_pagerank(nodes, edges)
+    assert set(got) == set(want)
+    for v in nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_pagerank_mass_conserved(spark):
+    # Dangling redistribution keeps total mass at exactly 1 (up to fp).
+    nodes = [f"v{i}" for i in range(20)]
+    rng = random.Random(7)
+    edges = list(
+        {
+            (f"v{rng.randrange(20)}", f"v{rng.randrange(20)}")
+            for _ in range(40)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    total = pagerank(ndf, edf, iterations=4).agg(F.sum("pagerank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_partition_count_invariant(spark):
+    nodes = [f"v{i}" for i in range(30)]
+    rng = random.Random(13)
+    edges = list(
+        {(f"v{rng.randrange(30)}", f"v{rng.randrange(30)}") for _ in range(80)}
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    a = (
+        pagerank(ndf.repartition(1), edf.repartition(1))
+        .select("id", F.round("pagerank", 9).alias("r"))
+    )
+    b = (
+        pagerank(ndf.repartition(16), edf.repartition(16))
+        .select("id", F.round("pagerank", 9).alias("r"))
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def _py_triangles(edges):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangles_k4_and_path(spark):
+    # K4: every vertex is in C(3,2)=3 triangles; a path has none.
+    k4 = [(a, b) for a, b in itertools.combinations(["a", "b", "c", "d"], 2)]
+    path = [("p", "q"), ("q", "r"), ("r", "s")]
+    edf = spark.createDataFrame(k4 + path, "src string, dst string")
+    got = {r["id"]: r["triangles"] for r in triangle_count(edf).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_random_graph_matches_bruteforce(spark):
+    rng = random.Random(99)
+    verts = [f"v{i:02d}" for i in range(18)]
+    edges = list(
+        {tuple(rng.sample(verts, 2)) for _ in range(70)}
+    )
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["triangles"] for r in triangle_count(edf).collect()}
+    assert got == _py_triangles(edges)
+
+
+def test_triangles_direction_and_duplicate_insensitive(spark):
+    # Same undirected graph given as mixed directions + duplicates.
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = tri + [("b", "a"), ("a", "c"), ("b", "c"), ("c", "b")]
+    e1 = spark.createDataFrame(tri, "src string, dst string")
+    e2 = spark.createDataFrame(noisy, "src string, dst string")
+    r1 = {r["id"]: r["triangles"] for r in triangle_count(e1).collect()}
+    r2 = {r["id"]: r["triangles"] for r in triangle_count(e2).collect()}
+    assert r1 == r2 == {"a": 1, "b": 1, "c": 1}
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from cartography_spark.functions.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    got = {(r["doc_id"], r["term"]): (r["score"], r["term_rank"]) for r in out}
+
+    def idf(df_count):
+        return math.log((1.0 + 3) / (1.0 + df_count)) + 1.0
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2
+    assert got[(1, "apple")][0] == pytest.approx(round(2 * idf(1), 6))
+    assert got[(1, "apple")][1] == 1
+    assert got[(1, "banana")][1] == 2
+    # doc 3: cherry tf=3 df=2 beats durian tf=1 df=1
+    assert got[(3, "cherry")][1] == 1
+    assert got[(3, "durian")][1] == 2
+    # k=2 everywhere
+    assert all(rank <= 2 for _, rank in got.values())
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    from cartography_spark.functions.textstats import tfidf_top_terms
+
+    # zig/zag have identical tf and df -> identical score; term asc wins.
+    docs = spark.createDataFrame(
+        [(1, "zig zag"), (2, "zig zag")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    assert {(r["doc_id"], r["term"]) for r in out} == {(1, "zag"), (2, "zag")}
