@@ -412,7 +412,7 @@ def main() -> None:
     NEW_OPS = [
         "dedup_containment_prod", "join_asof", "join_interval",
         "agg_sessionize", "text_redact_pii", "agg_percentiles",
-        "events_json_props",
+        "events_json_props", "kg_pagerank", "kg_triangles", "text_tfidf",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

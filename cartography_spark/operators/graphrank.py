@@ -141,12 +141,53 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     docstring).
     """
     und = _canonical_undirected(edges).localCheckpoint()
-    deg = (
+    return _triangles_from_und(und)
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node over the undirected graph
+    of ``edges(src, dst)``: ``2*T(v) / (deg(v)*(deg(v)-1))``, 0.0 for
+    degree-1 nodes. Returns ``(id, deg, triangles, coeff)`` for every
+    node incident to at least one edge.
+
+    The canonical density signal on web graphs (spam farms and
+    boilerplate link blocks show extreme coefficients; genuine topical
+    hubs sit low). Pure composition: one undirected canonicalization
+    shared by the degree aggregate and the oriented triangle join —
+    both exact-integer, so the only float op is the final division
+    (deterministic double given exact ints on both engines).
+    """
+    und = _canonical_undirected(edges).localCheckpoint()
+    tri = _triangles_from_und(und)
+    deg = _degrees(und)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                F.lit(2.0)
+                * F.coalesce(F.col("triangles"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - F.lit(1)))
+            )
+            .alias("coeff"),
+        )
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
         und.select(F.col("lo").alias("id"))
         .unionAll(und.select(F.col("hi").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def _triangles_from_und(und: DataFrame) -> DataFrame:
+    deg = _degrees(und)
     dl = deg.select(F.col("id").alias("lo"), F.col("deg").alias("deg_lo"))
     dh = deg.select(F.col("id").alias("hi"), F.col("deg").alias("deg_hi"))
     oriented = (

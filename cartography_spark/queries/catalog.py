@@ -329,6 +329,26 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles with the independent id-ordered 3-way self-join."""
     from cartography_spark.operators.graphrank import triangle_count
 
+    return triangle_count(_triangle_edges(spark, sf_dir))
+
+
+def kg_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the triangle-closing entity
+    graph (membership edges + member->region shortcuts): per-node
+    degree, triangle count, and 2T/(deg*(deg-1)) — the density signal
+    used to flag link farms vs topical hubs on web graphs. Exact
+    integers everywhere except the single final division."""
+    from cartography_spark.operators.graphrank import clustering_coefficient
+
+    return clustering_coefficient(_triangle_edges(spark, sf_dir)).select(
+        "id", "deg", "triangles", F.round("coeff", 6).alias("coeff")
+    )
+
+
+def _triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership graph + customer/supplier->region shortcut edges —
+    the edge set where every member closes exactly one
+    (member, nation, region) triangle."""
     _, edges = _entity_graph(spark, sf_dir)
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
@@ -346,7 +366,7 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return triangle_count(edges.unionAll(shortcut))
+    return edges.unionAll(shortcut)
 
 
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,6 +1310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cc_canonical": kg_cc_canonical,
     "kg_pagerank": kg_pagerank,
     "kg_triangles": kg_triangles,
+    "kg_clustering_coeff": kg_clustering_coeff,
     "text_tfidf": text_tfidf,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,

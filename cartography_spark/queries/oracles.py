@@ -1257,6 +1257,45 @@ corners AS (
 SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
 """
 
+# Clustering coefficient: degree + triangle corners over the SAME
+# edge set as kg_triangles (independent id-ordered enumeration), with
+# the single float op (2T / deg(deg-1)) done identically in both
+# engines on exact integers — ROUND(6) absorbs nothing here, it just
+# matches the Spark column's declared rounding.
+ORACLES["kg_clustering_coeff"] = """
+WITH raw AS (
+  SELECT 'C' || c_custkey AS x, 'N' || c_nationkey AS y FROM customer
+  UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+  UNION ALL SELECT 'C' || c_custkey, 'R' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT 'S' || s_suppkey, 'R' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+und AS (
+  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+  FROM raw WHERE x <> y),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY id),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+tcount AS (
+  SELECT id, COUNT(*) AS triangles FROM (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY id)
+SELECT d.id, d.deg, COALESCE(t.triangles, 0) AS triangles,
+       ROUND(CASE WHEN d.deg < 2 THEN 0.0::DOUBLE
+                  ELSE 2.0::DOUBLE * COALESCE(t.triangles, 0)
+                       / (d.deg * (d.deg - 1)) END, 6) AS coeff
+FROM deg d LEFT JOIN tcount t USING (id)
+"""
+
 ORACLES["text_tfidf"] = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -136,6 +136,52 @@ def test_triangles_direction_and_duplicate_insensitive(spark):
     assert r1 == r2 == {"a": 1, "b": 1, "c": 1}
 
 
+def test_clustering_coefficient_hand_computed(spark):
+    from cartography_spark.operators.graphrank import clustering_coefficient
+
+    # Triangle a-b-c plus pendant d hanging off a:
+    #   a: deg 3, 1 tri -> 2*1/(3*2) = 1/3
+    #   b, c: deg 2, 1 tri -> 1.0
+    #   d: deg 1 -> 0.0
+    edf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["id"]: (r["deg"], r["triangles"], r["coeff"])
+        for r in clustering_coefficient(edf).collect()
+    }
+    assert got["a"] == (3, 1, pytest.approx(1 / 3))
+    assert got["b"] == (2, 1, pytest.approx(1.0))
+    assert got["c"] == (2, 1, pytest.approx(1.0))
+    assert got["d"] == (1, 0, 0.0)
+
+
+def test_clustering_coefficient_matches_model(spark):
+    from cartography_spark.operators.graphrank import clustering_coefficient
+
+    rng = random.Random(5)
+    verts = [f"v{i:02d}" for i in range(15)]
+    edges = list({tuple(rng.sample(verts, 2)) for _ in range(50)})
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    tri = _py_triangles(edges)
+    deg = {}
+    for s, d in edges:
+        lo, hi = min(s, d), max(s, d)
+        for v in (lo, hi):
+            deg[v] = deg.get(v, set())
+        deg[lo].add(hi)
+        deg[hi].add(lo)
+    got = {r["id"]: r for r in clustering_coefficient(edf).collect()}
+    assert set(got) == set(deg)
+    for v, nbrs in deg.items():
+        k, t = len(nbrs), tri.get(v, 0)
+        assert got[v]["deg"] == k
+        assert got[v]["triangles"] == t
+        want = 0.0 if k < 2 else 2.0 * t / (k * (k - 1))
+        assert got[v]["coeff"] == pytest.approx(want)
+
+
 def test_tfidf_hand_computed(spark):
     import math
 
