@@ -378,6 +378,18 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing of the documents corpus into
+    512-token context windows (GPT-style pretraining layout): per-doc
+    stream position, window id, in-window offset, windows spanned. The
+    Spark side is the two-pass distributed scan (never a
+    single-partition global window); the oracle is DuckDB's one global
+    cumsum — a green hash proves the scan decomposition exact."""
+    from cartography_spark.operators.packing import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), capacity=512)
+
+
 def kg_var_length_path_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 bounded var-length path [*1..2]: customer -> nation -> region
     over a unified string-id edge set, using the real expand() loop."""
@@ -1312,6 +1324,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": kg_triangles,
     "kg_clustering_coeff": kg_clustering_coeff,
     "text_tfidf": text_tfidf,
+    "pack_sequences": pack_sequences,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
     "kg_policy_eval_j6": kg_policy_eval_j6,

@@ -1257,6 +1257,30 @@ corners AS (
 SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
 """
 
+# Sequence packing: DuckDB computes the global cumsum in ONE window
+# (fine at oracle scale); the Spark side decomposes it into the
+# two-pass distributed scan — the green hash is the proof that the
+# decomposition (per-partition cumsum + broadcast partition offsets)
+# equals the sequential scan. Integer-exact throughout.
+ORACLES["pack_sequences"] = """
+WITH sized AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+scanned AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM sized)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 512 AS bin,
+       start_offset % 512 AS bin_offset,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE ((start_offset + n_tokens - 1) // 512)
+                 - (start_offset // 512) + 1 END AS n_bins_spanned
+FROM scanned
+"""
+
 # Clustering coefficient: degree + triangle corners over the SAME
 # edge set as kg_triangles (independent id-ordered enumeration), with
 # the single float op (2T / deg(deg-1)) done identically in both

@@ -1,0 +1,101 @@
+"""Sequence packing / distributed prefix sum: Python-model parity,
+partition-count invariance, stream contiguity, boundary cases."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.packing import global_prefix_sum, pack_documents
+
+
+def _docs(spark, sizes):
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_hand_computed(spark):
+    # sizes 4, 3, 5 with capacity 6:
+    #   doc0 start 0  -> bin 0, off 0, spans 1
+    #   doc1 start 4  -> bin 0, off 4, spans [4..6] -> 2 bins
+    #   doc2 start 7  -> bin 1, off 1, spans 1
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(_docs(spark, [4, 3, 5]), capacity=6).collect()
+    }
+    assert (out[0]["start_offset"], out[0]["bin"], out[0]["bin_offset"]) == (0, 0, 0)
+    assert out[0]["n_bins_spanned"] == 1
+    assert (out[1]["start_offset"], out[1]["bin"], out[1]["bin_offset"]) == (4, 0, 4)
+    assert out[1]["n_bins_spanned"] == 2
+    assert (out[2]["start_offset"], out[2]["bin"], out[2]["bin_offset"]) == (7, 1, 1)
+    assert out[2]["n_bins_spanned"] == 1
+
+
+def test_pack_matches_python_scan(spark):
+    rng = random.Random(11)
+    sizes = [rng.randrange(1, 40) for _ in range(300)]
+    cap = 17
+    got = {
+        r["doc_id"]: r
+        for r in pack_documents(_docs(spark, sizes), capacity=cap, partitions=8).collect()
+    }
+    start = 0
+    for i, n in enumerate(sizes):
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["start_offset"] == start
+        assert r["bin"] == start // cap
+        assert r["bin_offset"] == start % cap
+        assert r["n_bins_spanned"] == (start + n - 1) // cap - start // cap + 1
+        start += n
+    # Contiguity: the stream has no holes, so offsets are a permutation
+    # of the exclusive prefix sums — implied by the loop above.
+
+
+def test_pack_partition_count_invariant(spark):
+    rng = random.Random(23)
+    sizes = [rng.randrange(1, 30) for _ in range(500)]
+    docs = _docs(spark, sizes)
+    a = pack_documents(docs.repartition(1), capacity=64, partitions=1)
+    b = pack_documents(docs.repartition(16), capacity=64, partitions=16)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_pack_more_partitions_than_rows(spark):
+    out = pack_documents(_docs(spark, [2, 3]), capacity=4, partitions=32).collect()
+    got = {r["doc_id"]: r["start_offset"] for r in out}
+    assert got == {0: 0, 1: 2}
+
+
+def test_pack_explicit_size_col_and_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 3)], "doc_id long, n long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(df, capacity=4, size_col="n").collect()
+    }
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["start_offset"] == 5
+    assert out[2]["n_bins_spanned"] == 0
+    assert out[3]["start_offset"] == 5  # zero-size doc consumes no stream
+
+
+def test_pack_rejects_bad_capacity(spark):
+    with pytest.raises(ValueError):
+        pack_documents(_docs(spark, [1]), capacity=0)
+
+
+def test_global_prefix_sum_passthrough_and_order(spark):
+    df = spark.createDataFrame(
+        [("c", 10, "x"), ("a", 1, "y"), ("b", 5, "z")],
+        "k string, v long, extra string",
+    )
+    out = {r["k"]: r for r in global_prefix_sum(df, "k", "v", partitions=2).collect()}
+    assert out["a"]["prefix_sum"] == 0
+    assert out["b"]["prefix_sum"] == 1
+    assert out["c"]["prefix_sum"] == 6
+    assert out["c"]["extra"] == "x"  # other columns pass through
