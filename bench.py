@@ -413,6 +413,7 @@ def main() -> None:
         "dedup_containment_prod", "join_asof", "join_interval",
         "agg_sessionize", "text_redact_pii", "agg_percentiles",
         "events_json_props", "kg_pagerank", "kg_triangles", "text_tfidf",
+        "kg_clustering_coeff", "kg_pagerank_weighted", "pack_sequences",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

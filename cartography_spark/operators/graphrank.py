@@ -47,6 +47,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     checkpoint_every: int = 1,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over directed ``edges(src, dst)``.
 
@@ -55,9 +56,12 @@ def pagerank(
     appear). Returns ``(id, pagerank)`` with unrounded double ranks;
     the update rule per iteration is
 
-        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u) + D/N )
+        r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·w(u,v)/W(u) + D/N )
 
-    where ``D`` is the total rank mass sitting on dangling nodes (no
+    where ``w`` is 1 for every edge unless ``weight_col`` names a
+    positive edge-weight column (``W(u)`` = its out-sum; a node whose
+    out-weights sum to 0 is the caller's error — division by zero), and
+    ``D`` is the total rank mass sitting on dangling nodes (no
     out-edges) — redistributed uniformly, so total mass stays 1 and the
     result matches the standard power-iteration formulation (Page et
     al. 1999) exactly. Fixed ``iterations`` (not a tolerance loop)
@@ -67,13 +71,21 @@ def pagerank(
     """
     n_nodes = nodes.count()  # 1-row driver aggregate, by design
     base = (1.0 - damping) / n_nodes
+    w = (
+        F.lit(1.0)
+        if weight_col is None
+        else F.col(weight_col).cast("double")
+    )
 
-    # Stage the out-degree-weighted edges once; every iteration joins
-    # against this frame, so truncate its lineage up front.
-    outdeg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+    # Stage the out-weight-annotated edges once; every iteration joins
+    # against this frame, so truncate its lineage up front. With w=1.0
+    # the math is bit-identical to the classic r(u)/outdeg(u) form
+    # (IEEE multiply by 1.0 is exact), so the unweighted oracle twins
+    # are unaffected by the unified code path.
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum(w).alias("out_w"))
     edges_w = (
         edges.join(outdeg, edges["src"] == outdeg["id"])
-        .select(F.col("src"), F.col("dst"), F.col("outdeg"))
+        .select(F.col("src"), F.col("dst"), w.alias("w"), F.col("out_w"))
         .localCheckpoint()
     )
     # Dangling detection joins ranks against the distinct src set.
@@ -85,7 +97,7 @@ def pagerank(
         contrib = (
             ranks.join(edges_w, ranks["id"] == edges_w["src"])
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("pagerank") / F.col("outdeg")).alias("contrib"))
+            .agg(F.sum(F.col("pagerank") * F.col("w") / F.col("out_w")).alias("contrib"))
         )
         # Dangling mass: one-row aggregate cross-joined into the plan
         # (broadcast by size), never collected.

@@ -320,6 +320,34 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the EXTRACTED mention graph: documents ->
+    vocab mentions -> bipartite source<->term edges weighted by mention
+    counts -> 5 power iterations. The full extract-build-rank chain in
+    one driver-visible gate (the mention derivation is the flagship's;
+    the rank oracle is the unrolled CTE builder with the weighted
+    contribution rule r(u)*w/W(u))."""
+    from cartography_spark.functions.triples import extract_mentions
+    from cartography_spark.operators.graphrank import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    fwd = (
+        mentions.join(
+            docs.select("doc_id", "source"), mentions["subj_id"] == F.col("doc_id")
+        )
+        .groupBy(F.col("source").alias("src"), F.col("obj").alias("dst"))
+        .agg(F.sum("n_mentions").cast("double").alias("weight"))
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    out = pagerank(nodes, edges, damping=0.85, iterations=5, weight_col="weight")
+    return out.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts via degree-ordered orientation. Edge
     set = membership graph + the customer/supplier->region shortcut
@@ -1321,6 +1349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_matchlink_j7": kg_matchlink_j7,
     "kg_cc_canonical": kg_cc_canonical,
     "kg_pagerank": kg_pagerank,
+    "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_triangles": kg_triangles,
     "kg_clustering_coeff": kg_clustering_coeff,
     "text_tfidf": text_tfidf,

@@ -1179,19 +1179,32 @@ ORACLES["kg_pages_e2e"] = _pages_e2e_oracle_sql()
 ORACLES["kg_pages_e2e_large"] = _pages_e2e_oracle_sql(4000, 7)
 
 
-def _pagerank_oracle_sql(iters: int = 5, damping: float = 0.85) -> str:
-    """Unrolled power-iteration PageRank twin for ``kg_pagerank``.
+def _pagerank_oracle_sql(
+    graph_ctes: str | None = None,
+    iters: int = 5,
+    damping: float = 0.85,
+    weighted: bool = False,
+) -> str:
+    """Unrolled power-iteration PageRank twin.
 
-    The same update rule as ``operators/graphrank.py::pagerank`` —
-    r'(v) = (1-d)/N + d*(sum contribs + dangling/N) — expressed as one
-    chained CTE per iteration (DuckDB's recursive CTEs can't aggregate
-    over the recursive term, so the fixed iteration count is unrolled
-    programmatically). All literals are ::DOUBLE so DuckDB's
-    decimal-literal typing can't diverge from Spark's double math; the
-    final ROUND(6) absorbs summation-order ulps."""
+    ``graph_ctes`` supplies the ``nodes(id)`` and ``edges(src, dst[,
+    weight])`` CTE bodies (defaults to the entity membership graph of
+    ``kg_pagerank``); the builder appends the same update rule as
+    ``operators/graphrank.py::pagerank`` — r'(v) = (1-d)/N +
+    d*(sum contribs + dangling/N), contribution r(u)·w/W(u) when
+    ``weighted`` — as one chained CTE per iteration (DuckDB's recursive
+    CTEs can't aggregate over the recursive term, so the fixed
+    iteration count is unrolled programmatically). Every chained CTE is
+    AS MATERIALIZED — DuckDB inlines plain CTEs at each reference, and
+    r{i} references r{i-1} three times (contrib join, dangling scan,
+    carry), so without materialization the plan blows up ~3^iters
+    (measured: 163 s -> 5.8 s on the mention graph). All literals are
+    ::DOUBLE so DuckDB's decimal-literal typing can't diverge from
+    Spark's double math; the final ROUND(6) absorbs summation-order
+    ulps."""
     d = f"{damping!r}::DOUBLE"
-    head = f"""
-WITH nodes AS (
+    if graph_ctes is None:
+        graph_ctes = """nodes AS (
   SELECT 'C' || c_custkey AS id FROM customer
   UNION ALL SELECT 'S' || s_suppkey FROM supplier
   UNION ALL SELECT 'N' || n_nationkey FROM nation
@@ -1199,22 +1212,30 @@ WITH nodes AS (
 edges AS (
   SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
   UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
-  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation)"""
+    if weighted:
+        od = "od AS MATERIALIZED (SELECT src AS id, SUM(weight::DOUBLE) AS out_w FROM edges GROUP BY src)"
+        contrib = "SUM(r.pr * e.weight::DOUBLE / o.out_w)"
+    else:
+        od = "od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)"
+        contrib = "SUM(r.pr / o.outdeg)"
+    head = f"""
+WITH {graph_ctes},
 params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-od AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT id, 1.0::DOUBLE / (SELECT n FROM params) AS pr FROM nodes)"""
+{od},
+r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM params) AS pr FROM nodes)"""
     steps = []
     for i in range(1, iters + 1):
         p, c = f"r{i - 1}", f"r{i}"
         steps.append(f""",
-c{i} AS (
-  SELECT e.dst AS id, SUM(r.pr / o.outdeg) AS contrib
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS id, {contrib} AS contrib
   FROM {p} r JOIN edges e ON r.id = e.src JOIN od o ON r.id = o.id
   GROUP BY e.dst),
-d{i} AS (
+d{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(r.pr), 0.0::DOUBLE) AS dm
   FROM {p} r LEFT JOIN od o ON r.id = o.id WHERE o.id IS NULL),
-{c} AS (
+{c} AS MATERIALIZED (
   SELECT r.id,
          (1.0::DOUBLE - {d}) / (SELECT n FROM params)
          + {d} * (COALESCE(c.contrib, 0.0::DOUBLE)
@@ -1228,6 +1249,31 @@ d{i} AS (
 
 
 ORACLES["kg_pagerank"] = _pagerank_oracle_sql()
+
+# Weighted PageRank over the EXTRACTED mention graph — the e2e
+# composition gate: tokenize -> vocab mentions -> bipartite
+# source<->term edges weighted by mention counts -> 5 power
+# iterations. The mention derivation is the flagship twin's; the rank
+# unroll is the shared builder with the weighted contribution rule.
+_MENTION_GRAPH_CTES = """toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents),
+doc_mentions AS MATERIALIZED (
+  SELECT doc_id, obj, COUNT(*) AS n
+  FROM toks
+  WHERE obj IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash', 'sort', 'agg')
+  GROUP BY doc_id, obj),
+fwd AS MATERIALIZED (
+  SELECT d.source AS src, m.obj AS dst, SUM(m.n)::DOUBLE AS weight
+  FROM doc_mentions m JOIN documents d USING (doc_id)
+  GROUP BY d.source, m.obj),
+edges AS MATERIALIZED (
+  SELECT src, dst, weight FROM fwd
+  UNION ALL SELECT dst, src, weight FROM fwd),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)"""
+
+ORACLES["kg_pagerank_weighted"] = _pagerank_oracle_sql(
+    _MENTION_GRAPH_CTES, weighted=True
+)
 
 # Independent triangle formulation: id-ordered 3-way self-join (the
 # Spark side orients by DEGREE — a different total order producing the

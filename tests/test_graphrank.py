@@ -52,6 +52,53 @@ def test_pagerank_matches_python_model(spark):
         assert got[v] == pytest.approx(want[v], abs=1e-12)
 
 
+def _py_pagerank_weighted(nodes, wedges, damping=0.85, iterations=5):
+    n = len(nodes)
+    out = {}
+    for s, d, w in wedges:
+        out.setdefault(s, []).append((d, w))
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, targets in out.items():
+            total_w = sum(w for _, w in targets)
+            for t, w in targets:
+                contrib[t] += ranks[s] * w / total_w
+        dang = sum(r for v, r in ranks.items() if v not in out)
+        base = (1.0 - damping) / n
+        ranks = {v: base + damping * (contrib[v] + dang / n) for v in nodes}
+    return ranks
+
+
+def test_pagerank_weighted_matches_python_model(spark):
+    nodes = ["a", "b", "c", "d"]
+    wedges = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0), ("c", "a", 5.0)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame(wedges, "src string, dst string, weight double")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(ndf, edf, weight_col="weight").collect()
+    }
+    want = _py_pagerank_weighted(nodes, wedges)
+    for v in nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # b gets 3x a's mass share vs c's 1x — must outrank c's direct feed.
+    assert got["b"] > 1.0 / len(nodes) * 0.85 * 0.5
+
+
+def test_pagerank_unit_weights_equal_unweighted(spark):
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    wdf = edf.withColumn("weight", F.lit(1.0))
+    plain = {r["id"]: r["pagerank"] for r in pagerank(ndf, edf).collect()}
+    weighted = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(ndf, wdf, weight_col="weight").collect()
+    }
+    assert plain == weighted  # bit-identical, not approx
+
+
 def test_pagerank_mass_conserved(spark):
     # Dangling redistribution keeps total mass at exactly 1 (up to fp).
     nodes = [f"v{i}" for i in range(20)]
