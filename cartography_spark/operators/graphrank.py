@@ -189,6 +189,42 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     )
 
 
+def k_core(edges: DataFrame, k: int, max_rounds: int | None = None) -> DataFrame:
+    """The k-core of the undirected graph of ``edges(src, dst)``:
+    repeatedly peel every node of degree < k until none remain (the
+    standard distributed formulation — each round is one degree
+    aggregate plus two anti-joins, with per-round localCheckpoint
+    lineage truncation exactly like ``components.py``). Returns
+    ``(id, deg)`` for surviving nodes, ``deg`` their degree INSIDE the
+    core subgraph.
+
+    Dense-subgraph extraction is the graph-side curation gate (spam
+    rings and boilerplate co-occurrence blocks live in high cores;
+    low-core fringe is the long tail). Round count is bounded by the
+    degeneracy ordering depth — small on web-ish graphs, O(n) only on
+    pathological paths; ``max_rounds`` caps it deterministically, which
+    is also what makes the unrolled-SQL oracle twin expressible (both
+    sides run exactly R rounds, so the gate compares bit-for-bit even
+    before convergence).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = _canonical_undirected(edges).localCheckpoint()
+    rounds = 0
+    while max_rounds is None or rounds < max_rounds:
+        deg = _degrees(und)
+        low = deg.where(F.col("deg") < k).select("id").localCheckpoint()
+        if low.isEmpty():
+            break
+        und = (
+            und.join(low, und["lo"] == low["id"], "left_anti")
+            .join(low, und["hi"] == low["id"], "left_anti")
+            .localCheckpoint()
+        )
+        rounds += 1
+    return _degrees(und)
+
+
 def _degrees(und: DataFrame) -> DataFrame:
     return (
         und.select(F.col("lo").alias("id"))

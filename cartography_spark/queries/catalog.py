@@ -397,6 +397,25 @@ def _triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.unionAll(shortcut)
 
 
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the doc<->term mention bipartite graph (iterative
+    peel, 6 rounds fixed on BOTH sides so the unrolled oracle compares
+    bit-for-bit even pre-convergence): the dense co-occurrence core —
+    docs mentioning >=3 surviving terms and terms mentioned by >=3
+    surviving docs. The graph-side curation gate."""
+    from cartography_spark.functions.triples import extract_mentions
+    from cartography_spark.operators.graphrank import k_core
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    edges = mentions.select(
+        F.concat(F.lit("D"), F.col("subj_id")).alias("src"),
+        F.col("obj").alias("dst"),
+    )
+    return k_core(edges, k=3, max_rounds=6)
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smooth idf, deterministic
     term-asc tie-break) — corpus relevance scoring for retrieval /
@@ -1352,6 +1371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank_weighted": kg_pagerank_weighted,
     "kg_triangles": kg_triangles,
     "kg_clustering_coeff": kg_clustering_coeff,
+    "kg_kcore": kg_kcore,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "kg_var_length_path_j8": kg_var_length_path_j8,

@@ -1275,6 +1275,48 @@ ORACLES["kg_pagerank_weighted"] = _pagerank_oracle_sql(
     _MENTION_GRAPH_CTES, weighted=True
 )
 
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled peeling twin for ``kg_kcore``: each round keeps only
+    edges whose BOTH endpoints had degree >= k in the previous round's
+    edge set — identical to the operator's anti-join peel (dropping a
+    node drops its edges; a converged round is the identity, so a fixed
+    round count compares exactly whether or not the peel has converged).
+    Every CTE is MATERIALIZED (see _pagerank_oracle_sql on DuckDB's
+    per-reference CTE inlining)."""
+    head = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT least('D' || doc_id, term) AS lo,
+                  greatest('D' || doc_id, term) AS hi
+  FROM toks
+  WHERE term IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash', 'sort', 'agg'))"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = f"u{i - 1}"
+        steps.append(f""",
+g{i} AS MATERIALIZED (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT lo AS id FROM {p} UNION ALL SELECT hi FROM {p})
+  GROUP BY id),
+u{i} AS MATERIALIZED (
+  SELECT e.lo, e.hi
+  FROM {p} e JOIN g{i} a ON a.id = e.lo JOIN g{i} b ON b.id = e.hi
+  WHERE a.deg >= {k} AND b.deg >= {k})""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT id, COUNT(*) AS deg FROM (
+  SELECT lo AS id FROM u{rounds} UNION ALL SELECT hi FROM u{rounds})
+GROUP BY id
+"""
+    )
+
+
+ORACLES["kg_kcore"] = _kcore_oracle_sql()
+
 # Independent triangle formulation: id-ordered 3-way self-join (the
 # Spark side orients by DEGREE — a different total order producing the
 # same triangle set, so the green hash cross-checks the orientation

@@ -229,6 +229,64 @@ def test_clustering_coefficient_matches_model(spark):
         assert got[v]["coeff"] == pytest.approx(want)
 
 
+def _py_kcore(edges, k):
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        low = {v for v, c in deg.items() if c < k}
+        if not low:
+            return deg
+        und = {(a, b) for a, b in und if a not in low and b not in low}
+
+
+def test_kcore_hand_computed(spark):
+    from cartography_spark.operators.graphrank import k_core
+
+    # K4 plus a pendant chain: 3-core = exactly the K4 (cascading peel:
+    # z goes first, then y exposes x... chain peels one per round).
+    k4 = [(a, b) for a, b in itertools.combinations(["a", "b", "c", "d"], 2)]
+    chain = [("a", "x"), ("x", "y"), ("y", "z")]
+    edf = spark.createDataFrame(k4 + chain, "src string, dst string")
+    got = {r["id"]: r["deg"] for r in k_core(edf, k=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_matches_python_model(spark):
+    from cartography_spark.operators.graphrank import k_core
+
+    rng = random.Random(31)
+    verts = [f"v{i:02d}" for i in range(20)]
+    edges = list({tuple(rng.sample(verts, 2)) for _ in range(60)})
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    for k in (2, 3, 4):
+        got = {r["id"]: r["deg"] for r in k_core(edf, k=k).collect()}
+        assert got == _py_kcore(edges, k), f"k={k}"
+
+
+def test_kcore_max_rounds_caps_peeling(spark):
+    from cartography_spark.operators.graphrank import k_core
+
+    # Path a-b-c-d-e at k=2 peels endpoints one round at a time until
+    # empty; max_rounds=1 stops after the first peel (b..d remain).
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edf = spark.createDataFrame(path, "src string, dst string")
+    full = k_core(edf, k=2).collect()
+    assert full == []  # converged: a path has no 2-core
+    one = {r["id"]: r["deg"] for r in k_core(edf, k=2, max_rounds=1).collect()}
+    assert one == {"b": 1, "c": 2, "d": 1}
+
+
+def test_kcore_rejects_bad_k(spark):
+    from cartography_spark.operators.graphrank import k_core
+
+    edf = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        k_core(edf, k=0)
+
+
 def test_tfidf_hand_computed(spark):
     import math
 
