@@ -414,7 +414,7 @@ def main() -> None:
         "agg_sessionize", "text_redact_pii", "agg_percentiles",
         "events_json_props", "kg_pagerank", "kg_triangles", "text_tfidf",
         "kg_clustering_coeff", "kg_pagerank_weighted", "pack_sequences",
-        "kg_kcore",
+        "kg_kcore", "shard_shuffle", "text_postings",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

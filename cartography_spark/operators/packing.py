@@ -82,6 +82,44 @@ def global_prefix_sum(
     )
 
 
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic pseudo-random shard + within-shard order for
+    reproducible training shards: ``shard`` = first 8 md5 hex digits of
+    ``salt || id`` mod ``n_shards``; ``position`` = 0-based rank of the
+    full md5 digest (id tie-break) inside the shard. Adds both columns;
+    everything else passes through.
+
+    This is the training-data "global shuffle" — the order a trainer
+    reads is a pure function of (salt, id), identical across runs,
+    retries, and cluster sizes; epoch reshuffles are a salt change, not
+    a data move. md5 (not xxhash64) so the driver oracle re-derives
+    membership hex-identically in DuckDB — the same tradeoff as
+    ``curation.sample_bucket``, whose bucket idiom this reuses. Scale
+    shape: ONE hash exchange on shard + an in-partition sort (the
+    sort's input per task is one shard ≈ corpus/n_shards — n_shards is
+    sized so a shard fits a task, which a real shard build needs
+    anyway to write it as one file).
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    digest = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("__digest", id_col)
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("shard", shard)
+        .withColumn("position", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("__digest")
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     capacity: int,

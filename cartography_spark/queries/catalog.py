@@ -437,6 +437,26 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(_t(spark, sf_dir, "documents"), capacity=512)
 
 
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: every document gets a
+    pseudo-random shard (md5 bucket) and a reproducible within-shard
+    position — the global shuffle a trainer reads, identical across
+    runs/retries/cluster sizes; epoch reshuffles are a salt change."""
+    from cartography_spark.operators.packing import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shard_assignment(docs, n_shards=8, salt="epoch0")
+
+
+def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents corpus: per-term document
+    frequency (full) + the 16 smallest doc_ids containing the term
+    (capped ordered posting list) — the retrieval-side sink layout."""
+    from cartography_spark.operators.index import build_postings
+
+    return build_postings(_t(spark, sf_dir, "documents"), max_postings=16)
+
+
 def kg_var_length_path_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 bounded var-length path [*1..2]: customer -> nation -> region
     over a unified string-id edge set, using the real expand() loop."""
@@ -1374,6 +1394,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_kcore": kg_kcore,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
+    "shard_shuffle": shard_shuffle,
+    "text_postings": text_postings,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
     "kg_policy_eval_j6": kg_policy_eval_j6,

@@ -1317,6 +1317,46 @@ GROUP BY id
 
 ORACLES["kg_kcore"] = _kcore_oracle_sql()
 
+# Deterministic shard shuffle: md5-bucket shard + full-digest order
+# re-derived hex-identically (same idiom as sample_stratified); the
+# ROW_NUMBER tie-break chain (digest, doc_id) is pinned on both sides.
+ORACLES["shard_shuffle"] = """
+WITH h AS (
+  SELECT doc_id, lang,
+         md5('epoch0' || CAST(doc_id AS VARCHAR)) AS digest
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, digest,
+         CAST(('0x' || substr(digest, 1, 8))::BIGINT % 8 AS INT) AS shard
+  FROM h)
+SELECT doc_id, lang, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY digest, doc_id)
+            - 1 AS BIGINT) AS position
+FROM s
+"""
+
+# Inverted index: distinct (term, doc) pairs -> full df + the 16
+# smallest doc_ids as an ordered list. list() with ORDER BY inside the
+# aggregate is DuckDB's sorted collect; the cap filter runs on the
+# same ROW_NUMBER the Spark window computes.
+ORACLES["text_postings"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+pairs AS (
+  SELECT DISTINCT term, doc_id FROM toks WHERE term <> ''),
+ranked AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM pairs),
+capped AS (
+  SELECT term, list(doc_id ORDER BY doc_id) AS postings
+  FROM ranked WHERE rn <= 16 GROUP BY term),
+alldf AS (
+  SELECT term, COUNT(*) AS df FROM pairs GROUP BY term)
+SELECT f.term, f.df, c.postings
+FROM alldf f JOIN capped c USING (term)
+"""
+
 # Independent triangle formulation: id-ordered 3-way self-join (the
 # Spark side orients by DEGREE — a different total order producing the
 # same triangle set, so the green hash cross-checks the orientation

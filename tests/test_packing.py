@@ -89,6 +89,70 @@ def test_pack_rejects_bad_capacity(spark):
         pack_documents(_docs(spark, [1]), capacity=0)
 
 
+def test_shard_assignment_deterministic_and_complete(spark):
+    import hashlib
+
+    from cartography_spark.operators.packing import shard_assignment
+
+    docs = _docs(spark, [3] * 200).select("doc_id")
+    out = shard_assignment(docs, n_shards=4, salt="s1").collect()
+    assert len(out) == 200  # nothing dropped or duplicated
+    got = {r["doc_id"]: (r["shard"], r["position"]) for r in out}
+
+    # Re-derive with hashlib: shard = first-8-hex int % 4, position =
+    # rank of (digest, id) within the shard.
+    digests = {
+        i: hashlib.md5(f"s1{i}".encode()).hexdigest() for i in range(200)
+    }
+    by_shard: dict[int, list] = {}
+    for i, d in digests.items():
+        by_shard.setdefault(int(d[:8], 16) % 4, []).append((d, i))
+    for shard, members in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(members)):
+            assert got[i] == (shard, pos), f"doc {i}"
+
+
+def test_shard_assignment_salt_reshuffles(spark):
+    from cartography_spark.operators.packing import shard_assignment
+
+    docs = _docs(spark, [1] * 100).select("doc_id")
+    a = {r["doc_id"]: (r["shard"], r["position"])
+         for r in shard_assignment(docs, 8, salt="e0").collect()}
+    b = {r["doc_id"]: (r["shard"], r["position"])
+         for r in shard_assignment(docs, 8, salt="e1").collect()}
+    assert a != b  # epochs differ...
+    a2 = {r["doc_id"]: (r["shard"], r["position"])
+          for r in shard_assignment(docs.repartition(16), 8, salt="e0").collect()}
+    assert a == a2  # ...but each epoch is partition-count invariant
+
+
+def test_build_postings_model(spark):
+    from cartography_spark.operators.index import build_postings
+
+    docs = spark.createDataFrame(
+        [
+            (3, "b a"),
+            (1, "a a c"),
+            (2, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: (r["df"], r["postings"])
+           for r in build_postings(docs, max_postings=2).collect()}
+    assert out["a"] == (3, [1, 2])   # df is FULL, postings capped at 2
+    assert out["b"] == (2, [2, 3])
+    assert out["c"] == (1, [1])
+
+
+def test_build_postings_rejects_bad_cap(spark):
+    import pytest as _pt
+
+    from cartography_spark.operators.index import build_postings
+
+    with _pt.raises(ValueError):
+        build_postings(_docs(spark, [1]), max_postings=0)
+
+
 def test_global_prefix_sum_passthrough_and_order(spark):
     df = spark.createDataFrame(
         [("c", 10, "x"), ("a", 1, "y"), ("b", 5, "z")],
