@@ -69,13 +69,70 @@ def pagerank(
     expressible; callers that want convergence detection can observe
     successive deltas the way ``components.py`` does.
     """
+    return _pagerank_impl(
+        nodes, edges, damping, iterations, checkpoint_every, weight_col, reset=None
+    )
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    checkpoint_every: int = 1,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: the teleport distribution concentrates on
+    ``seeds(id)`` (uniform over the seed set) instead of all nodes, so
+    ranks measure salience RELATIVE to the seeds — topic-conditioned
+    entity ranking over the KG (e.g. "which entities matter near these
+    domains"), the standard seeded-random-walk relevance measure.
+
+    Same update rule with the reset vector p: r'(v) = (1-d)·p(v) +
+    d·(Σ contribs + D·p(v)); dangling mass also re-enters through p, so
+    total mass stays 1 (test-pinned). Seeds must be a non-empty subset
+    of ``nodes`` (unknown seed ids would leak mass — validated with a
+    1-row aggregate). Initial rank = p, the standard PPR start.
+    """
+    return _pagerank_impl(
+        nodes, edges, damping, iterations, checkpoint_every, weight_col, reset=seeds
+    )
+
+
+def _pagerank_impl(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float,
+    iterations: int,
+    checkpoint_every: int,
+    weight_col: str | None,
+    reset: DataFrame | None,
+) -> DataFrame:
     n_nodes = nodes.count()  # 1-row driver aggregate, by design
-    base = (1.0 - damping) / n_nodes
     w = (
         F.lit(1.0)
         if weight_col is None
         else F.col(weight_col).cast("double")
     )
+    if reset is None:
+        # Uniform teleport: p(v) = 1/N as a literal — no join needed.
+        p_frame = None
+        n_seeds = n_nodes
+    else:
+        seed_ids = reset.select("id").distinct().localCheckpoint()
+        n_seeds = seed_ids.count()
+        if n_seeds == 0:
+            raise ValueError("personalized_pagerank requires a non-empty seed set")
+        n_matched = seed_ids.join(nodes.select("id"), "id", "left_semi").count()
+        if n_matched != n_seeds:
+            raise ValueError(
+                f"{n_seeds - n_matched} seed id(s) are not in the node set"
+            )
+        # p(v) = 1/|S| on seeds, 0 elsewhere — a broadcast-sized dim.
+        p_frame = seed_ids.select(
+            "id", F.lit(1.0 / n_seeds).alias("__p")
+        ).localCheckpoint()
 
     # Stage the out-weight-annotated edges once; every iteration joins
     # against this frame, so truncate its lineage up front. With w=1.0
@@ -91,7 +148,15 @@ def pagerank(
     # Dangling detection joins ranks against the distinct src set.
     has_out = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
 
-    ranks = nodes.select("id", F.lit(1.0 / n_nodes).alias("pagerank")).localCheckpoint()
+    if p_frame is None:
+        init = nodes.select("id", F.lit(1.0 / n_nodes).alias("pagerank"))
+    else:
+        init = nodes.select("id").join(p_frame, "id", "left").select(
+            "id", F.coalesce(F.col("__p"), F.lit(0.0)).alias("pagerank")
+        )
+    ranks = init.localCheckpoint()
+
+    base = (1.0 - damping) / n_seeds  # uniform: /N; personalized: (1-d)/|S| on seeds
 
     for it in range(iterations):
         contrib = (
@@ -105,22 +170,26 @@ def pagerank(
             ranks.join(has_out, "id", "left_anti")
             .agg(F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("dang_mass"))
         )
-        stepped = (
-            ranks.select("id")
-            .join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dang_mass") / F.lit(float(n_nodes))
-                    )
-                ).alias("pagerank"),
-            )
+        joined = ranks.select("id").join(contrib, "id", "left").crossJoin(
+            F.broadcast(dang)
         )
+        if p_frame is None:
+            # r' = (1-d)/N + d*(contrib + D/N) — the uniform-teleport
+            # form, kept expression-identical to the oracle twins.
+            new_rank = F.lit(base) + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("dang_mass") / F.lit(float(n_nodes))
+            )
+        else:
+            # r' = (1-d)·p + d·(contrib + D·p): teleport AND dangling
+            # mass re-enter through the reset distribution.
+            joined = joined.join(F.broadcast(p_frame), "id", "left")
+            p = F.coalesce(F.col("__p"), F.lit(0.0))
+            new_rank = F.lit(1.0 - damping) * p + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("dang_mass") * p
+            )
+        stepped = joined.select("id", new_rank.alias("pagerank"))
         ranks = stepped.localCheckpoint() if (it + 1) % checkpoint_every == 0 else stepped
     return ranks
 

@@ -348,6 +348,19 @@ def kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def kg_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the membership graph with the
+    teleport concentrated on the region nodes: seed-relative entity
+    salience (the seeded-random-walk relevance measure), against the
+    same unrolled-CTE oracle builder with the reset-vector rule."""
+    from cartography_spark.operators.graphrank import personalized_pagerank
+
+    nodes, edges = _entity_graph(spark, sf_dir)
+    seeds = nodes.where(F.col("id").startswith("R"))
+    out = personalized_pagerank(nodes, edges, seeds, damping=0.85, iterations=5)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts via degree-ordered orientation. Edge
     set = membership graph + the customer/supplier->region shortcut
@@ -1389,6 +1402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cc_canonical": kg_cc_canonical,
     "kg_pagerank": kg_pagerank,
     "kg_pagerank_weighted": kg_pagerank_weighted,
+    "kg_pagerank_personalized": kg_pagerank_personalized,
     "kg_triangles": kg_triangles,
     "kg_clustering_coeff": kg_clustering_coeff,
     "kg_kcore": kg_kcore,

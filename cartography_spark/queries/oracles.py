@@ -1184,6 +1184,7 @@ def _pagerank_oracle_sql(
     iters: int = 5,
     damping: float = 0.85,
     weighted: bool = False,
+    seed_pred: str | None = None,
 ) -> str:
     """Unrolled power-iteration PageRank twin.
 
@@ -1219,14 +1220,39 @@ edges AS (
     else:
         od = "od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src)"
         contrib = "SUM(r.pr / o.outdeg)"
+    if seed_pred is None:
+        pvec = ""
+        r0 = "r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM params) AS pr FROM nodes)"
+    else:
+        # Personalized teleport: p = 1/|S| on seeds, 0 elsewhere. The
+        # (1-d) literal is pre-computed in Python so the SQL constant
+        # is bit-identical to Spark's F.lit(1.0 - damping).
+        pvec = f""",
+pvec AS MATERIALIZED (
+  SELECT id, CASE WHEN {seed_pred}
+                  THEN 1.0::DOUBLE / (SELECT COUNT(*)::DOUBLE FROM nodes WHERE {seed_pred})
+                  ELSE 0.0::DOUBLE END AS p
+  FROM nodes)"""
+        r0 = "r0 AS MATERIALIZED (SELECT id, p AS pr FROM pvec)"
     head = f"""
 WITH {graph_ctes},
 params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-{od},
-r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE / (SELECT n FROM params) AS pr FROM nodes)"""
+{od}{pvec},
+{r0}"""
+    one_minus_d = f"{(1.0 - damping)!r}::DOUBLE"
     steps = []
     for i in range(1, iters + 1):
         p, c = f"r{i - 1}", f"r{i}"
+        if seed_pred is None:
+            update = f"""(1.0::DOUBLE - {d}) / (SELECT n FROM params)
+         + {d} * (COALESCE(c.contrib, 0.0::DOUBLE)
+                  + (SELECT dm FROM d{i}) / (SELECT n FROM params))"""
+            ptail = ""
+        else:
+            update = f"""{one_minus_d} * pv.p
+         + {d} * (COALESCE(c.contrib, 0.0::DOUBLE)
+                  + (SELECT dm FROM d{i}) * pv.p)"""
+            ptail = " JOIN pvec pv ON pv.id = r.id"
         steps.append(f""",
 c{i} AS MATERIALIZED (
   SELECT e.dst AS id, {contrib} AS contrib
@@ -1237,10 +1263,8 @@ d{i} AS MATERIALIZED (
   FROM {p} r LEFT JOIN od o ON r.id = o.id WHERE o.id IS NULL),
 {c} AS MATERIALIZED (
   SELECT r.id,
-         (1.0::DOUBLE - {d}) / (SELECT n FROM params)
-         + {d} * (COALESCE(c.contrib, 0.0::DOUBLE)
-                  + (SELECT dm FROM d{i}) / (SELECT n FROM params)) AS pr
-  FROM {p} r LEFT JOIN c{i} c ON r.id = c.id)""")
+         {update} AS pr
+  FROM {p} r LEFT JOIN c{i} c ON r.id = c.id{ptail})""")
     return (
         head
         + "".join(steps)
@@ -1273,6 +1297,13 @@ nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)"""
 
 ORACLES["kg_pagerank_weighted"] = _pagerank_oracle_sql(
     _MENTION_GRAPH_CTES, weighted=True
+)
+
+# Personalized PageRank on the membership graph, teleport concentrated
+# on the region nodes — seed-relative salience ("which entities matter
+# near these hubs"), same unrolled builder with the reset-vector rule.
+ORACLES["kg_pagerank_personalized"] = _pagerank_oracle_sql(
+    seed_pred="id LIKE 'R%'"
 )
 
 

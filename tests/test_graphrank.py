@@ -99,6 +99,80 @@ def test_pagerank_unit_weights_equal_unweighted(spark):
     assert plain == weighted  # bit-identical, not approx
 
 
+def _py_ppr(nodes, edges, seeds, damping=0.85, iterations=5):
+    n_s = len(seeds)
+    p = {v: (1.0 / n_s if v in seeds else 0.0) for v in nodes}
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    ranks = dict(p)
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, targets in out.items():
+            share = ranks[s] / len(targets)
+            for t in targets:
+                contrib[t] += share
+        dang = sum(r for v, r in ranks.items() if v not in out)
+        ranks = {
+            v: (1.0 - damping) * p[v] + damping * (contrib[v] + dang * p[v])
+            for v in nodes
+        }
+    return ranks
+
+
+def test_personalized_pagerank_matches_python_model(spark):
+    from cartography_spark.operators.graphrank import personalized_pagerank
+
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "a")]
+    seeds = {"a", "e"}
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "id string")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in personalized_pagerank(ndf, edf, sdf).collect()
+    }
+    want = _py_ppr(nodes, edges, seeds)
+    for v in nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # Salience is seed-relative: a (a seed + well-fed) outranks d (far).
+    assert got["a"] > got["d"]
+
+
+def test_personalized_pagerank_mass_conserved(spark):
+    from cartography_spark.operators.graphrank import personalized_pagerank
+
+    nodes = [f"v{i}" for i in range(15)]
+    rng = random.Random(3)
+    edges = [
+        (s, d)
+        for s, d in {
+            (f"v{rng.randrange(15)}", f"v{rng.randrange(15)}") for _ in range(30)
+        }
+        if s != d
+    ]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    sdf = spark.createDataFrame([("v0",), ("v7",)], "id string")
+    total = (
+        personalized_pagerank(ndf, edf, sdf, iterations=4)
+        .agg(F.sum("pagerank"))
+        .collect()[0][0]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_personalized_pagerank_validates_seeds(spark):
+    from cartography_spark.operators.graphrank import personalized_pagerank
+
+    ndf, edf = _df_nodes_edges(spark, ["a", "b"], [("a", "b")])
+    empty = spark.createDataFrame([], "id string")
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(ndf, edf, empty)
+    unknown = spark.createDataFrame([("zz",)], "id string")
+    with pytest.raises(ValueError, match="not in the node set"):
+        personalized_pagerank(ndf, edf, unknown)
+
+
 def test_pagerank_mass_conserved(spark):
     # Dangling redistribution keeps total mass at exactly 1 (up to fp).
     nodes = [f"v{i}" for i in range(20)]
