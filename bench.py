@@ -415,7 +415,7 @@ def main() -> None:
         "events_json_props", "kg_pagerank", "kg_triangles", "text_tfidf",
         "kg_clustering_coeff", "kg_pagerank_weighted", "pack_sequences",
         "kg_kcore", "shard_shuffle", "text_postings",
-        "kg_pagerank_personalized",
+        "kg_pagerank_personalized", "text_bm25", "sample_split",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

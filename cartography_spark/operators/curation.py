@@ -212,3 +212,41 @@ def stratified_sample(
     Strata absent from ``rates`` keep ``default_rate``.
     """
     return df.where(sample_keep(strata_col, rates, id_col, default_rate, denom))
+
+
+def split_assignment(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    out_col: str = "split",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/validation/test split: every row gets the
+    label of the first split whose cumulative-fraction boundary its
+    :func:`sample_bucket` falls under. ``fractions`` must sum to 1
+    (±1e-9) — the splits are DISJOINT and COMPLETE by construction.
+
+    Same guarantees as :func:`stratified_sample` and for the same
+    reason (membership is a pure function of the id): re-runs, retries,
+    and cluster sizes all produce the identical split, and eval rows
+    can never leak into train across pipeline versions. Boundaries are
+    pre-rounded INTEGER bucket thresholds, so there is no float
+    comparison for an oracle to disagree with. Row-local — no shuffle.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = sample_bucket(id_col, denom)
+    expr = None
+    cum = 0.0
+    for label, frac in fractions.items():
+        cum += frac
+        bound = int(round(cum * denom))
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    # Float rounding could leave the last boundary a hair under denom;
+    # pin completeness by folding the tail into the last label.
+    expr = expr.otherwise(F.lit(label))
+    return df.withColumn(out_col, expr)

@@ -25,6 +25,75 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms
+    (Robertson/Lucene idf form): returns ``(id, score)`` for documents
+    containing at least one query term, where
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+        idf(t) = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+    ``len`` is the document's full whitespace token count (not just
+    query terms); ``avglen`` its corpus mean.
+
+    Scale shape: the query-term ``IN`` filter pushes below the token
+    explode, so only matching tokens survive the (doc, term) aggregate
+    — the shuffle is bounded by query-term occurrences, never the
+    corpus token stream. ``df`` and ``avglen`` are a query-sized dim
+    and a 1-row aggregate, both broadcast; scoring is row-local.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    n_docs = docs.count()  # 1-row driver aggregate
+    lens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl"),
+    )
+    avgdl = lens.agg(F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .where(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.log(
+            (F.lit(float(n_docs)) - F.count("*") + F.lit(0.5))
+            / (F.count("*") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf")
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"))
+    )
+
+
 def build_postings(
     docs: DataFrame,
     id_col: str = "doc_id",

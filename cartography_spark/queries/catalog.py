@@ -470,6 +470,32 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_postings(_t(spark, sf_dir, "documents"), max_postings=16)
 
 
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split of the documents
+    corpus: md5-bucket thresholds, disjoint + complete by construction,
+    identical across runs/retries/cluster sizes — eval rows can never
+    leak into train across pipeline versions."""
+    from cartography_spark.operators.curation import split_assignment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assignment(
+        docs, {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed 3-term query
+    (Robertson/Lucene idf, k1=1.2, b=0.75) — the retrieval scorer built
+    from the same corpus stats as the inverted index; the query-term IN
+    filter pushes below the token explode so the shuffle is bounded by
+    query-term occurrences, not the corpus token stream."""
+    from cartography_spark.operators.index import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "hash", "merge"]
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def kg_var_length_path_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 bounded var-length path [*1..2]: customer -> nation -> region
     over a unified string-id edge set, using the real expand() loop."""
@@ -1410,6 +1436,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,
     "text_postings": text_postings,
+    "text_bm25": text_bm25,
+    "sample_split": sample_split,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
     "kg_policy_eval_j6": kg_policy_eval_j6,

@@ -1366,6 +1366,52 @@ SELECT doc_id, lang, shard,
 FROM s
 """
 
+# Deterministic 90/5/5 split: the md5 bucket (denom 1e6) against the
+# same pre-rounded INTEGER thresholds the builder computes — no float
+# comparison for the engines to disagree on.
+ORACLES["sample_split"] = """
+SELECT doc_id, lang,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS b
+  FROM documents)
+"""
+
+# BM25 against a fixed 3-term query. The float constants (2.2 = k1+1,
+# 0.25 = 1-b) are pre-computed so both engines evaluate the identical
+# expression; per-doc sums span <= 3 terms, and ROUND(6) absorbs
+# engine-side summation ulps (incl. the corpus-mean avgdl).
+ORACLES["text_bm25"] = """
+WITH lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents),
+stats AS (
+  SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM lens),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE term IN ('spark', 'hash', 'merge')
+  GROUP BY doc_id, term),
+idf AS (
+  SELECT term,
+         ln(((SELECT n FROM stats) - COUNT(*) + 0.5::DOUBLE)
+            / (COUNT(*) + 0.5::DOUBLE) + 1.0::DOUBLE) AS idf
+  FROM tf GROUP BY term)
+SELECT t.doc_id,
+       ROUND(SUM(i.idf * (t.tf * 2.2::DOUBLE)
+                 / (t.tf + 1.2::DOUBLE
+                    * (0.25::DOUBLE
+                       + 0.75::DOUBLE * l.dl / (SELECT avgdl FROM stats)))),
+             6) AS score
+FROM tf t JOIN idf i USING (term) JOIN lens l USING (doc_id)
+GROUP BY t.doc_id
+"""
+
 # Inverted index: distinct (term, doc) pairs -> full df + the 16
 # smallest doc_ids as an ordered list. list() with ORDER BY inside the
 # aggregate is DuckDB's sorted collect; the cap filter runs on the

@@ -265,3 +265,42 @@ def test_stratified_sample_rate_monotone_nesting(spark):
     half = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()}
     quarter = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.25}, "doc_id").collect()}
     assert quarter <= half
+
+
+def test_split_assignment_disjoint_complete_and_model(spark):
+    import hashlib
+
+    from cartography_spark.operators.curation import split_assignment
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(400)], "doc_id long, lang string"
+    )
+    out = split_assignment(
+        docs, {"train": 0.9, "valid": 0.05, "test": 0.05}
+    ).collect()
+    assert len(out) == 400  # complete: every row labeled exactly once
+    got = {r["doc_id"]: r["split"] for r in out}
+
+    def model(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        if b < 900_000:
+            return "train"
+        if b < 950_000:
+            return "valid"
+        return "test"
+
+    assert got == {i: model(i) for i in range(400)}
+    # All three splits non-empty at n=400 with 5% tails (sanity).
+    assert {"train", "valid", "test"} == set(got.values())
+
+
+def test_split_assignment_validates_fractions(spark):
+    import pytest as _pt
+
+    from cartography_spark.operators.curation import split_assignment
+
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pt.raises(ValueError, match="sum to 1"):
+        split_assignment(docs, {"train": 0.5, "test": 0.2})
+    with _pt.raises(ValueError, match="non-empty"):
+        split_assignment(docs, {})

@@ -144,6 +144,53 @@ def test_build_postings_model(spark):
     assert out["c"] == (1, [1])
 
 
+def test_bm25_matches_python_model(spark):
+    import math
+
+    from cartography_spark.operators.index import bm25_scores
+
+    corpus = {
+        1: "spark join spark scan",
+        2: "merge sort agg",
+        3: "hash hash hash spark",
+        4: "filter filter",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    q = ["spark", "hash", "merge"]
+    k1, b = 1.2, 0.75
+    n = len(corpus)
+    lens = {i: len(t.split(" ")) for i, t in corpus.items()}
+    avgdl = sum(lens.values()) / n
+    df = {t: sum(1 for txt in corpus.values() if t in txt.split(" ")) for t in q}
+
+    def bm25(i):
+        s = 0.0
+        for t in q:
+            tf = corpus[i].split(" ").count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * lens[i] / avgdl))
+        return s
+
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, q).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 has no query term
+    for i in (1, 2, 3):
+        assert got[i] == pytest.approx(bm25(i), abs=1e-12)
+    # tf saturation: doc 3's triple 'hash' must not score 3x a single hit.
+    idf_hash = math.log((n - 1 + 0.5) / (1 + 0.5) + 1.0)
+    assert got[3] < 3 * idf_hash
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pt
+
+    from cartography_spark.operators.index import bm25_scores
+
+    with _pt.raises(ValueError):
+        bm25_scores(_docs(spark, [1]), [])
+
+
 def test_build_postings_rejects_bad_cap(spark):
     import pytest as _pt
 
