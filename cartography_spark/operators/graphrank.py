@@ -194,6 +194,63 @@ def _pagerank_impl(
     return ranks
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over directed
+    ``edges(src, dst)``: per iteration, authority(v) = Σ_{u→v} hub(u)
+    then L2-normalize, hub(u) = Σ_{u→v} authority(v) then L2-normalize.
+    Returns ``(id, hub, authority)`` for every node (0.0 for nodes
+    outside the link structure). The complementary ranking to PageRank
+    on web graphs: directories/portals score as hubs, canonical
+    entities as authorities.
+
+    Same distributed shape as ``pagerank``: each half-step is one
+    equi-join + partially-aggregated groupBy; the L2 norm is a one-row
+    aggregate cross-joined into the plan (never collected); edges are
+    localCheckpoint-ed once and scores once per iteration. Fixed
+    ``iterations`` keeps the unrolled-SQL oracle twin expressible.
+    """
+    e = edges.select("src", "dst").localCheckpoint()
+    scores = nodes.select(
+        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+    ).localCheckpoint()
+
+    def _l2_normalize(frame: DataFrame, col: str) -> DataFrame:
+        norm = frame.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("__n")
+        )
+        return frame.crossJoin(F.broadcast(norm)).select(
+            *[c for c in frame.columns if c != col],
+            F.when(F.col("__n") == 0.0, F.lit(0.0))
+            .otherwise(F.col(col) / F.col("__n"))
+            .alias(col),
+        )
+
+    for _ in range(iterations):
+        auth = (
+            scores.join(e, scores["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        scores = scores.select("id", "hub").join(auth, "id", "left").select(
+            "id", "hub", F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority")
+        )
+        scores = _l2_normalize(scores, "authority")
+        hub = (
+            scores.join(e, scores["id"] == e["dst"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        scores = scores.select("id", "authority").join(hub, "id", "left").select(
+            "id", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"), "authority"
+        )
+        scores = _l2_normalize(scores, "hub").localCheckpoint()
+    return scores.select("id", "hub", "authority")
+
+
 def _canonical_undirected(edges: DataFrame) -> DataFrame:
     """Distinct undirected edge set as (lo, hi) by id, self-loops
     dropped. Input may contain either or both directions."""

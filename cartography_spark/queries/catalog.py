@@ -410,6 +410,21 @@ def _triangle_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.unionAll(shortcut)
 
 
+def kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the membership graph (5
+    iterations, L2-normalized each half-step): the complementary
+    ranking to PageRank — members score as hubs, nations/regions as
+    authorities. Oracle: the same update order unrolled into
+    MATERIALIZED CTEs."""
+    from cartography_spark.operators.graphrank import hits
+
+    nodes, edges = _entity_graph(spark, sf_dir)
+    out = hits(nodes, edges, iterations=5)
+    return out.select(
+        "id", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the doc<->term mention bipartite graph (iterative
     peel, 6 rounds fixed on BOTH sides so the unrolled oracle compares
@@ -1432,6 +1447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": kg_triangles,
     "kg_clustering_coeff": kg_clustering_coeff,
     "kg_kcore": kg_kcore,
+    "kg_hits": kg_hits,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

@@ -1307,6 +1307,67 @@ ORACLES["kg_pagerank_personalized"] = _pagerank_oracle_sql(
 )
 
 
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """Unrolled HITS twin for ``kg_hits`` over the membership graph:
+    per iteration, authority = in-link hub sum then L2-normalize, hub =
+    out-link authority sum then L2-normalize — the exact update order
+    of ``operators/graphrank.py::hits``. Every CTE MATERIALIZED (see
+    _pagerank_oracle_sql); the zero-norm guard matches the operator's
+    CASE so an edgeless graph yields 0.0, not NULL/inf."""
+    head = """
+WITH nodes AS (
+  SELECT 'C' || c_custkey AS id FROM customer
+  UNION ALL SELECT 'S' || s_suppkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey FROM nation
+  UNION ALL SELECT 'R' || r_regionkey FROM region),
+edges AS MATERIALIZED (
+  SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+  UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+s0 AS MATERIALIZED (
+  SELECT id, 1.0::DOUBLE AS hub, 1.0::DOUBLE AS authority FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"s{i - 1}"
+        steps.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(s.hub) AS a
+  FROM {p} s JOIN edges e ON s.id = e.src GROUP BY e.dst),
+an{i} AS MATERIALIZED (
+  SELECT s.id, s.hub, COALESCE(a.a, 0.0::DOUBLE) AS authority
+  FROM {p} s LEFT JOIN ar{i} a ON s.id = a.id),
+aq{i} AS MATERIALIZED (SELECT sqrt(SUM(authority * authority)) AS n FROM an{i}),
+a{i} AS MATERIALIZED (
+  SELECT id, hub,
+         CASE WHEN (SELECT n FROM aq{i}) = 0.0 THEN 0.0::DOUBLE
+              ELSE authority / (SELECT n FROM aq{i}) END AS authority
+  FROM an{i}),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(s.authority) AS h
+  FROM a{i} s JOIN edges e ON s.id = e.dst GROUP BY e.src),
+hn{i} AS MATERIALIZED (
+  SELECT s.id, COALESCE(h.h, 0.0::DOUBLE) AS hub, s.authority
+  FROM a{i} s LEFT JOIN hr{i} h ON s.id = h.id),
+hq{i} AS MATERIALIZED (SELECT sqrt(SUM(hub * hub)) AS n FROM hn{i}),
+s{i} AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN (SELECT n FROM hq{i}) = 0.0 THEN 0.0::DOUBLE
+              ELSE hub / (SELECT n FROM hq{i}) END AS hub,
+         authority
+  FROM hn{i})""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT id, ROUND(hub, 6) AS hub, ROUND(authority, 6) AS authority
+FROM s{iters}
+"""
+    )
+
+
+ORACLES["kg_hits"] = _hits_oracle_sql()
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
     """Unrolled peeling twin for ``kg_kcore``: each round keeps only
     edges whose BOTH endpoints had degree >= k in the previous round's

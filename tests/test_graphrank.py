@@ -209,6 +209,52 @@ def test_pagerank_partition_count_invariant(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def _py_hits(nodes, edges, iterations=5):
+    import math
+
+    hub = {v: 1.0 for v in nodes}
+    auth = {v: 1.0 for v in nodes}
+    for _ in range(iterations):
+        auth = {v: sum(hub[s] for s, d in edges if d == v) for v in nodes}
+        n = math.sqrt(sum(a * a for a in auth.values()))
+        auth = {v: (a / n if n else 0.0) for v, a in auth.items()}
+        hub = {v: sum(auth[d] for s, d in edges if s == v) for v in nodes}
+        n = math.sqrt(sum(h * h for h in hub.values()))
+        hub = {v: (h / n if n else 0.0) for v, h in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_python_model(spark):
+    from cartography_spark.operators.graphrank import hits
+
+    nodes = ["a", "b", "c", "d", "e"]
+    edges = [("a", "c"), ("b", "c"), ("a", "d"), ("c", "d"), ("e", "a")]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(ndf, edf).collect()}
+    hub, auth = _py_hits(nodes, edges)
+    for v in nodes:
+        assert got[v][0] == pytest.approx(hub[v], abs=1e-9)
+        assert got[v][1] == pytest.approx(auth[v], abs=1e-9)
+    # a points at the two best authorities -> top hub; d is fed by the
+    # top hub AND the top authority-feeder -> top authority.
+    assert got["a"][0] == max(h for h, _ in got.values())
+    assert got["d"][1] == max(a for _, a in got.values())
+
+
+def test_hits_l2_normalized_and_edgeless(spark):
+    from cartography_spark.operators.graphrank import hits
+
+    nodes = ["a", "b", "c"]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame([("a", "b")], "src string, dst string")
+    out = hits(ndf, edf, iterations=3).collect()
+    assert sum(r["hub"] ** 2 for r in out) == pytest.approx(1.0)
+    assert sum(r["authority"] ** 2 for r in out) == pytest.approx(1.0)
+    empty = spark.createDataFrame([], "src string, dst string")
+    zeroed = hits(ndf, empty, iterations=2).collect()
+    assert all(r["hub"] == 0.0 and r["authority"] == 0.0 for r in zeroed)
+
+
 def _py_triangles(edges):
     und = set()
     for s, d in edges:
