@@ -209,6 +209,19 @@ def test_pagerank_partition_count_invariant(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_pagerank_deep_iteration_plan_stays_bounded(spark):
+    # The per-iteration localCheckpoint must truncate lineage: without
+    # it the plan compounds per round (the components.py discipline).
+    nodes = [f"v{i}" for i in range(10)]
+    edges = [(f"v{i}", f"v{(i + 1) % 10}") for i in range(10)]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    out = pagerank(ndf, edf, iterations=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (A SinglePartition exchange IS expected here — it's the 1-row
+    # dangling-mass aggregate, not a data-proportional shuffle.)
+    assert len(plan) < 50_000
+
+
 def _py_hits(nodes, edges, iterations=5):
     import math
 

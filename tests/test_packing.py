@@ -200,6 +200,38 @@ def test_build_postings_rejects_bad_cap(spark):
         build_postings(_docs(spark, [1]), max_postings=0)
 
 
+def test_prefix_sum_never_plans_a_single_partition_exchange(spark):
+    # THE scale property of the distributed scan: a naive global
+    # Window.orderBy plans `Exchange SinglePartition` — every row
+    # through one task. The two-pass scan must never do that.
+    docs = _docs(spark, [3] * 100)
+    out = pack_documents(docs, capacity=64, partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # Control: the naive spelling DOES plan it (guards the assertion
+    # itself against Spark ever renaming the node).
+    from pyspark.sql.window import Window
+
+    naive = docs.withColumn(
+        "o", F.sum(F.length("text")).over(Window.orderBy("doc_id"))
+    )
+    assert "SinglePartition" in naive._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shard_and_postings_plans_stay_parallel(spark):
+    from cartography_spark.operators.index import build_postings
+    from cartography_spark.operators.packing import shard_assignment
+
+    docs = _docs(spark, [3] * 100)
+    for frame in (
+        shard_assignment(docs.select("doc_id"), n_shards=8),
+        build_postings(docs, max_postings=4),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+
+
 def test_global_prefix_sum_passthrough_and_order(spark):
     df = spark.createDataFrame(
         [("c", 10, "x"), ("a", 1, "y"), ("b", 5, "z")],
