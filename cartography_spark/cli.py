@@ -235,6 +235,52 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Training-corpus layout: ``pack`` (concat-then-chunk context
+    windows via the distributed prefix scan), ``shards`` (deterministic
+    md5 shard shuffle, written partitioned by shard — the physical file
+    layout a trainer reads), ``split`` (md5-threshold train/valid/test
+    labels, written partitioned by split). Without ``--output`` prints
+    the row count and group count instead of writing."""
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    partition_col = None
+    if args.layout_command == "pack":
+        from cartography_spark.operators.packing import pack_documents
+
+        out = pack_documents(
+            docs, capacity=args.capacity, id_col=args.id_col, text_col=args.text_col
+        )
+        group_col = "bin"  # thousands of windows: don't partitionBy
+    elif args.layout_command == "shards":
+        from cartography_spark.operators.packing import shard_assignment
+
+        out = shard_assignment(
+            docs, n_shards=args.n_shards, id_col=args.id_col, salt=args.salt
+        )
+        partition_col = group_col = "shard"
+    else:
+        from cartography_spark.operators.curation import split_assignment
+
+        fractions = dict(args.fraction or [("train", 0.9), ("valid", 0.05), ("test", 0.05)])
+        out = split_assignment(docs, fractions, id_col=args.id_col)
+        partition_col = group_col = "split"
+    res: dict = {}
+    if args.output:
+        writer = out.write.mode("overwrite")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(args.output)
+        res["written"] = args.output
+    res["rows"] = out.count() if not args.output else spark.read.parquet(args.output).count()
+    res["groups"] = (
+        (spark.read.parquet(args.output) if args.output else out)
+        .select(group_col).distinct().count()
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_store(args) -> int:
     """Store maintenance: compact (fold merge-on-read tombstones) and
     expire (retention GC) — the Iceberg rewrite_data_files /
@@ -343,6 +389,33 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--redact", action="store_true",
                    help="scrub emails/URLs/IPv4s from the text column of survivors")
     c.set_defaults(fn=cmd_curate)
+
+    ly = sub.add_parser("layout", help="training-corpus layout (pack / shards / split)")
+    lysub = ly.add_subparsers(dest="layout_command", required=True)
+    lp = lysub.add_parser("pack", help="concat-then-chunk context-window assignment")
+    lp.add_argument("--capacity", type=int, default=2048, help="tokens per context window")
+    lp.add_argument("--text-col", default="text")
+    lh = lysub.add_parser("shards", help="deterministic shard shuffle (partitioned write)")
+    lh.add_argument("--n-shards", type=int, default=64)
+    lh.add_argument("--salt", default="", help="epoch salt: changing it reshuffles")
+    ls = lysub.add_parser("split", help="train/valid/test split (partitioned write)")
+
+    def _frac(kv: str) -> tuple:
+        try:
+            k, v = kv.split("=", 1)
+            return (k, float(v))
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"expected LABEL=FRACTION with a numeric fraction, got {kv!r}"
+            )
+
+    ls.add_argument("--fraction", action="append", type=_frac,
+                    help="LABEL=FRACTION (repeatable; must sum to 1; default 90/5/5)")
+    for sp in (lp, lh, ls):
+        sp.add_argument("--input", required=True, help="parquet documents table")
+        sp.add_argument("--output", help="write the assignment here (parquet)")
+        sp.add_argument("--id-col", default="doc_id")
+        sp.set_defaults(fn=cmd_layout)
 
     st = sub.add_parser("store", help="store maintenance (compact / expire)")
     stsub = st.add_subparsers(dest="store_command", required=True)

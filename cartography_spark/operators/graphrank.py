@@ -1,5 +1,7 @@
 """Graph analytics over the constructed knowledge graph: PageRank
-entity salience and degree-oriented triangle counting.
+entity salience (uniform / edge-weighted / personalized), HITS
+hubs-and-authorities, degree-oriented triangle counting, local
+clustering coefficients, and k-core peeling.
 
 A web-scale KG build doesn't stop at materializing nodes/edges — the
 canonical downstream questions are "which entities matter" (salience
@@ -60,7 +62,9 @@ def pagerank(
 
     where ``w`` is 1 for every edge unless ``weight_col`` names a
     positive edge-weight column (``W(u)`` = its out-sum; a node whose
-    out-weights sum to 0 is the caller's error — division by zero), and
+    out-weights sum to 0 is the caller's error — division by zero — and
+    a NULL weight silently drops its edge from both the contribution
+    and the out-sum, per SQL NULL-skipping aggregation), and
     ``D`` is the total rank mass sitting on dangling nodes (no
     out-edges) — redistributed uniformly, so total mass stays 1 and the
     result matches the standard power-iteration formulation (Page et

@@ -229,3 +229,44 @@ def test_cli_curate_redact_requires_output_and_rate_validates(spark, tmp_path, c
     with pytest.raises(SystemExit):
         main(["--cores", "8", "curate", "--input", src, "--rate", "en=abc"])
     capsys.readouterr()
+
+
+def test_cli_layout_shards_split_pack(spark, tmp_path, capsys):
+    from cartography_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w " * 40 + "w", "en") for i in range(120)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+
+    # shards: partitioned write, every row lands in exactly one shard.
+    out_dir = str(tmp_path / "sharded")
+    rc = main(["--cores", "4", "layout", "shards", "--input", src,
+               "--output", out_dir, "--n-shards", "4", "--salt", "e0"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 120 and res["groups"] == 4
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 120
+    assert back.select("shard").distinct().count() == 4
+
+    # split: default 90/5/5, disjoint+complete, partitioned by split.
+    split_dir = str(tmp_path / "split")
+    rc = main(["--cores", "4", "layout", "split", "--input", src,
+               "--output", split_dir])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 120
+    sb = spark.read.parquet(split_dir)
+    assert sb.count() == 120 and set(
+        r["split"] for r in sb.select("split").distinct().collect()
+    ) <= {"train", "valid", "test"}
+
+    # pack: counts-only mode (no output), windows of 64 tokens.
+    rc = main(["--cores", "4", "layout", "pack", "--input", src,
+               "--capacity", "64"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 120
+    assert res["groups"] == (120 * 41 + 63) // 64  # ceil(total_tokens/64)
