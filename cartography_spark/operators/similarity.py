@@ -37,6 +37,63 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def projection_signs(
+    out_dim: int, in_dim: int, seed: str = "rp"
+) -> list[list[float]]:
+    """Deterministic ±1 sign matrix for :func:`random_projection`:
+    sign(j, i) = +1 iff the first md5 hex nibble of ``"{seed}:{j}:{i}"``
+    is < 8. A pure function of (seed, j, i) — no RNG state — so the
+    SAME literals generate the Spark expressions and the DuckDB oracle,
+    and any engine/rerun/cluster-size produces the identical matrix."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    in_dim: int,
+    seed: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection (the Achlioptas 2003 ±1
+    variant): ``p_j = (1/sqrt(out_dim)) · Σ_i sign(j,i)·v[i]`` — reduce
+    ``in_dim``-dim embeddings to ``out_dim`` columns ``p0..p{k-1}``
+    while approximately preserving pairwise distances. The cheap front
+    end for ANN indexing / dedup blocking when the raw embedding width
+    dominates shuffle payloads.
+
+    Entirely ROW-LOCAL (zero shuffle): each output dim is one
+    ``dot(vec, sign_literals)`` fold evaluated in the scan stage; the
+    sign matrix lives in the plan as literals (out_dim × in_dim values
+    — bounded by the projection shape, never by data). Input vectors
+    must have length ``in_dim`` (``zip_with`` truncates to the shorter
+    side, so a short vector silently projects its prefix — the caller's
+    schema contract, same as the rest of this module).
+    """
+    import math
+
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"dims must be positive, got {out_dim}x{in_dim}")
+    signs = projection_signs(out_dim, in_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    cols: list[Column] = [F.col(id_col)]
+    for j in range(out_dim):
+        arr = F.array(*[F.lit(v) for v in signs[j]])
+        cols.append((dot(F.col(vec_col), arr) * F.lit(scale)).alias(f"p{j}"))
+    return df.select(*cols)
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(

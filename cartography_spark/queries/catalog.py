@@ -485,6 +485,19 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_postings(_t(spark, sf_dir, "documents"), max_postings=16)
 
 
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 sign projection of the 64-dim embedding
+    corpus down to 8 columns — row-local (zero shuffle), deterministic
+    sign matrix shared verbatim with the DuckDB twin's literal lists."""
+    from cartography_spark.operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, out_dim=8, in_dim=64, seed="rp")
+    return out.select(
+        "vec_id", *[F.round(f"p{j}", 6).alias(f"p{j}") for j in range(8)]
+    )
+
+
 def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/valid/test split of the documents
     corpus: md5-bucket thresholds, disjoint + complete by construction,
@@ -1454,6 +1467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_postings": text_postings,
     "text_bm25": text_bm25,
     "sample_split": sample_split,
+    "sim_random_projection": sim_random_projection,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
     "kg_policy_eval_j6": kg_policy_eval_j6,

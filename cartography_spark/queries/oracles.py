@@ -1427,6 +1427,31 @@ SELECT doc_id, lang, shard,
 FROM s
 """
 
+def _random_projection_oracle_sql(
+    out_dim: int = 8, in_dim: int = 64, seed: str = "rp"
+) -> str:
+    """JL sign-projection twin: one list_dot_product per output dim
+    against the SAME literal sign rows the Spark builder emits
+    (projection_signs is the shared pure function), scaled by the same
+    pre-computed 1/sqrt(out_dim) literal. list_dot_product on DOUBLE[]
+    matches the Spark fold bit-for-bit modulo summation ulps (the
+    sim_topk_brute precedent); ROUND(6) absorbs them."""
+    import math
+
+    from cartography_spark.operators.similarity import projection_signs
+
+    signs = projection_signs(out_dim, in_dim, seed)
+    scale = f"{1.0 / math.sqrt(out_dim)!r}::DOUBLE"
+    cols = ",\n       ".join(
+        f"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(f'{v!r}::DOUBLE' for v in signs[j])}]) * {scale}, 6) AS p{j}"
+        for j in range(out_dim)
+    )
+    return f"SELECT vec_id,\n       {cols}\nFROM embeddings\n"
+
+
+ORACLES["sim_random_projection"] = _random_projection_oracle_sql()
+
 # Deterministic 90/5/5 split: the md5 bucket (denom 1e6) against the
 # same pre-rounded INTEGER thresholds the builder computes — no float
 # comparison for the engines to disagree on.

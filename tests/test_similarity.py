@@ -218,3 +218,58 @@ def test_lsh_topk_corpus_norm_knob(spark, corpus):
     below = [i for i in fold_idx if i > join_idx[0]]
     assert len(above) == 1 and len(below) == 1  # corpus fold above, query fold below
     assert sorted(map(tuple, staged.collect())) == sorted(map(tuple, perpair.collect()))
+
+
+def test_random_projection_matches_python_model(spark):
+    import math
+
+    from cartography_spark.operators.similarity import (
+        projection_signs, random_projection,
+    )
+
+    vecs = [(1, [0.5, -1.25, 2.0, 0.0]), (2, [1.0, 1.0, 1.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: [r[f"p{j}"] for j in range(3)]
+           for r in random_projection(df, out_dim=3, in_dim=4, seed="t").collect()}
+    signs = projection_signs(3, 4, seed="t")
+    scale = 1.0 / math.sqrt(3)
+    import numpy as np
+
+    for vid, v in vecs:
+        v32 = [float(np.float32(x)) for x in v]  # storage is float32
+        for j in range(3):
+            want = sum(x * s for x, s in zip(v32, signs[j])) * scale
+            assert out[vid][j] == pytest.approx(want, rel=1e-12)
+
+
+def test_random_projection_preserves_distances_approximately(spark):
+    # JL property smoke: relative pairwise-distance distortion bounded.
+    import numpy as np
+
+    from cartography_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = random_projection(df, out_dim=16, in_dim=64).collect()
+    proj = {r["vec_id"]: np.array([r[f"p{j}"] for j in range(16)]) for r in rows}
+    orig = {i: np.array(v, dtype=np.float64) for i, v in vecs}
+    ratios = []
+    for a in range(0, 40, 7):
+        for b in range(a + 1, 40, 5):
+            d0 = np.linalg.norm(orig[a] - orig[b])
+            # E[||Px||^2] = ||x||^2 under the 1/sqrt(k) scaling, so the
+            # ratio needs no rescale.
+            d1 = np.linalg.norm(proj[a] - proj[b])
+            ratios.append(d1 / d0)
+    m = float(np.mean(ratios))
+    assert 0.75 < m < 1.25  # unbiased on average
+    assert all(0.4 < r < 1.8 for r in ratios)  # no catastrophic distortion
+
+
+def test_random_projection_rejects_bad_dims(spark):
+    from cartography_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        random_projection(df, out_dim=0, in_dim=1)
