@@ -416,7 +416,7 @@ def main() -> None:
         "kg_clustering_coeff", "kg_pagerank_weighted", "pack_sequences",
         "kg_kcore", "shard_shuffle", "text_postings",
         "kg_pagerank_personalized", "text_bm25", "sample_split",
-        "kg_hits", "sim_random_projection",
+        "kg_hits", "sim_random_projection", "agg_rolling_window",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -485,6 +485,31 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_postings(_t(spark, sf_dir, "documents"), max_postings=16)
 
 
+def agg_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 3-event statistics over the event stream
+    (moving sum/min/max of value, ordered by ts with event_id
+    tie-break): the telemetry smoothing / anomaly-baseline primitive.
+    One hash exchange on user_id + one in-partition sort — both rolling
+    frames share it (plan has exactly one exchange). Sum rounds to 6dp
+    (the one float accumulation); min/max are order-statistics, exact."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("roll_sum"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+        F.count("*").over(w).alias("roll_n"),
+    )
+
+
 def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 sign projection of the 64-dim embedding
     corpus down to 8 columns — row-local (zero shuffle), deterministic
@@ -1468,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": text_bm25,
     "sample_split": sample_split,
     "sim_random_projection": sim_random_projection,
+    "agg_rolling_window": agg_rolling_window,
     "kg_var_length_path_j8": kg_var_length_path_j8,
     "kg_exposure_analysis_n1": kg_exposure_analysis_n1,
     "kg_policy_eval_j6": kg_policy_eval_j6,

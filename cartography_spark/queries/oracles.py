@@ -1452,6 +1452,20 @@ def _random_projection_oracle_sql(
 
 ORACLES["sim_random_projection"] = _random_projection_oracle_sql()
 
+# Rolling 3-event window per user: identical frame spec both engines
+# (ROWS 2 PRECEDING, (ts, event_id) total order). The float sum rounds;
+# min/max/count are exact.
+ORACLES["agg_rolling_window"] = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER w, 6) AS roll_sum,
+       MIN(value) OVER w AS roll_min,
+       MAX(value) OVER w AS roll_max,
+       COUNT(*) OVER w AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
 # Deterministic 90/5/5 split: the md5 bucket (denom 1e6) against the
 # same pre-rounded INTEGER thresholds the builder computes — no float
 # comparison for the engines to disagree on.

@@ -120,3 +120,39 @@ def test_approx_percentile_agrees_with_exact_within_bound(spark):
     for r in joined:
         spread = 1000.0
         assert abs(r["exact"] - r["approx"]) <= 0.01 * spread, r
+
+
+def test_rolling_window_one_exchange_and_model(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2025-01-01 00:00:00", 10, "a", 1.0, "{}"),
+        (2, "2025-01-01 00:01:00", 10, "a", 2.0, "{}"),
+        (3, "2025-01-01 00:02:00", 10, "a", 4.0, "{}"),
+        (4, "2025-01-01 00:03:00", 10, "a", 8.0, "{}"),
+        (5, "2025-01-01 00:00:30", 20, "b", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "events.parquet")
+    df.write.parquet(d)
+
+    from cartography_spark.queries.catalog import agg_rolling_window
+
+    out = agg_rolling_window(spark, str(tmp_path))
+    got = {r["event_id"]: (r["roll_sum"], r["roll_min"], r["roll_max"], r["roll_n"])
+           for r in out.collect()}
+    assert got[1] == (1.0, 1.0, 1.0, 1)
+    assert got[2] == (3.0, 1.0, 2.0, 2)
+    assert got[3] == (7.0, 1.0, 4.0, 3)
+    assert got[4] == (14.0, 2.0, 8.0, 3)   # frame slides: drops event 1
+    assert got[5] == (5.0, 5.0, 5.0, 1)    # other user isolated
+    # After collect() AQE prints Final + Initial sections; count the
+    # final plan only (both rolling frames share ONE exchange).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in final
