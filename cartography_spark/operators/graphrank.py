@@ -40,7 +40,7 @@ Scale design (both operators):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -353,6 +353,132 @@ def k_core(edges: DataFrame, k: int, max_rounds: int | None = None) -> DataFrame
         )
         rounds += 1
     return _degrees(und)
+
+
+def shortest_paths(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Multi-source shortest paths over directed ``edges(src, dst)``
+    from ``seeds(id)``: returns ``(id, dist)`` for every node reachable
+    within ``rounds`` edges, where ``dist`` is the minimum hop count
+    (``weight_col`` is None — LONG) or minimum path cost (``weight_col``
+    names a non-negative edge cost — DOUBLE; per-path cost is the
+    left-to-right running sum, so equal inputs give bit-equal costs on
+    any engine). Seeds must be a subset of ``nodes`` (validated).
+
+    The KG reachability primitive: the reference's exposure analysis
+    walks a bounded number of hops from tagged assets
+    (``cartography/data/jobs/analysis/*.json``); hop distance from a
+    seed set is the quantitative form (how far is each entity from the
+    trust boundary / a seed domain).
+
+    Scale shape — frontier Bellman-Ford, not full relaxation: each
+    round joins only the nodes whose distance IMPROVED last round
+    against the staged edge list, takes a map-side-combined ``min`` per
+    destination, and merges into the running distance frame; lineage is
+    truncated per round (``localCheckpoint``) like every iterative
+    operator here. On web-ish graphs the frontier shrinks geometrically
+    after the first hops, so late rounds cost ~nothing, while the
+    result after round i is EXACTLY "min cost over paths with <= i
+    edges" — the full-relaxation semantics the unrolled SQL oracle twin
+    computes — because a node relaxes its out-edges in the round after
+    any improvement and never needs to otherwise. Early exit on an
+    empty frontier is therefore observationally identical to running
+    all ``rounds``.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    seed_ids = seeds.select("id").distinct().localCheckpoint()
+    n_seeds = seed_ids.count()
+    n_matched = seed_ids.join(nodes.select("id"), "id", "left_semi").count()
+    if n_matched != n_seeds:
+        raise ValueError(f"{n_seeds - n_matched} seed id(s) are not in the node set")
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+    else:
+        w = F.col(weight_col).cast("double")
+        zero = F.lit(0.0)
+    e = edges.select("src", "dst", w.alias("w")).localCheckpoint()
+    dist = seed_ids.select("id", zero.alias("dist")).localCheckpoint()
+    frontier = dist
+    for _ in range(rounds):
+        if frontier.isEmpty():
+            break
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = (
+            dist.join(cand, "id", "full_outer")
+            .select(
+                "id",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                # improved = first reach, or a strictly smaller cost.
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias(
+                    "__improved"
+                ),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.where(F.col("__improved")).select("id", "dist")
+        dist = merged.select("id", "dist")
+    return dist
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the undirected graph of ``edges(src, dst)``: every
+    node starts in its own community (label = id); each iteration every
+    node adopts the most frequent label among its neighbors, ties
+    broken by the smallest label — a total order, so the whole run is
+    deterministic and the fixed iteration count makes the unrolled SQL
+    oracle twin exact even pre-convergence (synchronous LPA may
+    oscillate on bipartite structures; determinism, not convergence, is
+    the gate's contract). Isolated nodes keep their own label. Returns
+    ``(id, label)``.
+
+    Community structure is the KG curation signal the ranking family
+    doesn't give: which entities belong together (domain clusters, spam
+    rings — the reference's analogous grouping is its per-sync-scope
+    subgraph). Per iteration: one equi-join (labels x symmetrized
+    edges), one partially-aggregated ``groupBy(id, label)`` count, one
+    ``row_number`` pick over (count desc, label asc) — the window
+    partitions by node id, so it rides the same hash exchange as the
+    count. Lineage truncated per iteration.
+    """
+    und = _canonical_undirected(edges)
+    sym = (
+        und.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionAll(und.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    win = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        counts = (
+            labels.join(sym, labels["id"] == sym["src"])
+            .groupBy(F.col("dst").alias("id"), F.col("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            counts.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") == 1)
+            .select("id", F.col("label").alias("__new"))
+        )
+        labels = (
+            labels.join(pick, "id", "left")
+            .select("id", F.coalesce(F.col("__new"), F.col("label")).alias("label"))
+            .localCheckpoint()
+        )
+    return labels
 
 
 def _degrees(und: DataFrame) -> DataFrame:

@@ -444,6 +444,62 @@ def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=3, max_rounds=6)
 
 
+def kg_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the region seeds over the REVERSED membership
+    graph (region -> nation -> member): bounded multi-source BFS — the
+    quantitative form of the reference's bounded-hop exposure walks
+    (how far is each entity from a trust boundary). Integer-exact
+    (LONG hops, no floats anywhere); the oracle twin is the unrolled
+    min-relaxation, which the frontier implementation provably equals
+    round-for-round."""
+    from cartography_spark.operators.graphrank import shortest_paths
+
+    nodes, edges = _entity_graph(spark, sf_dir)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    seeds = nodes.where(F.col("id").startswith("R"))
+    return shortest_paths(nodes, rev, seeds, rounds=3)
+
+
+def kg_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest mention-path cost from the 'spark' term over the
+    EXTRACTED doc<->term bipartite graph (edge cost = that doc's
+    mention count of that term): weighted multi-source relaxation over
+    the full tokenize->build->traverse chain in one gate. Costs are
+    integer-valued doubles (sums of counts), so the min-relaxation is
+    bit-exact on both engines."""
+    from cartography_spark.functions.triples import extract_mentions
+    from cartography_spark.operators.graphrank import shortest_paths
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    fwd = mentions.select(
+        F.concat(F.lit("D"), F.col("subj_id")).alias("src"),
+        F.col("obj").alias("dst"),
+        F.col("n_mentions").cast("double").alias("cost"),
+    )
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    seeds = nodes.where(F.col("id") == F.lit("spark"))
+    out = shortest_paths(nodes, edges, seeds, rounds=4, weight_col="cost")
+    return out.select("id", F.round("dist", 6).alias("dist"))
+
+
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (3 iterations,
+    most-frequent-neighbor-label update, ties to the smallest label)
+    over the triangle-closing entity graph — the deterministic
+    community assignment whose unrolled-CTE twin replays the exact
+    (count desc, label asc) pick order. Communities converge toward
+    the region clusters, the KG's genuine group structure."""
+    from cartography_spark.operators.graphrank import label_propagation
+
+    nodes, _ = _entity_graph(spark, sf_dir)
+    return label_propagation(nodes, _triangle_edges(spark, sf_dir), iterations=3)
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smooth idf, deterministic
     term-asc tie-break) — corpus relevance scoring for retrieval /
@@ -1486,6 +1542,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_clustering_coeff": kg_clustering_coeff,
     "kg_kcore": kg_kcore,
     "kg_hits": kg_hits,
+    "kg_bfs_distances": kg_bfs_distances,
+    "kg_weighted_paths": kg_weighted_paths,
+    "kg_label_propagation": kg_label_propagation,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

@@ -1409,6 +1409,137 @@ GROUP BY id
 
 ORACLES["kg_kcore"] = _kcore_oracle_sql()
 
+
+def _shortest_paths_oracle_sql(
+    graph_ctes: str,
+    seed_pred: str,
+    rounds: int,
+    weighted: bool = False,
+    round_dist: bool = False,
+) -> str:
+    """Unrolled min-relaxation twin for ``shortest_paths``: round i's
+    distance CTE is "min over (carry d_{i-1}, relax every edge out of
+    d_{i-1})" — textbook Bellman-Ford with a fixed round count, which
+    the operator's frontier form equals exactly (a node re-relaxes only
+    after improving, and min over the same candidate set is the same
+    min; see the operator docstring). ``graph_ctes`` must define
+    ``nodes(id)`` and ``edges(src, dst[, cost])``. Unweighted distances
+    are BIGINT hop counts; weighted are DOUBLE running sums (exact for
+    integer-valued costs). Every chained CTE MATERIALIZED (see
+    _pagerank_oracle_sql on DuckDB's per-reference inlining)."""
+    step_cost = "r.dist + e.cost::DOUBLE" if weighted else "r.dist + 1"
+    zero = "0.0::DOUBLE" if weighted else "0::BIGINT"
+    head = f"""
+WITH {graph_ctes},
+d0 AS MATERIALIZED (SELECT id, {zero} AS dist FROM nodes WHERE {seed_pred})"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = f"d{i - 1}"
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM {p}
+    UNION ALL
+    SELECT e.dst AS id, {step_cost} AS dist
+    FROM {p} r JOIN edges e ON r.id = e.src) u
+  GROUP BY id)""")
+    out = "ROUND(dist, 6) AS dist" if round_dist else "dist"
+    return head + "".join(steps) + f"\nSELECT id, {out} FROM d{rounds}\n"
+
+
+# BFS hop distances from the region seeds over the REVERSED membership
+# graph (region -> nation -> member): integer-exact bounded
+# reachability, the quantitative form of the exposure walks.
+ORACLES["kg_bfs_distances"] = _shortest_paths_oracle_sql(
+    graph_ctes="""nodes AS (
+  SELECT 'C' || c_custkey AS id FROM customer
+  UNION ALL SELECT 'S' || s_suppkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey FROM nation
+  UNION ALL SELECT 'R' || r_regionkey FROM region),
+edges AS MATERIALIZED (
+  SELECT 'N' || c_nationkey AS src, 'C' || c_custkey AS dst FROM customer
+  UNION ALL SELECT 'N' || s_nationkey, 'S' || s_suppkey FROM supplier
+  UNION ALL SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation)""",
+    seed_pred="id LIKE 'R%'",
+    rounds=3,
+)
+
+# Weighted cheapest-mention-path costs from the 'spark' term over the
+# EXTRACTED doc<->term bipartite graph (edge cost = mention count) —
+# the tokenize->build->traverse chain in one gate; costs are
+# integer-valued doubles so both engines' running sums are bit-equal.
+ORACLES["kg_weighted_paths"] = _shortest_paths_oracle_sql(
+    graph_ctes="""toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents),
+doc_mentions AS MATERIALIZED (
+  SELECT doc_id, obj, COUNT(*) AS n
+  FROM toks
+  WHERE obj IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash', 'sort', 'agg')
+  GROUP BY doc_id, obj),
+fwd AS MATERIALIZED (
+  SELECT 'D' || doc_id AS src, obj AS dst, n::DOUBLE AS cost FROM doc_mentions),
+edges AS MATERIALIZED (
+  SELECT src, dst, cost FROM fwd
+  UNION ALL SELECT dst, src, cost FROM fwd),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)""",
+    seed_pred="id = 'spark'",
+    rounds=4,
+    weighted=True,
+    round_dist=True,
+)
+
+
+def _label_propagation_oracle_sql(iters: int = 3) -> str:
+    """Unrolled synchronous-LPA twin for ``kg_label_propagation`` over
+    the triangle-closing entity graph: per iteration, neighbor-label
+    counts over the symmetrized undirected edge set, then the
+    (count desc, label asc) ROW_NUMBER pick — the exact deterministic
+    tie-break order of ``operators/graphrank.py::label_propagation``;
+    nodes with no neighbors carry their own label through the COALESCE.
+    """
+    head = """
+WITH raw AS (
+  SELECT 'C' || c_custkey AS x, 'N' || c_nationkey AS y FROM customer
+  UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+  UNION ALL SELECT 'C' || c_custkey, 'R' || n_regionkey
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL SELECT 'S' || s_suppkey, 'R' || n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(x, y) AS lo, greatest(x, y) AS hi
+  FROM raw WHERE x <> y),
+sym AS MATERIALIZED (
+  SELECT lo AS src, hi AS dst FROM und
+  UNION ALL SELECT hi, lo FROM und),
+nodes AS (
+  SELECT 'C' || c_custkey AS id FROM customer
+  UNION ALL SELECT 'S' || s_suppkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey FROM nation
+  UNION ALL SELECT 'R' || r_regionkey FROM region),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        steps.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS id, l.label, COUNT(*) AS c
+  FROM {p} l JOIN sym e ON l.id = e.src
+  GROUP BY e.dst, l.label),
+p{i} AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}) t
+  WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT l.id, COALESCE(p.label, l.label) AS label
+  FROM {p} l LEFT JOIN p{i} p ON l.id = p.id)""")
+    return head + "".join(steps) + f"\nSELECT id, label FROM l{iters}\n"
+
+
+ORACLES["kg_label_propagation"] = _label_propagation_oracle_sql()
+
 # Deterministic shard shuffle: md5-bucket shard + full-digest order
 # re-derived hex-identically (same idiom as sample_stratified); the
 # ROW_NUMBER tie-break chain (digest, doc_id) is pinned on both sides.

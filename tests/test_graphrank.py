@@ -459,3 +459,177 @@ def test_tfidf_tie_breaks_by_term(spark):
     )
     out = tfidf_top_terms(docs, k=1).collect()
     assert {(r["doc_id"], r["term"]) for r in out} == {(1, "zag"), (2, "zag")}
+
+
+# ---------------------------------------------------------------- paths
+
+def _py_shortest_paths(edges, seeds, rounds, weights=None):
+    """Sequential full-relaxation Bellman-Ford: dist after round i =
+    min cost over paths with <= i edges."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for idx, (s, d) in enumerate(edges):
+            if s in dist:
+                c = dist[s] + (1 if weights is None else weights[idx])
+                if d not in new or c < new[d]:
+                    new[d] = c
+        dist = new
+    return dist
+
+
+def test_shortest_paths_matches_python_model(spark):
+    from cartography_spark.operators.graphrank import shortest_paths
+
+    nodes = ["a", "b", "c", "d", "e", "f"]
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "f")]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    seeds = spark.createDataFrame([("a",)], "id string")
+    for rounds in (0, 1, 2, 3):
+        got = {
+            r["id"]: r["dist"]
+            for r in shortest_paths(ndf, edf, seeds, rounds=rounds).collect()
+        }
+        assert got == _py_shortest_paths(edges, {"a"}, rounds)
+    # f is only reachable from e — multi-source picks both components.
+    seeds2 = spark.createDataFrame([("a",), ("e",)], "id string")
+    got2 = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(ndf, edf, seeds2, rounds=3).collect()
+    }
+    assert got2 == _py_shortest_paths(edges, {"a", "e"}, 3)
+
+
+def test_shortest_paths_weighted_prefers_cheaper_long_path(spark):
+    from cartography_spark.operators.graphrank import shortest_paths
+
+    # a->c direct costs 10; a->b->c costs 3: the weighted relaxation
+    # must take the longer-but-cheaper path once rounds allow it.
+    nodes = ["a", "b", "c"]
+    wedges = [("a", "c", 10.0), ("a", "b", 1.0), ("b", "c", 2.0)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame(wedges, "src string, dst string, cost double")
+    seeds = spark.createDataFrame([("a",)], "id string")
+    one = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(ndf, edf, seeds, rounds=1, weight_col="cost").collect()
+    }
+    assert one == {"a": 0.0, "b": 1.0, "c": 10.0}
+    two = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(ndf, edf, seeds, rounds=2, weight_col="cost").collect()
+    }
+    assert two == {"a": 0.0, "b": 1.0, "c": 3.0}
+
+
+def test_shortest_paths_random_graph_matches_model(spark):
+    from cartography_spark.operators.graphrank import shortest_paths
+
+    rng = random.Random(7)
+    nodes = [f"v{i}" for i in range(30)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(90)
+        }
+    )
+    edges = [(s, d) for s, d in edges if s != d]
+    weights = [float(rng.randint(1, 9)) for _ in edges]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "id string")
+    edf = spark.createDataFrame(
+        [(s, d, w) for (s, d), w in zip(edges, weights)],
+        "src string, dst string, cost double",
+    )
+    seeds = spark.createDataFrame([("v0",), ("v1",)], "id string")
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(ndf, edf, seeds, rounds=6, weight_col="cost").collect()
+    }
+    assert got == _py_shortest_paths(edges, {"v0", "v1"}, 6, weights)
+
+
+def test_shortest_paths_validates_seeds(spark):
+    from cartography_spark.operators.graphrank import shortest_paths
+
+    ndf, edf = _df_nodes_edges(spark, ["a", "b"], [("a", "b")])
+    ghost = spark.createDataFrame([("zz",)], "id string")
+    with pytest.raises(ValueError, match="not in the node set"):
+        shortest_paths(ndf, edf, ghost, rounds=2)
+    with pytest.raises(ValueError, match="rounds"):
+        shortest_paths(ndf, edf, ndf.limit(1), rounds=-1)
+
+
+# ---------------------------------------------------- label propagation
+
+def _py_label_propagation(nodes, edges, iterations):
+    """Sequential synchronous LPA with the (count desc, label asc)
+    tie-break over the canonical undirected edge set."""
+    und = {tuple(sorted((s, d))) for s, d in edges if s != d}
+    adj = {}
+    for lo, hi in und:
+        adj.setdefault(lo, []).append(hi)
+        adj.setdefault(hi, []).append(lo)
+    labels = {v: v for v in nodes}
+    for _ in range(iterations):
+        new = {}
+        for v in nodes:
+            neigh = adj.get(v, [])
+            if not neigh:
+                new[v] = labels[v]
+                continue
+            counts = {}
+            for u in neigh:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_model(spark):
+    from cartography_spark.operators.graphrank import label_propagation
+
+    # Two cliques bridged by one edge + an isolated node.
+    nodes = ["a", "b", "c", "x", "y", "z", "iso"]
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+    ]
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    for iters in (1, 2, 3):
+        got = {
+            r["id"]: r["label"]
+            for r in label_propagation(ndf, edf, iterations=iters).collect()
+        }
+        assert got == _py_label_propagation(nodes, edges, iters)
+    # Isolated node always keeps its own label.
+    assert got["iso"] == "iso"
+
+
+def test_label_propagation_random_graph_matches_model(spark):
+    from cartography_spark.operators.graphrank import label_propagation
+
+    rng = random.Random(21)
+    nodes = [f"v{i:02d}" for i in range(24)]
+    edges = list(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)}
+    )
+    ndf, edf = _df_nodes_edges(spark, nodes, edges)
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(ndf, edf, iterations=4).collect()
+    }
+    assert got == _py_label_propagation(nodes, edges, 4)
+
+
+def test_label_propagation_direction_insensitive(spark):
+    from cartography_spark.operators.graphrank import label_propagation
+
+    nodes = ["a", "b", "c"]
+    fwd = [("a", "b"), ("b", "c")]
+    rev = [("b", "a"), ("c", "b")]
+    ndf, f_df = _df_nodes_edges(spark, nodes, fwd)
+    _, r_df = _df_nodes_edges(spark, nodes, rev)
+    got_f = sorted(label_propagation(ndf, f_df, 3).collect())
+    got_r = sorted(label_propagation(ndf, r_df, 3).collect())
+    assert got_f == got_r
