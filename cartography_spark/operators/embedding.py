@@ -1,0 +1,178 @@
+"""Training-corpus generation for KG embeddings: deterministic
+random-walk corpora (DeepWalk / node2vec-style, Perozzi et al. KDD'14)
+and corrupted-triple negative sampling (TransE-style, Bordes et al.
+NeurIPS'13).
+
+A web-scale KG build feeds two standard downstream trainers: skip-gram
+over node sequences (walk corpora) and margin-ranking over
+(true, corrupted) triple pairs (negative samples). Both are
+embarrassingly parallel *given determinism* — and determinism is the
+hard part on a cluster, because naive RNG draws depend on partition
+order. Here every "random" draw is a pure function of the walk/triple
+identity via the md5 idiom shared with ``curation.py``/``packing.py``
+(hex-identical in DuckDB, so the driver oracle re-derives every pick),
+which also makes re-runs reproducible at any parallelism — the same
+property the deterministic pages generator provides upstream
+(reference analog: the reference seeds nothing and relies on Neo4j's
+MERGE idempotency; a distributed trainer needs the stronger guarantee).
+
+Scale shape:
+
+- ``random_walks``: the adjacency list is staged ONCE with a
+  per-source ``row_number`` index (the distributed alias-table build —
+  one hash exchange on ``src``) and ``localCheckpoint``-ed; each step
+  is then two equi-joins (walker -> out-degree on the current node,
+  walker -> adjacency on ``(node, picked_index)``). Joining on the
+  COMPOSITE ``(src, idx)`` key is what keeps hubs safe: a walker at a
+  10^7-degree hub matches exactly one adjacency row, never fans out.
+  Walkers that reach a dangling node simply drop out (inner join).
+  Steps are fixed-count with per-step lineage truncation, like every
+  iterative operator here.
+- ``negative_samples``: the entity dictionary (id -> dense index) is a
+  broadcast-sized dim by construction (distinct objects); corruption is
+  a row-local md5 draw joined back on the dense index, then one
+  anti-join against the true-triple set filters accidental positives
+  (including identity corruptions). Cost: one broadcast join + one
+  shuffled anti-join on the triple key — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _md5_pick(key, denom):
+    """Deterministic draw in [0, denom): first 8 md5 hex digits of
+    ``key`` as an integer, mod ``denom`` — the shared cross-engine
+    idiom (md5, not xxhash64, so DuckDB re-derives it hex-identically).
+    """
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % denom
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int,
+    num_walks: int = 1,
+    seed: str = "walk",
+) -> DataFrame:
+    """Deterministic random-walk corpus over directed ``edges(src,
+    dst)``: ``num_walks`` walks of up to ``walk_len`` steps from EVERY
+    node, step picks drawn as ``md5(seed || walk_id || ':' || step) %
+    outdeg`` over the dst-sorted adjacency index. Returns
+    ``(walk, step, id)`` — one row per visited position, step 0 the
+    start node; a walk ends early at a dangling node.
+
+    The draw depends only on ``(seed, walk identity, step)`` — never on
+    partition order or a stateful RNG — so the corpus is bit-identical
+    at any parallelism and re-derivable by the SQL oracle twin.
+    """
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    if num_walks < 1:
+        raise ValueError(f"num_walks must be >= 1, got {num_walks}")
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+        )
+        .localCheckpoint()
+    )
+    outdeg = adj.groupBy("src").agg(F.count("*").alias("outdeg")).localCheckpoint()
+    starts = (
+        adj.select(F.col("src").alias("id"))
+        .unionAll(adj.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = (
+        starts.select(
+            "id",
+            F.explode(
+                F.array(*[F.lit(str(w)) for w in range(num_walks)])
+            ).alias("__w"),
+        )
+        .select(
+            F.concat(F.col("id"), F.lit("#"), F.col("__w")).alias("walk"),
+            F.col("id").alias("cur"),
+        )
+        .localCheckpoint()
+    )
+
+    out = state.select("walk", F.lit(0).alias("step"), F.col("cur").alias("id"))
+    for t in range(1, walk_len + 1):
+        pick = _md5_pick(
+            F.concat(F.lit(seed), F.col("walk"), F.lit(":"), F.lit(str(t))),
+            F.col("outdeg"),
+        )
+        stepped = (
+            state.join(outdeg, state["cur"] == outdeg["src"])
+            .select("walk", "cur", pick.alias("__pick"))
+            .join(
+                adj,
+                (F.col("cur") == adj["src"]) & (F.col("__pick") == adj["idx"]),
+            )
+            .select("walk", F.col("dst").alias("cur"))
+            .localCheckpoint()
+        )
+        out = out.unionAll(
+            stepped.select("walk", F.lit(t).alias("step"), F.col("cur").alias("id"))
+        )
+        state = stepped
+    return out
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 2,
+    seed: str = "neg",
+) -> DataFrame:
+    """TransE-style corrupted negatives for ``triples(subj, pred,
+    obj)``: for each true triple and each ``j in [0, k)``, replace the
+    object with the entity at index ``md5(seed || subj|pred|obj|j) %
+    |E|`` of the ent-sorted object dictionary, then drop corruptions
+    that collide with ANY true triple (the standard "filtered" setting
+    — identity corruptions fall out as a special case). Returns
+    ``(subj, pred, neg_obj, j)``; fewer than ``k`` negatives survive
+    for a triple exactly when draws collide with true triples.
+
+    Every draw is a pure function of the triple identity, so the
+    negative set is reproducible at any parallelism and re-derivable by
+    the SQL oracle twin.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    t = triples.select("subj", "pred", "obj")
+    ents = (
+        t.select(F.col("obj").alias("ent"))
+        .distinct()
+        .withColumn("__eidx", F.row_number().over(Window.orderBy("ent")) - 1)
+        .localCheckpoint()
+    )
+    n_ents = ents.count()  # 1-row driver aggregate; dictionary is dim-sized
+    drawn = t.select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+    ).withColumn(
+        "__pick",
+        _md5_pick(
+            F.concat(
+                F.lit(seed),
+                F.col("subj"), F.lit("|"),
+                F.col("pred"), F.lit("|"),
+                F.col("obj"), F.lit("|"),
+                F.col("j").cast("string"),
+            ),
+            F.lit(n_ents).cast("long"),
+        ),
+    )
+    corrupted = drawn.join(
+        F.broadcast(ents), drawn["__pick"] == ents["__eidx"]
+    ).select("subj", "pred", F.col("ent").alias("neg_obj"), "j")
+    return corrupted.join(
+        t.select("subj", "pred", F.col("obj").alias("neg_obj")),
+        ["subj", "pred", "neg_obj"],
+        "left_anti",
+    )

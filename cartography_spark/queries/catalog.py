@@ -500,6 +500,53 @@ def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(nodes, _triangle_edges(spark, sf_dir), iterations=3)
 
 
+def _mention_bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized doc<->term mention edges — the shared EXTRACTED
+    graph for the embedding-corpus gates."""
+    from cartography_spark.functions.triples import extract_mentions
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    fwd = mentions.select(
+        F.concat(F.lit("D"), F.col("subj_id")).alias("src"),
+        F.col("obj").alias("dst"),
+    )
+    return fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus over the extracted doc<->term
+    mention graph: one 3-step walk per node, every step pick an md5
+    draw over the dst-sorted adjacency index — the skip-gram training
+    corpus for KG embeddings, bit-identical at any parallelism. The
+    oracle twin replays every draw hex-identically."""
+    from cartography_spark.operators.embedding import random_walks
+
+    return random_walks(
+        _mention_bipartite_edges(spark, sf_dir), walk_len=3, num_walks=1
+    )
+
+
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransE-style filtered negative sampling over the extracted
+    mention triples: k=2 md5-drawn object corruptions per true triple,
+    minus any corruption that collides with a true triple — the
+    margin-ranking training pairs for KG embeddings."""
+    from cartography_spark.functions.triples import extract_mentions
+    from cartography_spark.operators.embedding import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    triples = mentions.select(
+        F.concat(F.lit("D"), F.col("subj_id")).alias("subj"), "pred", "obj"
+    )
+    return negative_samples(triples, k=2)
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smooth idf, deterministic
     term-asc tie-break) — corpus relevance scoring for retrieval /
@@ -1545,6 +1592,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bfs_distances": kg_bfs_distances,
     "kg_weighted_paths": kg_weighted_paths,
     "kg_label_propagation": kg_label_propagation,
+    "kg_random_walks": kg_random_walks,
+    "kg_negative_samples": kg_negative_samples,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

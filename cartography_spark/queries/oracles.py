@@ -1540,6 +1540,84 @@ l{i} AS MATERIALIZED (
 
 ORACLES["kg_label_propagation"] = _label_propagation_oracle_sql()
 
+_MENTION_BIPARTITE_CTES = """toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents),
+doc_mentions AS MATERIALIZED (
+  SELECT doc_id, obj, COUNT(*) AS n
+  FROM toks
+  WHERE obj IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash', 'sort', 'agg')
+  GROUP BY doc_id, obj),
+fwd AS MATERIALIZED (
+  SELECT 'D' || doc_id AS src, obj AS dst FROM doc_mentions),
+e AS MATERIALIZED (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)"""
+
+
+def _random_walks_oracle_sql(
+    walk_len: int = 3, num_walks: int = 1, seed: str = "walk"
+) -> str:
+    """Unrolled deterministic-walk twin for ``kg_random_walks``: the
+    dst-sorted adjacency index and every per-step md5 draw are
+    re-derived hex-identically (the shared md5-pick idiom), one chained
+    CTE per step; walkers at dangling nodes drop out via the inner
+    join, exactly like ``operators/embedding.py::random_walks``."""
+    wvals = ", ".join(f"({w})" for w in range(num_walks))
+    head = f"""
+WITH {_MENTION_BIPARTITE_CTES},
+adj AS MATERIALIZED (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+  FROM (SELECT DISTINCT src, dst FROM e) t),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM adj GROUP BY src),
+starts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM adj UNION ALL SELECT dst FROM adj) u),
+s0 AS MATERIALIZED (
+  SELECT id || '#' || CAST(w AS VARCHAR) AS walk, id AS cur
+  FROM starts CROSS JOIN (VALUES {wvals}) v(w))"""
+    steps = []
+    for t in range(1, walk_len + 1):
+        p = f"s{t - 1}"
+        steps.append(f""",
+s{t} AS MATERIALIZED (
+  SELECT p.walk, a.dst AS cur
+  FROM {p} p
+  JOIN od o ON p.cur = o.src
+  JOIN adj a ON a.src = p.cur
+   AND a.idx = ('0x' || substr(md5('{seed}' || p.walk || ':{t}'), 1, 8))::BIGINT
+                % o.outdeg)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT walk, {t} AS step, cur AS id FROM s{t}" for t in range(walk_len + 1)
+    )
+    return head + "".join(steps) + "\n" + finals + "\n"
+
+
+ORACLES["kg_random_walks"] = _random_walks_oracle_sql()
+
+# Filtered TransE negatives over the extracted mention triples: k=2
+# md5-drawn object corruptions per triple against the ent-sorted
+# dictionary, minus true-triple collisions — every draw re-derived
+# hex-identically.
+ORACLES["kg_negative_samples"] = f"""
+WITH {_MENTION_BIPARTITE_CTES},
+t AS MATERIALIZED (
+  SELECT 'D' || doc_id AS subj, 'mentions' AS pred, obj FROM doc_mentions),
+ents AS MATERIALIZED (
+  SELECT ent, ROW_NUMBER() OVER (ORDER BY ent) - 1 AS eidx
+  FROM (SELECT DISTINCT obj AS ent FROM t) x),
+drawn AS MATERIALIZED (
+  SELECT subj, pred, obj, j,
+         ('0x' || substr(md5('neg' || subj || '|' || pred || '|' || obj || '|'
+                              || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+           % (SELECT COUNT(*) FROM ents) AS pick
+  FROM t CROSS JOIN (VALUES (0), (1)) v(j)),
+corrupted AS MATERIALIZED (
+  SELECT d.subj, d.pred, e.ent AS neg_obj, d.j
+  FROM drawn d JOIN ents e ON d.pick = e.eidx)
+SELECT c.subj, c.pred, c.neg_obj, c.j
+FROM corrupted c
+LEFT JOIN t ON t.subj = c.subj AND t.pred = c.pred AND t.obj = c.neg_obj
+WHERE t.subj IS NULL
+"""
+
 # Deterministic shard shuffle: md5-bucket shard + full-digest order
 # re-derived hex-identically (same idiom as sample_stratified); the
 # ROW_NUMBER tie-break chain (digest, doc_id) is pinned on both sides.

@@ -1,0 +1,135 @@
+"""Embedding-corpus generation: python-model parity for the md5 walk
+draws and negative picks, dangling-stop semantics, the
+filtered-positive property, and partition-count invariance."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from cartography_spark.operators.embedding import negative_samples, random_walks
+
+
+def _pick(key: str, denom: int) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % denom
+
+
+def _py_walks(edges, walk_len, num_walks=1, seed="walk"):
+    """Sequential model: dst-sorted adjacency, md5 step draws."""
+    adj = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    nodes = {v for e in edges for v in e}
+    rows = []
+    for v in sorted(nodes):
+        for w in range(num_walks):
+            walk = f"{v}#{w}"
+            cur = v
+            rows.append((walk, 0, cur))
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[_pick(f"{seed}{walk}:{t}", len(nbrs))]
+                rows.append((walk, t, cur))
+    return sorted(rows)
+
+
+def test_random_walks_matches_python_model(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+        ("c", "a"), ("c", "d"),  # d is dangling: walks stop there
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r["walk"], r["step"], r["id"])
+        for r in random_walks(edf, walk_len=4, num_walks=2).collect()
+    )
+    assert got == _py_walks(edges, walk_len=4, num_walks=2)
+
+
+def test_random_walks_dangling_start_emits_step0_only(spark):
+    edf = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = sorted(
+        (r["walk"], r["step"], r["id"])
+        for r in random_walks(edf, walk_len=3).collect()
+    )
+    # b has no out-edges: its walk is just the start row; a's walk
+    # reaches b at step 1 and stops.
+    assert got == [("a#0", 0, "a"), ("a#0", 1, "b"), ("b#0", 0, "b")]
+
+
+def test_random_walks_partition_count_invariant(spark):
+    rng = random.Random(3)
+    nodes = [f"v{i}" for i in range(20)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)})
+    edges = [(s, d) for s, d in edges if s != d]
+    rows1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    rows7 = spark.createDataFrame(edges, "src string, dst string").repartition(7)
+    a = sorted(map(tuple, random_walks(rows1, walk_len=3).collect()))
+    b = sorted(map(tuple, random_walks(rows7, walk_len=3).collect()))
+    assert a == b == _py_walks(edges, walk_len=3)
+
+
+def test_random_walks_validates_args(spark):
+    edf = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="walk_len"):
+        random_walks(edf, walk_len=-1)
+    with pytest.raises(ValueError, match="num_walks"):
+        random_walks(edf, walk_len=1, num_walks=0)
+
+
+def _py_negatives(triples, k=2, seed="neg"):
+    ents = sorted({o for _, _, o in triples})
+    true = set(triples)
+    out = []
+    for s, p, o in triples:
+        for j in range(k):
+            cand = ents[_pick(f"{seed}{s}|{p}|{o}|{j}", len(ents))]
+            if (s, p, cand) not in true:
+                out.append((s, p, cand, j))
+    return sorted(out)
+
+
+def test_negative_samples_matches_python_model(spark):
+    triples = [
+        ("d1", "mentions", "spark"),
+        ("d1", "mentions", "join"),
+        ("d2", "mentions", "spark"),
+        ("d3", "mentions", "hash"),
+        ("d3", "mentions", "scan"),
+    ]
+    tdf = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = sorted(
+        (r["subj"], r["pred"], r["neg_obj"], r["j"])
+        for r in negative_samples(tdf, k=3).collect()
+    )
+    assert got == _py_negatives(triples, k=3)
+
+
+def test_negative_samples_never_emit_true_triples(spark):
+    rng = random.Random(11)
+    subs = [f"d{i}" for i in range(30)]
+    objs = [f"e{i}" for i in range(10)]
+    triples = list(
+        {(rng.choice(subs), "mentions", rng.choice(objs)) for _ in range(80)}
+    )
+    tdf = spark.createDataFrame(triples, "subj string, pred string, obj string")
+    got = negative_samples(tdf, k=2).collect()
+    true = set(triples)
+    assert got, "expected some surviving negatives"
+    for r in got:
+        assert (r["subj"], r["pred"], r["neg_obj"]) not in true
+    assert sorted(
+        (r["subj"], r["pred"], r["neg_obj"], r["j"]) for r in got
+    ) == _py_negatives(triples, k=2)
+
+
+def test_negative_samples_validates_k(spark):
+    tdf = spark.createDataFrame(
+        [("a", "p", "x")], "subj string, pred string, obj string"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        negative_samples(tdf, k=0)
