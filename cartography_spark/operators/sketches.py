@@ -1,0 +1,114 @@
+"""Distributed cardinality sketching: a deterministic HyperLogLog
+(Flajolet et al. 2007) whose every step — hash, register index, rank,
+estimator, small-range correction — is re-derivable in ANSI SQL, so
+the driver's DuckDB oracle value-hashes the whole sketch pipeline.
+
+Why hand-roll instead of ``approx_count_distinct``: Spark's built-in
+HLL++ is the production choice when only Spark reads the answer, but
+its hash/bias tables are engine-private — no cross-engine gate, no
+mergeable register table a downstream (non-Spark) system can consume.
+This sketch keeps the two properties a 100 TB corpus pipeline needs:
+
+- **One shuffle, tiny state.** Registers are ``groupBy(group, bucket).
+  max(rank)`` — a partial aggregation, so executors pre-combine to at
+  most ``m = 2^p`` rows per group per partition before the exchange;
+  the reduce side holds ``groups x m`` integers no matter how many
+  billions of values stream through. The estimator is then a per-group
+  fold over <= m rows.
+- **Deterministic + mergeable.** The register value for a bucket is a
+  pure ``max`` of per-value hashes (md5-derived, hex-identical in
+  DuckDB — the shared idiom of ``curation.py``/``embedding.py``), so
+  re-runs, retries, and unions of partial register tables all agree
+  bit-for-bit. ``hll_registers`` exposes the raw registers for exactly
+  that: persist per-day register tables, ``max``-merge across days,
+  estimate once — the standard sketch-rollup pattern.
+
+Estimator: raw = alpha_m * m^2 / sum(2^-M_j) with empty registers
+contributing 2^0; small-range (linear counting) correction
+``m * ln(m / V)`` when raw <= 2.5m and V > 0 empty registers remain.
+The 32-bit-hash large-range correction is intentionally omitted — it
+matters only within ~1% of 2^32 distinct values; at that scale raise
+``p`` instead. The 2^-M_j terms are powers of two in [2^-(33-p), 1],
+so their sum is EXACT in double regardless of summation order — the
+only cross-engine float ops are the final ln/divide (absorbed by the
+caller's rounding).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: ``(group..., bucket, rank)`` with
+    ``bucket`` the top ``p`` bits of the 32-bit md5-derived hash and
+    ``rank`` the max over values of (leading zeros of the remaining
+    ``32-p`` bits) + 1. Absent buckets mean rank 0. Register tables
+    with the same ``p`` merge by ``max(rank)`` per (group, bucket)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    shift = 32 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    rem = h % F.lit(2**shift).cast("long")
+    # bin() drops leading zeros on both engines, so the leading-zero
+    # count of the (32-p)-bit window is (32-p) - length(bin(rem)),
+    # integer-exact — no log2/floor float hazard.
+    rank = F.when(rem == 0, F.lit(shift + 1)).otherwise(
+        F.lit(shift + 1) - F.length(F.bin(rem))
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.shiftright(h, shift).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col``:
+    ``(group..., approx_distinct)`` (double). Standard error is about
+    ``1.04 / sqrt(2^p)`` (~6.5% at the default p=8; raise p for
+    tighter). NULL values are ignored, matching COUNT(DISTINCT)."""
+    m = 2**p
+    regs = hll_registers(df, group_cols, value_col, p)
+    groups = list(group_cols)
+    agg = regs.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("rank"))).alias("__sum_nz"),
+        F.count("*").alias("__nz"),
+    )
+    sum_inv = F.col("__sum_nz") + (F.lit(m) - F.col("__nz"))
+    raw = F.lit(_alpha(m) * m * m) / sum_inv
+    v = F.lit(m) - F.col("__nz")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    return agg.select(*groups, est.alias("approx_distinct"))

@@ -547,6 +547,33 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(triples, k=2)
 
 
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct counts per event type, beside
+    the exact answer: event_id cardinality lands in the raw-estimator
+    branch, user_id in the linear-counting branch, so ONE gate
+    value-hashes both correction paths (hash, register, rank, fold, ln
+    — all re-derived in the DuckDB twin). The approx/exact pairing is
+    the accuracy audit a 100 TB pipeline runs at small scale before
+    trusting the sketch at full scale."""
+    from cartography_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+
+    def one(metric: str) -> DataFrame:
+        approx = hll_distinct(ev, ["event_type"], metric, p=8)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct(metric).alias("exact")
+        )
+        return approx.join(exact, "event_type").select(
+            "event_type",
+            F.lit(metric).alias("metric"),
+            F.round("approx_distinct", 4).alias("approx"),
+            "exact",
+        )
+
+    return one("event_id").unionAll(one("user_id"))
+
+
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smooth idf, deterministic
     term-asc tie-break) — corpus relevance scoring for retrieval /
@@ -1594,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_label_propagation": kg_label_propagation,
     "kg_random_walks": kg_random_walks,
     "kg_negative_samples": kg_negative_samples,
+    "sketch_hll_distinct": sketch_hll_distinct,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

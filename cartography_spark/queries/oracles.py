@@ -1540,6 +1540,49 @@ l{i} AS MATERIALIZED (
 
 ORACLES["kg_label_propagation"] = _label_propagation_oracle_sql()
 
+def _hll_oracle_sql(p: int = 8) -> str:
+    """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
+    register index via >>, integer-exact rank from length(bin(.)),
+    max-register fold, the shared alpha*m^2 literal (imported from the
+    operator so both engines divide by the SAME double), and the
+    linear-counting small-range branch — per event_type, for event_id
+    (raw branch) and user_id (linear branch) beside exact counts."""
+    from cartography_spark.operators.sketches import _alpha
+
+    m = 2**p
+    shift = 32 - p
+    am2 = f"{_alpha(m) * m * m!r}::DOUBLE"
+    parts = []
+    for metric in ("event_id", "user_id"):
+        parts.append(f"""
+SELECT event_type, '{metric}' AS metric,
+       ROUND(CASE WHEN {am2} / sum_inv <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v)
+                  ELSE {am2} / sum_inv END, 4) AS approx,
+       exact
+FROM (
+  SELECT event_type,
+         SUM(power(0.5, rank)) + ({m} - COUNT(*)) AS sum_inv,
+         {m} - COUNT(*) AS v
+  FROM (
+    SELECT event_type, h >> {shift} AS bucket,
+           MAX(CASE WHEN h % {2**shift} = 0 THEN {shift + 1}
+                    ELSE {shift + 1} - length(bin(h % {2**shift})) END) AS rank
+    FROM (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST({metric} AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events WHERE {metric} IS NOT NULL) hashed
+    GROUP BY event_type, bucket) regs
+  GROUP BY event_type) folded
+JOIN (
+  SELECT event_type, COUNT(DISTINCT {metric}) AS exact
+  FROM events GROUP BY event_type) ex USING (event_type)""")
+    return "\nUNION ALL\n".join(parts) + "\n"
+
+
+ORACLES["sketch_hll_distinct"] = _hll_oracle_sql()
+
+
 _MENTION_BIPARTITE_CTES = """toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents),
 doc_mentions AS MATERIALIZED (

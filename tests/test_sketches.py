@@ -1,0 +1,108 @@
+"""HLL sketch: bit-level python-model parity, both estimator branches,
+the register-merge property, accuracy bounds, and NULL/count-distinct
+semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cartography_spark.operators.sketches import _alpha, hll_distinct, hll_registers
+
+
+def _py_hll(values, p=8):
+    m = 2**p
+    shift = 32 - p
+    regs = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        b, rem = h >> shift, h % (2**shift)
+        rank = (shift + 1) if rem == 0 else (shift + 1 - rem.bit_length())
+        regs[b] = max(regs.get(b, 0), rank)
+    sum_inv = sum(2.0**-r for r in regs.values()) + (m - len(regs))
+    raw = _alpha(m) * m * m / sum_inv
+    v_empty = m - len(regs)
+    if raw <= 2.5 * m and v_empty > 0:
+        return m * math.log(m / v_empty)
+    return raw
+
+
+def test_hll_matches_python_model_both_branches(spark):
+    # 40 distinct -> linear counting; 3000 distinct -> raw estimator.
+    for n in (40, 3000):
+        df = spark.createDataFrame(
+            [("g", i) for i in range(n)], "grp string, val long"
+        )
+        got = hll_distinct(df, ["grp"], "val").collect()[0]["approx_distinct"]
+        assert got == pytest.approx(_py_hll(range(n)), rel=1e-12)
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    base = [("g", i) for i in range(500)]
+    df1 = spark.createDataFrame(base, "grp string, val long")
+    df3 = spark.createDataFrame(base * 3, "grp string, val long")
+    a = hll_distinct(df1, ["grp"], "val").collect()[0]["approx_distinct"]
+    b = hll_distinct(df3, ["grp"], "val").collect()[0]["approx_distinct"]
+    assert a == b
+
+
+def test_hll_accuracy_within_bounds(spark):
+    # std error ~= 1.04/sqrt(m); allow 4 sigma.
+    for p, n in ((8, 2000), (10, 5000)):
+        df = spark.createDataFrame(
+            [("g", f"u{i}") for i in range(n)], "grp string, val string"
+        )
+        got = hll_distinct(df, ["grp"], "val", p=p).collect()[0]["approx_distinct"]
+        tol = 4 * 1.04 / math.sqrt(2**p)
+        assert abs(got - n) / n < tol, (p, n, got)
+
+
+def test_hll_registers_merge_by_max(spark):
+    # Sketch(A ∪ B) == estimate over max-merged registers of A and B.
+    a = spark.createDataFrame([("g", i) for i in range(300)], "grp string, val long")
+    b = spark.createDataFrame(
+        [("g", i) for i in range(200, 700)], "grp string, val long"
+    )
+    union_est = hll_distinct(a.unionAll(b), ["grp"], "val").collect()[0][
+        "approx_distinct"
+    ]
+    merged = (
+        hll_registers(a, ["grp"], "val")
+        .unionAll(hll_registers(b, ["grp"], "val"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("rank"))
+    )
+    m = 256
+    folded = merged.groupBy("grp").agg(
+        (F.sum(F.pow(F.lit(0.5), F.col("rank"))) + (F.lit(m) - F.count("*"))).alias(
+            "sum_inv"
+        ),
+        (F.lit(m) - F.count("*")).alias("v"),
+    )
+    row = folded.collect()[0]
+    raw = _alpha(m) * m * m / row["sum_inv"]
+    est = m * math.log(m / row["v"]) if raw <= 2.5 * m and row["v"] > 0 else raw
+    assert union_est == pytest.approx(est, rel=1e-12)
+
+
+def test_hll_ignores_nulls_and_groups_independently(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", None), ("b", "x")],
+        "grp string, val string",
+    )
+    got = {
+        r["grp"]: r["approx_distinct"]
+        for r in hll_distinct(df, ["grp"], "val").collect()
+    }
+    assert got["a"] == pytest.approx(_py_hll(["x", "y"]), rel=1e-12)
+    assert got["b"] == pytest.approx(_py_hll(["x"]), rel=1e-12)
+
+
+def test_hll_validates_p(spark):
+    df = spark.createDataFrame([("g", 1)], "grp string, val long")
+    for bad in (3, 17):
+        with pytest.raises(ValueError, match="p must be"):
+            hll_distinct(df, ["grp"], "val", p=bad)
