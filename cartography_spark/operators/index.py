@@ -124,3 +124,63 @@ def build_postings(
     )
     full = pairs.groupBy("term").agg(F.count("*").alias("df"))
     return full.join(capped, "term").select("term", "df", "postings")
+
+
+def cooccurrence_pmi(pairs: DataFrame, id_col: str, term_col: str) -> DataFrame:
+    """Pointwise mutual information between terms co-occurring in the
+    same document: for each unordered term pair (a < b),
+
+        pmi  = ln( n_pair · N / (n_a · n_b) )
+        npmi = pmi / ln( N / n_pair )          (1 = always together,
+                                                0 = independent, <0 = repel)
+
+    over DISTINCT (document, term) incidences — ``n_a`` is a's document
+    frequency, ``n_pair`` the pair's, ``N`` the corpus document count.
+    Returns ``(term_a, term_b, n_pair, pmi, npmi)``. The classic
+    association signal for relation mining / phrase detection over an
+    extracted KG vocabulary (which entity pairs co-occur more than
+    chance predicts).
+
+    Scale shape: one distinct over (doc, term) — map-side combined —
+    then the pair enumeration self-joins on the document id, so
+    per-document fan-out is (terms-in-doc choose 2): bounded by the
+    per-doc vocabulary, never the corpus (the wedge-enumeration shape
+    of ``graphrank.triangle_count``, with the doc as the center). Term
+    document frequencies are a vocabulary-sized dim, broadcast twice;
+    every float op is a ratio of exact integer counts, so both engines
+    see identical doubles into the final ln.
+    """
+    inc = pairs.select(
+        F.col(id_col).alias("doc"), F.col(term_col).alias("term")
+    ).distinct()
+    n_docs = inc.select("doc").distinct().count()  # 1-row driver aggregate
+    df_t = inc.groupBy("term").agg(F.count("*").alias("n")).localCheckpoint()
+    a = inc.select("doc", F.col("term").alias("term_a"))
+    b = inc.select("doc", F.col("term").alias("term_b"))
+    co = (
+        a.join(b, "doc")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    out = (
+        co.join(
+            F.broadcast(df_t.select(F.col("term").alias("term_a"), F.col("n").alias("n_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df_t.select(F.col("term").alias("term_b"), F.col("n").alias("n_b"))),
+            "term_b",
+        )
+    )
+    pmi = F.log(F.col("n_pair") * F.lit(n_docs) / (F.col("n_a") * F.col("n_b")))
+    npmi = pmi / F.log(F.lit(n_docs) / F.col("n_pair"))
+    return out.select(
+        "term_a",
+        "term_b",
+        "n_pair",
+        pmi.alias("pmi"),
+        # A pair present in EVERY document has ln(N/n_pair) = 0; define
+        # npmi = 1 there (the "always together" limit).
+        F.when(F.col("n_pair") == n_docs, F.lit(1.0)).otherwise(npmi).alias("npmi"),
+    )

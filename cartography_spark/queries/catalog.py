@@ -547,6 +547,27 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(triples, k=2)
 
 
+def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI / normalized-PMI association between extracted vocabulary
+    entities co-mentioned in the same document — the relation-mining
+    signal over the KG vocabulary (which entity pairs co-occur beyond
+    chance). Integer counts into a final ln on both engines."""
+    from cartography_spark.functions.triples import extract_mentions
+    from cartography_spark.operators.index import cooccurrence_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    out = cooccurrence_pmi(mentions, "subj_id", "obj")
+    return out.select(
+        "term_a",
+        "term_b",
+        "n_pair",
+        F.round("pmi", 6).alias("pmi"),
+        F.round("npmi", 6).alias("npmi"),
+    )
+
+
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct counts per event type, beside
     the exact answer: event_id cardinality lands in the raw-estimator
@@ -1622,6 +1643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_random_walks": kg_random_walks,
     "kg_negative_samples": kg_negative_samples,
     "sketch_hll_distinct": sketch_hll_distinct,
+    "kg_entity_pmi": kg_entity_pmi,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

@@ -1540,6 +1540,33 @@ l{i} AS MATERIALIZED (
 
 ORACLES["kg_label_propagation"] = _label_propagation_oracle_sql()
 
+# PMI / NPMI over co-mentioned vocabulary entities: distinct (doc,
+# term) incidences, doc-keyed pair self-join (a < b), integer counts
+# into one final ln — the relation-mining association gate.
+ORACLES["kg_entity_pmi"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents),
+inc AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS doc, obj AS term
+  FROM toks
+  WHERE obj IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash', 'sort', 'agg')),
+n AS (SELECT COUNT(DISTINCT doc) AS n FROM inc),
+dfq AS MATERIALIZED (SELECT term, COUNT(*) AS n FROM inc GROUP BY term),
+co AS MATERIALIZED (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_pair
+  FROM inc a JOIN inc b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY a.term, b.term)
+SELECT term_a, term_b, n_pair,
+       ROUND(ln(n_pair * (SELECT n FROM n) / (da.n * db.n)), 6) AS pmi,
+       ROUND(CASE WHEN n_pair = (SELECT n FROM n) THEN 1.0
+                  ELSE ln(n_pair * (SELECT n FROM n) / (da.n * db.n))
+                       / ln((SELECT n FROM n) / n_pair) END, 6) AS npmi
+FROM co
+JOIN dfq da ON da.term = co.term_a
+JOIN dfq db ON db.term = co.term_b
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),

@@ -242,3 +242,46 @@ def test_global_prefix_sum_passthrough_and_order(spark):
     assert out["b"]["prefix_sum"] == 1
     assert out["c"]["prefix_sum"] == 6
     assert out["c"]["extra"] == "x"  # other columns pass through
+
+
+def test_cooccurrence_pmi_hand_computed(spark):
+    import math
+
+    from cartography_spark.operators.index import cooccurrence_pmi
+
+    # 4 docs: (a,b) together twice, a alone once, b alone once, (a,c) once.
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"),
+        (3, "a"),  # duplicate incidence must not double-count
+    ]
+    df = spark.createDataFrame(rows, "doc long, term string")
+    got = {
+        (r["term_a"], r["term_b"]): r
+        for r in cooccurrence_pmi(df, "doc", "term").collect()
+    }
+    n, n_a, n_b, n_c = 4, 3, 3, 1
+    ab = got[("a", "b")]
+    assert ab["n_pair"] == 2
+    assert ab["pmi"] == pytest.approx(math.log(2 * n / (n_a * n_b)), rel=1e-12)
+    assert ab["npmi"] == pytest.approx(
+        math.log(2 * n / (n_a * n_b)) / math.log(n / 2), rel=1e-12
+    )
+    ac = got[("a", "c")]
+    assert ac["n_pair"] == 1
+    # c appears only with a: pmi = ln(1*4/(3*1)) , npmi = pmi/ln(4)
+    assert ac["pmi"] == pytest.approx(math.log(4 / 3), rel=1e-12)
+    # no (b, c) pair ever co-occurs
+    assert ("b", "c") not in got
+
+
+def test_cooccurrence_pmi_always_together_npmi_is_one(spark):
+    from cartography_spark.operators.index import cooccurrence_pmi
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y")]
+    df = spark.createDataFrame(rows, "doc long, term string")
+    got = cooccurrence_pmi(df, "doc", "term").collect()
+    assert len(got) == 1
+    assert got[0]["npmi"] == 1.0
