@@ -417,6 +417,9 @@ def main() -> None:
         "kg_kcore", "shard_shuffle", "text_postings",
         "kg_pagerank_personalized", "text_bm25", "sample_split",
         "kg_hits", "sim_random_projection", "agg_rolling_window",
+        "kg_bfs_distances", "kg_weighted_paths", "kg_label_propagation",
+        "kg_random_walks", "kg_negative_samples", "sketch_hll_distinct",
+        "kg_entity_pmi",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

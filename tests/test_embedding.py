@@ -133,3 +133,57 @@ def test_negative_samples_validates_k(spark):
     )
     with pytest.raises(ValueError, match="k must be"):
         negative_samples(tdf, k=0)
+
+
+def test_embedding_plans_broadcast_and_stay_parallel(spark):
+    """100 TB shape pins: the negative sampler's entity dictionary is a
+    BROADCAST join (never a shuffled one) and the walk step join is an
+    equi-join on the composite (node, index) key — no cartesian, and no
+    single-partition exchange outside the dictionary's own dim-sized
+    row_number (which is the documented dictionary build)."""
+    edges = [(f"v{i}", f"v{(i * 7 + 1) % 40}") for i in range(40)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    walk_plan = (
+        random_walks(edf, walk_len=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in walk_plan
+    assert "BroadcastNestedLoopJoin" not in walk_plan
+
+    tdf = spark.createDataFrame(
+        [(f"d{i}", "p", f"e{i % 9}") for i in range(60)],
+        "subj string, pred string, obj string",
+    )
+    neg_plan = (
+        negative_samples(tdf, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in neg_plan
+    assert "CartesianProduct" not in neg_plan
+
+
+def test_shortest_paths_and_lpa_plans_stay_parallel(spark):
+    from cartography_spark.operators.graphrank import (
+        label_propagation,
+        shortest_paths,
+    )
+
+    edges = [(f"v{i}", f"v{(i * 3 + 1) % 30}") for i in range(30)]
+    ndf = spark.createDataFrame(
+        [(f"v{i}",) for i in range(30)], "id string"
+    )
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("v0",)], "id string")
+    sp_plan = (
+        shortest_paths(ndf, edf, seeds, rounds=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # The LPA tie-break window partitions by node id, so even the pick
+    # stays a parallel hash exchange.
+    lpa_plan = (
+        label_propagation(ndf, edf, iterations=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for plan in (sp_plan, lpa_plan):
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
