@@ -419,7 +419,7 @@ def main() -> None:
         "kg_hits", "sim_random_projection", "agg_rolling_window",
         "kg_bfs_distances", "kg_weighted_paths", "kg_label_propagation",
         "kg_random_walks", "kg_negative_samples", "sketch_hll_distinct",
-        "kg_entity_pmi",
+        "kg_entity_pmi", "kg_hyperball_reach",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -481,6 +481,65 @@ def label_propagation(
     return labels
 
 
+def hyperball(
+    edges: DataFrame,
+    rounds: int,
+    p: int = 6,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, 2013): the approximate neighborhood
+    function — for every node, an HLL estimate of how many nodes are
+    reachable FROM it within ``rounds`` hops over directed
+    ``edges(src, dst)`` (the ball includes the node itself). Returns
+    ``(id, approx_reach)`` (double, ~1.04/sqrt(2^p) standard error).
+    The per-node reach curve is the scalable substitute for exact
+    all-pairs BFS — the input to effective-diameter / centrality
+    estimates, which are quadratic-or-worse done exactly but one
+    sketch-propagation per hop done this way.
+
+    Each node's ball is an HLL register set seeded with its OWN
+    md5-derived register; one round max-merges every node's registers
+    with its out-neighbors' — set union in sketch space, so after r
+    rounds node v holds the sketch of exactly {u : dist(v, u) <= r}.
+    Distributed shape per round: one equi-join (edges x registers, on
+    the neighbor id) unioned with the carry, then a partially
+    aggregated ``groupBy(id, bucket).max(rank)`` — per-node state is
+    capped at 2^p register rows no matter the graph (registers ride as
+    rows, not a packed binary column, which is what keeps every step
+    re-derivable by the unrolled SQL oracle twin; a production variant
+    would pack them via Arrow at ~8x density, same plan shape).
+    Determinism: registers are pure md5 functions of node ids and the
+    fold sums exact powers of two — identical at any parallelism.
+    """
+    from cartography_spark.operators.sketches import hll_estimate, hll_registers
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    # Seed: each node's ball at r=0 is {itself}.
+    regs = hll_registers(
+        nodes.select("id", F.col("id").alias("__member")), ["id"], "__member", p
+    ).localCheckpoint()
+    for _ in range(rounds):
+        pulled = (
+            e.join(regs, e["dst"] == regs["id"])
+            .select(e["src"].alias("id"), "bucket", "rank")
+        )
+        regs = (
+            regs.unionAll(pulled)
+            .groupBy("id", "bucket")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint()
+        )
+    return hll_estimate(regs, ["id"], p).select(
+        "id", F.col("approx_distinct").alias("approx_reach")
+    )
+
+
 def _degrees(und: DataFrame) -> DataFrame:
     return (
         und.select(F.col("lo").alias("id"))

@@ -88,18 +88,16 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame,
+def hll_estimate(
+    regs: DataFrame,
     group_cols: Sequence[str],
-    value_col: str,
     p: int = 8,
 ) -> DataFrame:
-    """Per-group approximate distinct count of ``value_col``:
-    ``(group..., approx_distinct)`` (double). Standard error is about
-    ``1.04 / sqrt(2^p)`` (~6.5% at the default p=8; raise p for
-    tighter). NULL values are ignored, matching COUNT(DISTINCT)."""
+    """Fold a register table ``(group..., bucket, rank)`` (as produced
+    by :func:`hll_registers`, possibly max-merged across partial
+    tables) into ``(group..., approx_distinct)``. Shared by
+    ``hll_distinct`` and the graph-side HyperBall propagation."""
     m = 2**p
-    regs = hll_registers(df, group_cols, value_col, p)
     groups = list(group_cols)
     agg = regs.groupBy(*groups).agg(
         F.sum(F.pow(F.lit(0.5), F.col("rank"))).alias("__sum_nz"),
@@ -112,3 +110,16 @@ def hll_distinct(
         (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(m) / v)
     ).otherwise(raw)
     return agg.select(*groups, est.alias("approx_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col``:
+    ``(group..., approx_distinct)`` (double). Standard error is about
+    ``1.04 / sqrt(2^p)`` (~6.5% at the default p=8; raise p for
+    tighter). NULL values are ignored, matching COUNT(DISTINCT)."""
+    return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)

@@ -547,6 +547,19 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(triples, k=2)
 
 
+def kg_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate 2-hop neighborhood sizes over the
+    extracted doc<->term mention graph: HLL registers seeded per node
+    and max-merged along edges each round — the scalable substitute
+    for exact all-pairs BFS (neighborhood function / effective
+    diameter input). Every register and fold step re-derived
+    hex-identically by the DuckDB twin."""
+    from cartography_spark.operators.graphrank import hyperball
+
+    out = hyperball(_mention_bipartite_edges(spark, sf_dir), rounds=2, p=6)
+    return out.select("id", F.round("approx_reach", 4).alias("approx_reach"))
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1644,6 +1657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negative_samples": kg_negative_samples,
     "sketch_hll_distinct": sketch_hll_distinct,
     "kg_entity_pmi": kg_entity_pmi,
+    "kg_hyperball_reach": kg_hyperball_reach,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

@@ -1623,6 +1623,60 @@ e AS MATERIALIZED (
   SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd)"""
 
 
+def _hyperball_oracle_sql(rounds: int = 2, p: int = 6) -> str:
+    """Unrolled HyperBall twin for ``kg_hyperball_reach``: per-node HLL
+    registers seeded from md5(id), one max-merge CTE per round (carry
+    UNION ALL pull-from-out-neighbors, then GROUP BY max), and the
+    shared estimator fold — alpha*m^2 imported from the operator so
+    both engines divide the SAME double. Register rows per node are
+    capped at 2^p, so even the unrolled twin stays small."""
+    from cartography_spark.operators.sketches import _alpha
+
+    m = 2**p
+    shift = 32 - p
+    am2 = f"{_alpha(m) * m * m!r}::DOUBLE"
+    head = f"""
+WITH {_MENTION_BIPARTITE_CTES},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed) u),
+r0 AS MATERIALIZED (
+  SELECT id, h >> {shift} AS bucket,
+         MAX(CASE WHEN h % {2**shift} = 0 THEN {shift + 1}
+                  ELSE {shift + 1} - length(bin(h % {2**shift})) END) AS rank
+  FROM (SELECT id, ('0x' || substr(md5(id), 1, 8))::BIGINT AS h FROM nodes) x
+  GROUP BY id, bucket)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        prev = f"r{i - 1}"
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT id, bucket, MAX(rank) AS rank FROM (
+    SELECT id, bucket, rank FROM {prev}
+    UNION ALL
+    SELECT e.src AS id, r.bucket, r.rank
+    FROM ed e JOIN {prev} r ON e.dst = r.id) u
+  GROUP BY id, bucket)""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT id,
+       ROUND(CASE WHEN {am2} / sum_inv <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / v)
+                  ELSE {am2} / sum_inv END, 4) AS approx_reach
+FROM (
+  SELECT id,
+         SUM(power(0.5, rank)) + ({m} - COUNT(*)) AS sum_inv,
+         {m} - COUNT(*) AS v
+  FROM r{rounds} GROUP BY id) f
+"""
+    )
+
+
+ORACLES["kg_hyperball_reach"] = _hyperball_oracle_sql()
+
+
 def _random_walks_oracle_sql(
     walk_len: int = 3, num_walks: int = 1, seed: str = "walk"
 ) -> str:

@@ -106,3 +106,78 @@ def test_hll_validates_p(spark):
     for bad in (3, 17):
         with pytest.raises(ValueError, match="p must be"):
             hll_distinct(df, ["grp"], "val", p=bad)
+
+
+# ------------------------------------------------------------ hyperball
+
+def _py_hyperball(edges, rounds, p=6):
+    """Sequential model: exact ball sets -> the same HLL estimate
+    (sketch-of-union == union-of-sketches, so estimating the exact
+    ball through _py_hll is bit-equivalent to register max-merge)."""
+    nodes = {v for e in edges for v in e}
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    balls = {v: {v} for v in nodes}
+    for _ in range(rounds):
+        balls = {
+            v: balls[v] | set().union(*(balls[w] for w in adj.get(v, ())) or [set()])
+            for v in nodes
+        }
+    return {v: _py_hll(sorted(b), p=p) for v, b in balls.items()}
+
+
+def test_hyperball_matches_python_model(spark):
+    from cartography_spark.operators.graphrank import hyperball
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+        ("a", "c"), ("e", "a"),
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    for rounds in (0, 1, 2, 3):
+        got = {
+            r["id"]: r["approx_reach"]
+            for r in hyperball(edf, rounds=rounds).collect()
+        }
+        want = _py_hyperball(edges, rounds)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], rel=1e-12), (rounds, v)
+
+
+def test_hyperball_tracks_exact_reach_within_bounds(spark):
+    import random as _random
+
+    from cartography_spark.operators.graphrank import hyperball
+
+    rng = _random.Random(5)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)})
+    edges = [(s, d) for s, d in edges if s != d]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["approx_reach"] for r in hyperball(edf, rounds=3, p=8).collect()}
+    # exact 3-hop balls
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    balls = {v: {v} for v in {x for e in edges for x in e}}
+    for _ in range(3):
+        balls = {v: b | set().union(*(balls[w] for w in adj.get(v, ())) or [set()])
+                 for v, b in balls.items()}
+    tol = 4 * 1.04 / math.sqrt(256)
+    for v, b in balls.items():
+        assert abs(got[v] - len(b)) / len(b) < tol, (v, len(b), got[v])
+
+
+def test_hyperball_partition_count_invariant_and_validates(spark):
+    from cartography_spark.operators.graphrank import hyperball
+
+    edges = [(f"v{i}", f"v{(i * 5 + 2) % 17}") for i in range(17)]
+    e1 = spark.createDataFrame(edges, "src string, dst string").repartition(1)
+    e9 = spark.createDataFrame(edges, "src string, dst string").repartition(9)
+    a = sorted(map(tuple, hyperball(e1, rounds=2).collect()))
+    b = sorted(map(tuple, hyperball(e9, rounds=2).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="rounds"):
+        hyperball(e1, rounds=-1)
