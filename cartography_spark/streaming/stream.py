@@ -376,6 +376,59 @@ def stream_to_store(
     return totals
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_seconds: float,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair every left row
+    with the right rows sharing ``key_col`` whose ``right_ts`` falls in
+    ``[left_ts, left_ts + max_delay_seconds]`` — the attribution /
+    freshness-correlation primitive (e.g. entity-record updates joined
+    to the page mentions that landed within N days after them). Both
+    sides carry the same event-time ``watermark``; with the time-range
+    condition, Spark bounds BOTH join-state buffers to the watermark +
+    delay horizon — the property that makes a stream-stream join viable
+    at all (an unconditioned stream join buffers forever).
+
+    ``left`` and ``right`` must share ONLY ``key_col`` (other column
+    names must be disjoint — validated); output is key, both
+    timestamps, then the remaining left and right columns. Works
+    identically as a batch join when both inputs are static frames (the
+    stream==batch parity test's form).
+    """
+    if max_delay_seconds < 0:
+        raise ValueError(f"max_delay_seconds must be >= 0, got {max_delay_seconds}")
+    shared = (set(left.columns) & set(right.columns)) - {key_col}
+    if shared:
+        raise ValueError(
+            f"left/right column names must be disjoint apart from {key_col!r}; "
+            f"shared: {sorted(shared)}"
+        )
+    is_streaming = left.isStreaming or right.isStreaming
+    lf = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rf = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    delay_us = round(max_delay_seconds * 1_000_000)
+    cond = (
+        (lf[key_col] == rf[key_col])
+        & (rf[right_ts] >= lf[left_ts])
+        & (rf[right_ts] <= lf[left_ts] + F.expr(f"INTERVAL {delay_us} MICROSECOND"))
+    )
+    joined = lf.join(rf, cond)
+    rest = [c for c in left.columns if c not in (key_col, left_ts)] + [
+        c for c in right.columns if c not in (key_col, right_ts)
+    ]
+    out = joined.select(lf[key_col].alias(key_col), left_ts, right_ts, *rest)
+    # Batch callers get the same frame; streaming callers get append-mode
+    # emission once the watermark passes left_ts + delay.
+    assert out.isStreaming == is_streaming
+    return out
+
+
 def run_to_table(
     counts: DataFrame,
     output_dir: str,

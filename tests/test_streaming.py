@@ -563,3 +563,76 @@ def test_stream_session_stats_matches_batch(spark, tmp_path):
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
     assert got.count() == 5   # a:3 sessions, b:2 sessions
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the batch join's pairs across multi-file micro-batches:
+    view->purchase attribution per user within 60s. Sentinel rows far
+    in the future advance the watermark so every real pair finalizes."""
+    from datetime import datetime, timedelta
+
+    from cartography_spark.streaming.stream import stream_interval_join
+
+    t0 = datetime(2024, 1, 1)
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "buys")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    views = [
+        ("u1", t0, "home"), ("u1", t0 + timedelta(seconds=100), "item"),
+        ("u2", t0 + timedelta(seconds=5), "item"),
+        ("u3", t0 + timedelta(seconds=50), "home"),
+    ]
+    buys = [
+        ("u1", t0 + timedelta(seconds=30), 9.99),    # joins u1@0 only
+        ("u1", t0 + timedelta(seconds=130), 5.00),   # joins u1@100 only
+        ("u2", t0 + timedelta(seconds=4), 1.00),     # BEFORE the view: no join
+        ("u3", t0 + timedelta(seconds=110), 2.50),   # joins u3@50 (60s edge)
+        ("u3", t0 + timedelta(seconds=111), 2.50),   # 61s: outside the bound
+    ]
+    v_schema = "user string, view_ts timestamp, page string"
+    b_schema = "user string, buy_ts timestamp, amount double"
+    vdf = spark.createDataFrame(views, v_schema)
+    bdf = spark.createDataFrame(buys, b_schema)
+    vdf.repartition(2).write.parquet(vdir)
+    bdf.repartition(2).write.parquet(pdir)
+    far = t0 + timedelta(days=30)
+    spark.createDataFrame([("zz", far, "x")], v_schema).write.mode("append").parquet(vdir)
+    spark.createDataFrame([("zz", far, 0.0)], b_schema).write.mode("append").parquet(pdir)
+
+    vs = spark.readStream.schema(v_schema).option("maxFilesPerTrigger", 1).parquet(vdir)
+    bs = spark.readStream.schema(b_schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    joined = stream_interval_join(
+        vs, bs, "user", "view_ts", "buy_ts", 60.0, watermark="1 minute"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+
+    got = spark.read.parquet(out_dir).where(F.col("user") != "zz")
+    batch = stream_interval_join(
+        vdf, bdf, "user", "view_ts", "buy_ts", 60.0
+    )
+    assert not batch.isStreaming
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    assert got.count() == 3
+    # inclusive upper bound: the u3 pair at exactly +60s is present
+    assert got.where(F.col("amount") == 2.50).count() == 1
+
+
+def test_stream_interval_join_validates(spark):
+    from cartography_spark.streaming.stream import stream_interval_join
+
+    a = spark.createDataFrame([("u", None)], "user string, ts timestamp")
+    b = spark.createDataFrame([("u", None)], "user string, ts timestamp")
+    with pytest.raises(ValueError, match="disjoint"):
+        stream_interval_join(a, b, "user", "ts", "ts", 10.0)
+    c = spark.createDataFrame([("u", None)], "user string, ts2 timestamp")
+    with pytest.raises(ValueError, match="max_delay_seconds"):
+        stream_interval_join(a, c, "user", "ts", "ts2", -1.0)
