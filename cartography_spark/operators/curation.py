@@ -250,3 +250,61 @@ def split_assignment(
     # pin completeness by folding the tail into the last label.
     expr = expr.otherwise(F.lit(label))
     return df.withColumn(out_col, expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k rows per
+    group with inclusion probability proportional to ``weight_col``
+    (Efraimidis & Spirakis 2006, via the exponential race: each row
+    draws key = -ln(u)/w with u a uniform md5 function of the id, and
+    the k SMALLEST keys win — equivalent to their u^(1/w) top-k form
+    but numerically better conditioned). Adds ``sample_rank`` (1..k).
+
+    The quality-weighted data-mixing primitive ``stratified_sample``
+    can't give: "take the best-ish 100k docs per language, biased by
+    quality score, reproducibly". Weights must be > 0 (validated via a
+    1-row aggregate); groups with fewer than k rows keep all rows.
+
+    Determinism: u = (bucket(id) + 1) / 2^32 over the shared md5 idiom
+    — a pure function of (seed, id), so membership survives re-runs,
+    retries, and any parallelism, and the DuckDB twin re-derives every
+    key. Distributed shape: the key is row-local; selection is one
+    ``row_number`` over (group, key asc, id asc) — a single hash
+    exchange on the group, exactly the agg_window_topk_o1 plan.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    bad = df.agg(
+        F.coalesce(
+            F.sum((F.col(weight_col).isNull() | (F.col(weight_col) <= 0)).cast("int")),
+            F.lit(0),
+        ).alias("n")
+    ).collect()[0]["n"]
+    if bad:
+        raise ValueError(f"{bad} row(s) have NULL or non-positive {weight_col!r}")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^32 — never 0, so ln(u) is finite.
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**32))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("__ws_key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__ws_key", key)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= k)
+        .drop("__ws_key")
+    )

@@ -41,6 +41,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from cartography_spark.operators.embedding import _md5_pick
+
 
 def _alpha(m: int) -> float:
     if m == 16:
@@ -123,3 +125,74 @@ def hll_distinct(
     ``1.04 / sqrt(2^p)`` (~6.5% at the default p=8; raise p for
     tighter). NULL values are ignored, matching COUNT(DISTINCT)."""
     return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)
+
+
+def count_min_counters(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch counter table (Cormode & Muthukrishnan 2005)
+    for the frequency of ``value_col``: ``depth`` independent hash rows
+    of ``width`` buckets each, ``(row, bucket, cnt)``. Counter tables
+    with the same shape merge by SUM — the streaming/rollup property
+    (per-day counter tables sum into per-month ones exactly).
+
+    Scale shape: one explode to ``depth`` rows per input row, then a
+    partially-aggregated ``groupBy(row, bucket).count`` — reduce-side
+    state is ``depth * width`` integers no matter how many billions of
+    rows stream through. Hashes are the shared md5 idiom (row index
+    salted into the key), so counters are deterministic and
+    re-derivable in SQL. Integer-exact end to end — no float anywhere.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}, {width}")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+    )
+    bucket = _md5_pick(
+        F.concat(F.lit(seed), F.col("row").cast("string"), F.lit("|"), F.col("__v")),
+        F.lit(width).cast("long"),
+    )
+    return (
+        rows.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "cm",
+) -> DataFrame:
+    """Point-query the Count-Min counters for every row of
+    ``candidates``: ``(value, est)`` with ``est = min over rows of the
+    value's bucket counter`` — an overestimate, never an underestimate
+    (est >= true count always; the one-sided error is the sketch's
+    contract and is test-pinned). ``depth``/``width``/``seed`` must
+    match the build. Candidate lookups are a broadcast-sized dim
+    exploded to ``depth`` probes and equi-joined to the counters."""
+    cand = candidates.select(
+        F.col(value_col).cast("string").alias("__v")
+    ).distinct()
+    probes = cand.select(
+        "__v",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+    )
+    bucket = _md5_pick(
+        F.concat(F.lit(seed), F.col("row").cast("string"), F.lit("|"), F.col("__v")),
+        F.lit(width).cast("long"),
+    )
+    probes = probes.select("__v", "row", bucket.alias("bucket"))
+    return (
+        probes.join(counters, ["row", "bucket"], "left")
+        .groupBy(F.col("__v").alias(value_col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -560,6 +560,43 @@ def kg_hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("approx_reach", 4).alias("approx_reach"))
 
 
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter estimates for per-user event frequencies
+    beside the exact counts (d=4 rows x w=64 buckets over 150 users, so
+    bucket collisions actually bite and the one-sided overestimate is
+    visible in the gated values). Integer-exact end to end — build,
+    probe, min — on both engines."""
+    from cartography_spark.operators.sketches import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counters = count_min_counters(ev, "user_id", depth=4, width=64)
+    est = count_min_estimate(counters, ev, "user_id", depth=4, width=64)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("user_id"))
+        .agg(F.count("*").alias("exact"))
+    )
+    return est.join(exact, "user_id").select("user_id", "est", "exact")
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: the 3
+    docs per source drawn with probability proportional to token count
+    — quality-weighted data mixing, reproducible at any parallelism
+    (keys are md5 pure functions of the id). Selection = one row_number
+    over (source, key), the topk plan."""
+    from cartography_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(F.split("text", " ")).alias("w")
+    )
+    out = weighted_sample(docs, ["source"], "w", "doc_id", k=3)
+    return out.select("source", "doc_id", "sample_rank")
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1658,6 +1695,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "kg_entity_pmi": kg_entity_pmi,
     "kg_hyperball_reach": kg_hyperball_reach,
+    "sketch_count_min": sketch_count_min,
+    "sample_weighted": sample_weighted,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

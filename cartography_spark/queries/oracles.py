@@ -1567,6 +1567,56 @@ JOIN dfq db ON db.term = co.term_b
 """
 
 
+# Count-Min heavy hitters: d=4 x w=64 counters over per-user event
+# rows, min-of-probes estimate beside exact counts — integer-exact on
+# both engines, every bucket an md5 re-derivation.
+ORACLES["sketch_count_min"] = """
+WITH vals AS (
+  SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL),
+counters AS MATERIALIZED (
+  SELECT r AS row,
+         ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || '|' || v), 1, 8))::BIGINT
+           % 64 AS bucket,
+         COUNT(*) AS cnt
+  FROM vals CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)
+  GROUP BY row, bucket),
+cand AS MATERIALIZED (SELECT DISTINCT v FROM vals),
+probes AS (
+  SELECT v, r AS row,
+         ('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || '|' || v), 1, 8))::BIGINT
+           % 64 AS bucket
+  FROM cand CROSS JOIN (VALUES (0), (1), (2), (3)) t(r)),
+est AS (
+  SELECT v, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM probes p LEFT JOIN counters c ON p.row = c.row AND p.bucket = c.bucket
+  GROUP BY v),
+ex AS (SELECT v, COUNT(*) AS exact FROM vals GROUP BY v)
+SELECT est.v AS user_id, est.est AS est, ex.exact AS exact
+FROM est JOIN ex USING (v)
+"""
+
+
+# Efraimidis-Spirakis weighted sample: exponential-race key
+# -ln((h+1)/2^32)/w re-derived per doc, k smallest per source with the
+# (key asc, doc_id asc) tie-break — selection-identical on both
+# engines (keys are continuous md5 draws; a flip needs a sub-ulp tie).
+ORACLES["sample_weighted"] = """
+WITH sized AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS w FROM documents),
+keyed AS (
+  SELECT source, doc_id,
+         -ln(((('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               + 1)) / 4294967296.0) / w AS key
+  FROM sized)
+SELECT source, doc_id, CAST(rn AS INT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY key ASC, doc_id ASC) AS rn
+  FROM keyed) t
+WHERE rn <= 3
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),

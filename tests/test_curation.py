@@ -304,3 +304,80 @@ def test_split_assignment_validates_fractions(spark):
         split_assignment(docs, {"train": 0.5, "test": 0.2})
     with _pt.raises(ValueError, match="non-empty"):
         split_assignment(docs, {})
+
+
+# ------------------------------------------------------- weighted sample
+
+def _py_weighted_sample(rows, k, seed="ws"):
+    """rows: (group, id, w). Same exponential race: key = -ln(u)/w."""
+    import hashlib as _h
+    import math as _m
+
+    keyed = []
+    for g, i, w in rows:
+        h = int(_h.md5(f"{seed}{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 2**32
+        keyed.append((g, i, -_m.log(u) / w))
+    out = []
+    for g in {r[0] for r in rows}:
+        grp = sorted((k2, i) for gg, i, k2 in keyed if gg == g)
+        out.extend((g, i, rank + 1) for rank, (_, i) in enumerate(grp[:k]))
+    return sorted(out)
+
+
+def test_weighted_sample_matches_python_model(spark):
+    from cartography_spark.operators.curation import weighted_sample
+
+    rows = [(f"g{i % 3}", i, 1 + (i * 7) % 13) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = sorted(
+        (r["grp"], r["id"], r["sample_rank"])
+        for r in weighted_sample(df, ["grp"], "w", "id", k=4).collect()
+    )
+    assert got == _py_weighted_sample(rows, 4)
+
+
+def test_weighted_sample_small_groups_keep_all_rows(spark):
+    from cartography_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("b", 3, 5)], "grp string, id long, w long"
+    )
+    got = weighted_sample(df, ["grp"], "w", "id", k=10).collect()
+    assert len(got) == 3
+    assert {r["sample_rank"] for r in got} <= {1, 2}
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    from collections import Counter
+
+    from cartography_spark.operators.curation import weighted_sample
+
+    # 200 groups x {1 heavy (w=50), 9 light (w=1)}: the heavy row
+    # should be sampled (k=1) in far more groups than any light one —
+    # P(heavy wins) = 50/59 ≈ 0.85.
+    rows = [
+        (f"g{g}", g * 10 + i, 50 if i == 0 else 1)
+        for g in range(200)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = weighted_sample(df, ["grp"], "w", "id", k=1).collect()
+    wins = Counter("heavy" if r["id"] % 10 == 0 else "light" for r in got)
+    assert wins["heavy"] > 140  # E≈170, sigma≈5 — far above any noise
+    # and determinism: a re-run is identical
+    again = weighted_sample(df.repartition(11), ["grp"], "w", "id", k=1).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_validates(spark):
+    import pytest as _pt
+
+    from cartography_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([("a", 1, 0)], "grp string, id long, w long")
+    with _pt.raises(ValueError, match="non-positive"):
+        weighted_sample(df, ["grp"], "w", "id", k=1)
+    df2 = spark.createDataFrame([("a", 1, 2)], "grp string, id long, w long")
+    with _pt.raises(ValueError, match="k must be"):
+        weighted_sample(df2, ["grp"], "w", "id", k=0)

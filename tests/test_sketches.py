@@ -181,3 +181,78 @@ def test_hyperball_partition_count_invariant_and_validates(spark):
     assert a == b
     with pytest.raises(ValueError, match="rounds"):
         hyperball(e1, rounds=-1)
+
+
+# ------------------------------------------------------------ count-min
+
+def _py_count_min(values, queries, depth=4, width=64, seed="cm"):
+    counters = {}
+    for v in values:
+        for r in range(depth):
+            b = _pick2(f"{seed}{r}|{v}", width)
+            counters[(r, b)] = counters.get((r, b), 0) + 1
+    return {
+        q: min(counters.get((r, _pick2(f"{seed}{r}|{q}", width)), 0) for r in range(depth))
+        for q in queries
+    }
+
+
+def _pick2(key, denom):
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % denom
+
+
+def test_count_min_matches_python_model_and_overestimates(spark):
+    from collections import Counter
+
+    from cartography_spark.operators.sketches import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    import random as _random
+    rng = _random.Random(13)
+    # zipf-ish: heavy value v0, long tail; width 16 forces collisions.
+    values = [f"v{min(int(rng.expovariate(0.5)), 30)}" for _ in range(800)]
+    df = spark.createDataFrame([(v,) for v in values], "val string")
+    counters = count_min_counters(df, "val", depth=3, width=16)
+    est = {
+        r["val"]: r["est"]
+        for r in count_min_estimate(counters, df, "val", depth=3, width=16).collect()
+    }
+    want = _py_count_min(values, set(values), depth=3, width=16)
+    assert est == want
+    true = Counter(values)
+    assert all(est[v] >= true[v] for v in true)           # one-sided error
+    assert any(est[v] > true[v] for v in true)            # collisions visible
+    heavy = max(true, key=lambda v: true[v])
+    assert est[heavy] <= true[heavy] + len(values) // 8   # CM bound-ish sanity
+
+
+def test_count_min_counters_merge_by_sum(spark):
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.sketches import (
+        count_min_counters,
+        count_min_estimate,
+    )
+
+    a = spark.createDataFrame([(f"v{i % 5}",) for i in range(40)], "val string")
+    b = spark.createDataFrame([(f"v{i % 7}",) for i in range(30)], "val string")
+    whole = count_min_counters(a.unionAll(b), "val")
+    merged = (
+        count_min_counters(a, "val")
+        .unionAll(count_min_counters(b, "val"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    e1 = count_min_estimate(whole, a.unionAll(b), "val").collect()
+    e2 = count_min_estimate(merged, a.unionAll(b), "val").collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))
+
+
+def test_count_min_validates(spark):
+    from cartography_spark.operators.sketches import count_min_counters
+
+    df = spark.createDataFrame([("x",)], "val string")
+    with pytest.raises(ValueError, match="depth"):
+        count_min_counters(df, "val", depth=0)
