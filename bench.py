@@ -420,7 +420,8 @@ def main() -> None:
         "kg_bfs_distances", "kg_weighted_paths", "kg_label_propagation",
         "kg_random_walks", "kg_negative_samples", "sketch_hll_distinct",
         "kg_entity_pmi", "kg_hyperball_reach",
-        "sketch_count_min", "sample_weighted",
+        "sketch_count_min", "sample_weighted", "text_lm_quality",
+        "dedup_repeated_ngrams",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -259,3 +259,61 @@ def tfidf_top_terms(
             F.col("term_rank"),
         )
     )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lm_docs: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    score Common-Crawl text with a KenLM; the unigram form keeps the
+    same contract engine-derivable): train unigram counts on
+    ``lm_docs`` (default: the corpus itself), then score every doc —
+
+        logprob(tok) = ln( (c(tok) + alpha) / (N + alpha*V) )
+        avg_logprob  = mean over the doc's tokens
+        ppl          = exp(-avg_logprob)
+
+    with add-``alpha`` smoothing over the training vocabulary of size
+    ``V`` (+1 virtual OOV type, so unseen tokens at score time get the
+    same finite smoothed mass instead of -inf). Returns ``(id,
+    n_tokens, avg_logprob, ppl)``; low ppl = fluent-under-the-LM, the
+    curation ranking signal.
+
+    Scale shape: counts are one token shuffle (map-side combined) into
+    a vocabulary-sized dim, BROADCAST back onto the scoring token
+    stream; the per-doc aggregate groups on the doc id. N and V ride as
+    literals from two 1-row aggregates. Every per-token logprob is a
+    deterministic double (exact integer counts into one ln); only the
+    per-doc SUM is order-sensitive, absorbed by the caller's rounding.
+    """
+    train = docs if lm_docs is None else lm_docs
+    toks_train = train.select(F.explode(tokens(text_col)).alias("tok"))
+    counts = toks_train.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint()
+    row = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    n_total, vocab = int(row["n"]), int(row["v"]) + 1  # +1 OOV type
+    denom = float(n_total) + alpha * vocab
+    score_toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    logprob = F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha)) / F.lit(denom))
+    per_doc = (
+        score_toks.join(F.broadcast(counts), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(logprob).alias("__sum_lp"),
+        )
+    )
+    avg = F.col("__sum_lp") / F.col("n_tokens")
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("ppl"),
+    )

@@ -1069,3 +1069,74 @@ def embedding_near_dup_lsh(
         )
     )
     return _cosine_verify(pairs, threshold)
+
+
+def ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Every word ``n``-gram of every document with its 1-based token
+    position: ``(id, pos, gram)``. The positional n-gram stream behind
+    :func:`repeated_ngram_spans` — exposed so callers can join the
+    repeated-gram set back to positions and excise the spans (the
+    ExactSubstr-style removal step).
+
+    The token array is staged as a real column before the transform
+    lambda references it (the PLANS.md let-binding idiom), and each
+    token starts at most one gram, so the stream is one row per token —
+    never quadratic.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    staged = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    grams = F.when(
+        F.size("__toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {n} + 1), "
+            f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select("id", F.posexplode(grams).alias("pos0", "gram")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated ``n``-gram detection (the exact-substring
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at fixed span length): every word n-gram
+    appearing in at least ``min_docs`` DISTINCT documents, with its
+    document frequency and total occurrence count —
+    ``(gram, n_docs, n_occurrences)``. Repeated spans are boilerplate /
+    quotation / template text: the removal candidates document-level
+    near-dup (MinHash/SimHash) cannot see because the containing docs
+    are otherwise different.
+
+    Scale shape: the positional gram stream is one row per token (see
+    :func:`ngram_spans`); the aggregate is one hash exchange on the
+    gram with map-side combine, and ``count(distinct id)`` rides the
+    same exchange (partial distinct per gram). Integer-exact end to
+    end. Join the result back to :func:`ngram_spans` on ``gram`` to
+    locate the spans for excision.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    grams = ngram_spans(docs, id_col, text_col, n)
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

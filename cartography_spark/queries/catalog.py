@@ -597,6 +597,36 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "sample_rank")
 
 
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained unigram LM:
+    per-doc mean token logprob and perplexity under add-1 smoothing —
+    the fluency ranking signal for curation. Counts are integer-exact
+    into one ln per vocabulary type; only the per-doc sum is
+    order-sensitive (absorbed by the rounding)."""
+    from cartography_spark.functions.textstats import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_scores(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram spans (the Lee et al. 2022
+    exact-substring dedup signal at fixed length): every 5-gram in >= 2
+    distinct docs with document frequency and occurrence count —
+    boilerplate/template detection below the document level. One
+    token-stream shuffle, integer-exact."""
+    from cartography_spark.operators.dedup import repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "doc_id", "text", n=5, min_docs=2)
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1697,6 +1727,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_hyperball_reach": kg_hyperball_reach,
     "sketch_count_min": sketch_count_min,
     "sample_weighted": sample_weighted,
+    "text_lm_quality": text_lm_quality,
+    "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

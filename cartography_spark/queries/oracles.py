@@ -1617,6 +1617,44 @@ WHERE rn <= 3
 """
 
 
+# Unigram-LM quality scores: corpus-trained counts (one token shuffle)
+# with add-1 smoothing over V+1 types; (c+1.0)/(N+V) is exact-integer
+# double division into one ln per type; the per-doc SUM's summation
+# order is the only cross-engine float surface (round absorbs it).
+ORACLES["text_lm_quality"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+counts AS MATERIALIZED (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT SUM(c) AS n, COUNT(*) + 1 AS v FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         ln((COALESCE(c.c, 0) + 1.0) / (SELECT n + v FROM tot)) AS lp
+  FROM toks t LEFT JOIN counts c USING (tok)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS s
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(s / n_tokens, 6) AS avg_logprob,
+       ROUND(exp(-(s / n_tokens)), 4) AS ppl
+FROM agg
+"""
+
+# Repeated 5-gram spans across documents: positional gram stream (one
+# row per token), gram-keyed aggregate with distinct-doc filter —
+# integer-exact.
+ORACLES["dedup_repeated_ngrams"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(l[i:i+4], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, len(l) - 5 + 1)) t(i)
+  WHERE len(l) >= 5)
+SELECT gram,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),

@@ -512,3 +512,61 @@ def test_containment_xxhash64_family_agrees_on_true_containment(spark):
             ).collect()
         }
         assert rows == {(1, 2): 1.0}, fam
+
+
+# ----------------------------------------------------- repeated n-grams
+
+def test_ngram_spans_positions_hand_computed(spark):
+    from cartography_spark.operators.dedup import ngram_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["id"], r["pos"], r["gram"])
+        for r in ngram_spans(df, "doc_id", "text", n=3).collect()
+    )
+    # doc 2 is shorter than n: contributes nothing.
+    assert got == [
+        (1, 1, "a b c"), (1, 2, "b c d"), (3, 1, "a b c"),
+    ]
+
+
+def test_repeated_ngram_spans_counts(spark):
+    from cartography_spark.operators.dedup import repeated_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps high"),
+            (2, "the quick brown fox jumps again and quick brown fox jumps"),
+            (3, "quick brown fox sleeps"),
+            (4, "totally unrelated text here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["gram"]: (r["n_docs"], r["n_occurrences"])
+        for r in repeated_ngram_spans(df, "doc_id", "text", n=4, min_docs=2).collect()
+    }
+    # "quick brown fox jumps" appears in docs 1 and 2 (twice in 2).
+    assert got == {"quick brown fox jumps": (2, 3)}
+    # a within-doc repeat alone must NOT qualify (distinct docs < 2).
+    df2 = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "zz")], "doc_id long, text string"
+    )
+    assert (
+        repeated_ngram_spans(df2, "doc_id", "text", n=4, min_docs=2).count() == 0
+    )
+
+
+def test_repeated_ngram_spans_validates(spark):
+    import pytest as _pt
+
+    from cartography_spark.operators.dedup import ngram_spans, repeated_ngram_spans
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="n must be"):
+        ngram_spans(df, "doc_id", "text", n=0)
+    with _pt.raises(ValueError, match="min_docs"):
+        repeated_ngram_spans(df, "doc_id", "text", min_docs=1)

@@ -130,3 +130,54 @@ def test_from_json_null_contract_for_props_extraction(spark):
 
     got = [r[0] for r in df.select(F.from_json("props", "k BIGINT")["k"]).collect()]
     assert got == [5, None, None, None]
+
+
+# --------------------------------------------------------- unigram LM
+
+def _py_unigram_lm(train_texts, score_rows, alpha=1.0):
+    import math as _m
+
+    counts = {}
+    for t in train_texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    n = sum(counts.values())
+    v = len(counts) + 1
+    denom = n + alpha * v
+    out = {}
+    for i, t in score_rows:
+        lps = [_m.log((counts.get(tok, 0) + alpha) / denom) for tok in t.split(" ")]
+        avg = sum(lps) / len(lps)
+        out[i] = (len(lps), avg, _m.exp(-avg))
+    return out
+
+
+def test_unigram_lm_matches_python_model(spark):
+    from cartography_spark.functions.textstats import unigram_lm_scores
+
+    rows = [(1, "the cat sat"), (2, "the dog sat sat"), (3, "a cat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["ppl"])
+        for r in unigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    want = _py_unigram_lm([t for _, t in rows], rows)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == pytest.approx(want[i][1], rel=1e-12)
+        assert got[i][2] == pytest.approx(want[i][2], rel=1e-12)
+
+
+def test_unigram_lm_cross_scoring_handles_oov(spark):
+    from cartography_spark.functions.textstats import unigram_lm_scores
+
+    train = spark.createDataFrame([(1, "the the the cat")], "doc_id long, text string")
+    score = spark.createDataFrame([(9, "the zebra")], "doc_id long, text string")
+    got = unigram_lm_scores(score, "doc_id", "text", lm_docs=train).collect()[0]
+    want = _py_unigram_lm(["the the the cat"], [(9, "the zebra")])
+    assert got["avg_logprob"] == pytest.approx(want[9][1], rel=1e-12)
+    # and the fluent-vs-garbage ordering is right: "the the" beats it.
+    fluent = spark.createDataFrame([(8, "the the")], "doc_id long, text string")
+    g2 = unigram_lm_scores(fluent, "doc_id", "text", lm_docs=train).collect()[0]
+    assert g2["ppl"] < got["ppl"]
