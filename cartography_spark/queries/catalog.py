@@ -627,6 +627,43 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_spans(docs, "doc_id", "text", n=5, min_docs=2)
 
 
+def web_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: three deterministic variant spellings
+    per page (mixed-case host + default port + tracking params +
+    fragment + trailing slashes + shuffled param order) must collapse
+    onto one canonical URL — every normalization rule exercised in one
+    gate, with the DuckDB twin re-deriving both the variant
+    construction and the normalization independently."""
+    from cartography_spark.functions.urls import dedup_by_canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.expr("doc_id DIV 3").cast("string")
+    site = F.expr("(doc_id DIV 3) % 7").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Site"), site, F.lit(".Example.org:443/page/"),
+                base, F.lit("/?utm_source=feed&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://site"), site, F.lit(".example.org/page/"),
+                base, F.lit("?a=1&b=2&fbclid=abc"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), site, F.lit(".example.org/page/"),
+                base, F.lit("//?b=2&a=1"),
+            )
+        )
+    )
+    return dedup_by_canonical_url(docs.select(url.alias("url")), "url")
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1729,6 +1766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted": sample_weighted,
     "text_lm_quality": text_lm_quality,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
+    "web_canonical_urls": web_canonical_urls,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

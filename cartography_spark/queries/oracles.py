@@ -1655,6 +1655,55 @@ FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+# URL canonicalization: the twin re-derives BOTH the variant
+# construction (CASE doc_id % 3) and every normalization rule
+# (fragment, case, default port, trailing slashes, tracking-param
+# filter + lexicographic re-sort) with independent string primitives.
+ORACLES["web_canonical_urls"] = """
+WITH urls AS (
+  SELECT CASE doc_id % 3
+    WHEN 0 THEN 'HTTPS://Site' || CAST(doc_id // 3 % 7 AS VARCHAR)
+                || '.Example.org:443/page/' || CAST(doc_id // 3 AS VARCHAR)
+                || '/?utm_source=feed&b=2&a=1#top'
+    WHEN 1 THEN 'https://site' || CAST(doc_id // 3 % 7 AS VARCHAR)
+                || '.example.org/page/' || CAST(doc_id // 3 AS VARCHAR)
+                || '?a=1&b=2&fbclid=abc'
+    ELSE 'https://site' || CAST(doc_id // 3 % 7 AS VARCHAR)
+         || '.example.org/page/' || CAST(doc_id // 3 AS VARCHAR)
+         || '//?b=2&a=1'
+  END AS url
+  FROM documents),
+comps AS (
+  SELECT url,
+         string_split(string_split(url, '#')[1], '?')[1] AS base,
+         CASE WHEN len(string_split(string_split(url, '#')[1], '?')) > 1
+              THEN string_split(string_split(url, '#')[1], '?')[2]
+              ELSE '' END AS query
+  FROM urls),
+norm AS (
+  SELECT url,
+    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)),
+      ':(80|443)$', '') AS host,
+    regexp_replace(
+      regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)?$', 1),
+      '/+$', '') AS path,
+    list_sort(list_filter(string_split(query, '&'),
+      x -> x <> '' AND NOT starts_with(x, 'utm_')
+           AND NOT string_split(x, '=')[1] IN ('fbclid', 'gclid', 'ref'))) AS params
+  FROM comps),
+canon AS (
+  SELECT url,
+         scheme || '://' || host || path ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+              ELSE '' END AS canonical_url
+  FROM norm)
+SELECT canonical_url, COUNT(*) AS n_urls, COUNT(DISTINCT url) AS n_distinct_raw
+FROM canon GROUP BY canonical_url
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),
