@@ -421,7 +421,7 @@ def main() -> None:
         "kg_random_walks", "kg_negative_samples", "sketch_hll_distinct",
         "kg_entity_pmi", "kg_hyperball_reach",
         "sketch_count_min", "sample_weighted", "text_lm_quality",
-        "dedup_repeated_ngrams", "web_canonical_urls",
+        "dedup_repeated_ngrams", "web_canonical_urls", "kg_neighborhood_function",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

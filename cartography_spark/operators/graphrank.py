@@ -540,6 +540,85 @@ def hyperball(
     )
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    max_r: int,
+    p: int = 6,
+) -> DataFrame:
+    """The neighborhood function N(r) — the MEAN approximate ball size
+    over all nodes at every radius ``0..max_r`` — from the same
+    register propagation as :func:`hyperball`: ``(r, avg_reach)``.
+    This curve is what HyperBall exists to compute (Boldi & Vigna use
+    it for effective-diameter and centrality estimation); the per-round
+    cost is identical to one hyperball round plus a 1-row fold.
+    """
+    from cartography_spark.operators.sketches import hll_estimate, hll_registers
+
+    if max_r < 0:
+        raise ValueError(f"max_r must be >= 0, got {max_r}")
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.select("id", F.col("id").alias("__member")), ["id"], "__member", p
+    ).localCheckpoint()
+
+    def _mean(r: int, frame: DataFrame) -> DataFrame:
+        return (
+            hll_estimate(frame, ["id"], p)
+            .agg(F.avg("approx_distinct").alias("avg_reach"))
+            .select(F.lit(r).alias("r"), "avg_reach")
+        )
+
+    out = _mean(0, regs)
+    for r in range(1, max_r + 1):
+        pulled = (
+            e.join(regs, e["dst"] == regs["id"])
+            .select(e["src"].alias("id"), "bucket", "rank")
+        )
+        regs = (
+            regs.unionAll(pulled)
+            .groupBy("id", "bucket")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint()
+        )
+        out = out.unionAll(_mean(r, regs))
+    return out
+
+
+def effective_diameter(
+    edges: DataFrame,
+    q: float = 0.9,
+    max_r: int = 16,
+    p: int = 6,
+) -> float:
+    """The (approximate) effective diameter: the smallest radius at
+    which the neighborhood function reaches ``q`` of its ``max_r``
+    plateau, with the standard linear interpolation between the two
+    straddling radii (so the answer is a float, e.g. 2.37). Driver-side
+    fold over the ``max_r + 1``-row curve — the only collect is
+    curve-sized, never graph-sized."""
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    curve = {
+        int(r["r"]): float(r["avg_reach"])
+        for r in neighborhood_function(edges, max_r, p).collect()
+    }
+    target = q * curve[max_r]
+    prev = curve[0]
+    for r in range(max_r + 1):
+        cur = curve[r]
+        if cur >= target:
+            if r == 0 or cur == prev:
+                return float(r)
+            return (r - 1) + (target - prev) / (cur - prev)
+        prev = cur
+    return float(max_r)
+
+
 def _degrees(und: DataFrame) -> DataFrame:
     return (
         und.select(F.col("lo").alias("id"))

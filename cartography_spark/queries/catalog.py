@@ -664,6 +664,17 @@ def web_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_canonical_url(docs.select(url.alias("url")), "url")
 
 
+def kg_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HyperBall neighborhood function N(0..3) over the extracted
+    mention graph: mean approximate ball size per radius — the
+    effective-diameter input curve, one register round + one 1-row fold
+    per radius."""
+    from cartography_spark.operators.graphrank import neighborhood_function
+
+    out = neighborhood_function(_mention_bipartite_edges(spark, sf_dir), max_r=3, p=6)
+    return out.select("r", F.round("avg_reach", 4).alias("avg_reach"))
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1767,6 +1778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_quality": text_lm_quality,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "web_canonical_urls": web_canonical_urls,
+    "kg_neighborhood_function": kg_neighborhood_function,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

@@ -1814,6 +1814,59 @@ FROM (
 ORACLES["kg_hyperball_reach"] = _hyperball_oracle_sql()
 
 
+def _neighborhood_fn_oracle_sql(max_r: int = 3, p: int = 6) -> str:
+    """Per-round mean-ball-size twin for ``kg_neighborhood_function``:
+    the hyperball register rounds plus, per round, the shared estimator
+    fold and a global AVG — the neighborhood function curve N(0..R)."""
+    from cartography_spark.operators.sketches import _alpha
+
+    m = 2**p
+    shift = 32 - p
+    am2 = f"{_alpha(m) * m * m!r}::DOUBLE"
+    head = f"""
+WITH {_MENTION_BIPARTITE_CTES},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed) u),
+r0 AS MATERIALIZED (
+  SELECT id, h >> {shift} AS bucket,
+         MAX(CASE WHEN h % {2**shift} = 0 THEN {shift + 1}
+                  ELSE {shift + 1} - length(bin(h % {2**shift})) END) AS rank
+  FROM (SELECT id, ('0x' || substr(md5(id), 1, 8))::BIGINT AS h FROM nodes) x
+  GROUP BY id, bucket)"""
+    est = (
+        f"""SELECT id,
+         CASE WHEN {am2} / sum_inv <= {2.5 * m!r} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / v)
+              ELSE {am2} / sum_inv END AS est
+  FROM (
+    SELECT id, SUM(power(0.5, rank)) + ({m} - COUNT(*)) AS sum_inv,
+           {m} - COUNT(*) AS v
+    FROM r{{i}} GROUP BY id) x"""
+    )
+    steps, finals = [], [f"SELECT 0 AS r, ROUND(AVG(est), 4) AS avg_reach FROM f0"]
+    for i in range(1, max_r + 1):
+        prev = f"r{i - 1}"
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT id, bucket, MAX(rank) AS rank FROM (
+    SELECT id, bucket, rank FROM {prev}
+    UNION ALL
+    SELECT e.src AS id, r.bucket, r.rank
+    FROM ed e JOIN {prev} r ON e.dst = r.id) u
+  GROUP BY id, bucket)""")
+        finals.append(
+            f"SELECT {i} AS r, ROUND(AVG(est), 4) AS avg_reach FROM f{i}"
+        )
+    folds = "".join(
+        f",\nf{i} AS MATERIALIZED (\n  {est.format(i=i)})" for i in range(max_r + 1)
+    )
+    return head + "".join(steps) + folds + "\n" + "\nUNION ALL ".join(finals) + "\n"
+
+
+ORACLES["kg_neighborhood_function"] = _neighborhood_fn_oracle_sql()
+
+
 def _random_walks_oracle_sql(
     walk_len: int = 3, num_walks: int = 1, seed: str = "walk"
 ) -> str:

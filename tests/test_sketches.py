@@ -256,3 +256,39 @@ def test_count_min_validates(spark):
     df = spark.createDataFrame([("x",)], "val string")
     with pytest.raises(ValueError, match="depth"):
         count_min_counters(df, "val", depth=0)
+
+
+def test_neighborhood_function_matches_per_round_hyperball(spark):
+    from cartography_spark.operators.graphrank import (
+        hyperball,
+        neighborhood_function,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "a"),
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    curve = {
+        r["r"]: r["avg_reach"]
+        for r in neighborhood_function(edf, max_r=3).collect()
+    }
+    for r in range(4):
+        per_node = hyperball(edf, rounds=r).collect()
+        want = sum(x["approx_reach"] for x in per_node) / len(per_node)
+        assert curve[r] == pytest.approx(want, rel=1e-12)
+    # monotone non-decreasing in r
+    assert curve[0] <= curve[1] <= curve[2] <= curve[3]
+
+
+def test_effective_diameter_on_a_path_graph(spark):
+    from cartography_spark.operators.graphrank import effective_diameter
+
+    # Directed cycle of 8: every ball grows by exactly one node per
+    # round until it saturates at 8 — NF is linear, so the q-quantile
+    # radius is analytic: N(r) = min(r+1, 8) modulo sketch noise.
+    edges = [(f"v{i}", f"v{(i + 1) % 8}") for i in range(8)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    d = effective_diameter(edf, q=0.99, max_r=8, p=10)
+    assert 5.5 < d <= 7.01, d
+    with pytest.raises(ValueError, match="q must be"):
+        effective_diameter(edf, q=0.0)
