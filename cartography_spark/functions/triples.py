@@ -115,3 +115,42 @@ def extract_mentions(
             F.col("n_mentions"),
         )
     )
+
+
+def entity_contexts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: Sequence[str],
+    window: int = 2,
+) -> DataFrame:
+    """The ±``window``-token context around every vocabulary mention:
+    ``(id, pos, entity, context)`` with ``pos`` the 1-based token
+    position and ``context`` the surrounding tokens (center EXCLUDED)
+    joined by spaces — the entity-context corpus that feeds contextual
+    entity embeddings / relation extraction, and the positional
+    evidence a KG provenance record keeps per extracted mention.
+
+    Scale shape: stays in WholeStageCodegen — the token array is staged
+    once, positions come from one ``posexplode``, the vocab filter is
+    an ``IN`` below it, and both context slices are row-local array ops
+    (empty-safe at the text edges, test-pinned). One row per mention
+    OCCURRENCE (unlike ``extract_mentions``' per-doc counts).
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    exploded = staged.select(
+        "id", "__toks", F.posexplode("__toks").alias("pos0", "entity")
+    ).where(F.col("entity").isin(list(vocab)))
+    pos = F.col("pos0") + 1
+    start = F.greatest(pos - window, F.lit(1))
+    end = F.least(pos + window, F.size("__toks"))
+    left = F.slice(F.col("__toks"), start, pos - start)
+    right = F.slice(F.col("__toks"), pos + 1, end - pos)
+    return exploded.select(
+        "id",
+        pos.alias("pos"),
+        "entity",
+        F.array_join(F.concat(left, right), " ").alias("context"),
+    )

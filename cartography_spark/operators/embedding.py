@@ -176,3 +176,42 @@ def negative_samples(
         ["subj", "pred", "neg_obj"],
         "left_anti",
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus ``(walk, step, id)``
+    (the output of :func:`random_walks`): every ordered (center,
+    context) node pair within ``window`` steps on the same walk —
+    ``(center, context, offset)`` with ``offset = context_step -
+    center_step`` in ``[-window, window] \\ {0}``. This is the word2vec
+    data layout DeepWalk trains on; downstream negative sampling comes
+    from :func:`negative_samples`.
+
+    Scale shape: one self-equi-join on the walk id with the bounded
+    step-range predicate — fan-out per row is at most ``2*window``,
+    never the walk length, and walks are short by construction, so the
+    join key (walk) is near-unique: no hot keys. Exact, no floats.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select(
+        F.col("walk").alias("__w"), F.col("step").alias("__s"), F.col("id").alias("center")
+    )
+    b = walks.select(
+        F.col("walk").alias("__w"), F.col("step").alias("__t"), F.col("id").alias("context")
+    )
+    return (
+        a.join(b, "__w")
+        .where(
+            (F.col("__t") != F.col("__s"))
+            & (F.abs(F.col("__t") - F.col("__s")) <= window)
+        )
+        .select(
+            "center",
+            "context",
+            (F.col("__t") - F.col("__s")).alias("offset"),
+        )
+    )

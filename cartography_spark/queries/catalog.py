@@ -675,6 +675,29 @@ def kg_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("r", F.round("avg_reach", 4).alias("avg_reach"))
 
 
+def kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context, offset) pairs within a ±2 window
+    over the deterministic walk corpus — the word2vec training layout
+    DeepWalk feeds; one walk-keyed self-join with bounded fan-out."""
+    from cartography_spark.operators.embedding import random_walks, skipgram_pairs
+
+    walks = random_walks(
+        _mention_bipartite_edges(spark, sf_dir), walk_len=3, num_walks=1
+    )
+    return skipgram_pairs(walks, window=2)
+
+
+def kg_entity_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±2-token context windows around every vocabulary mention
+    occurrence (center excluded) — the contextual-embedding corpus and
+    the per-mention provenance record; codegen-only array slicing."""
+    from cartography_spark.functions.triples import entity_contexts
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    return entity_contexts(docs, "doc_id", "text", vocab, window=2)
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1779,6 +1802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "web_canonical_urls": web_canonical_urls,
     "kg_neighborhood_function": kg_neighborhood_function,
+    "kg_skipgram_pairs": kg_skipgram_pairs,
+    "kg_entity_contexts": kg_entity_contexts,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,
     "shard_shuffle": shard_shuffle,

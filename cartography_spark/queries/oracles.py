@@ -1704,6 +1704,22 @@ FROM canon GROUP BY canonical_url
 """
 
 
+# Entity context windows: positions from one unnest, vocab IN filter,
+# two edge-safe list slices (center excluded) — per-mention provenance.
+ORACLES["kg_entity_contexts"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+px AS (
+  SELECT doc_id, l, i AS pos, l[i] AS entity
+  FROM toks, LATERAL unnest(generate_series(1, len(l))) t(i)
+  WHERE l[i] IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash', 'sort', 'agg'))
+SELECT doc_id AS id, pos, entity,
+       array_to_string(
+         list_concat(l[greatest(pos - 2, 1):pos - 1],
+                     l[pos + 1:least(pos + 2, len(l))]), ' ') AS context
+FROM px
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),
@@ -1868,7 +1884,10 @@ ORACLES["kg_neighborhood_function"] = _neighborhood_fn_oracle_sql()
 
 
 def _random_walks_oracle_sql(
-    walk_len: int = 3, num_walks: int = 1, seed: str = "walk"
+    walk_len: int = 3,
+    num_walks: int = 1,
+    seed: str = "walk",
+    skipgram_window: int | None = None,
 ) -> str:
     """Unrolled deterministic-walk twin for ``kg_random_walks``: the
     dst-sorted adjacency index and every per-step md5 draw are
@@ -1898,13 +1917,29 @@ s{t} AS MATERIALIZED (
   JOIN adj a ON a.src = p.cur
    AND a.idx = ('0x' || substr(md5('{seed}' || p.walk || ':{t}'), 1, 8))::BIGINT
                 % o.outdeg)""")
-    finals = "\nUNION ALL ".join(
+    finals = "\n  UNION ALL ".join(
         f"SELECT walk, {t} AS step, cur AS id FROM s{t}" for t in range(walk_len + 1)
     )
-    return head + "".join(steps) + "\n" + finals + "\n"
+    if skipgram_window is None:
+        return head + "".join(steps) + "\n" + finals + "\n"
+    return (
+        head
+        + "".join(steps)
+        + f""",
+corpus AS MATERIALIZED (
+  {finals})
+SELECT a.id AS center, b.id AS context, b.step - a.step AS offset
+FROM corpus a JOIN corpus b ON a.walk = b.walk
+WHERE b.step <> a.step AND abs(b.step - a.step) <= {skipgram_window}
+"""
+    )
 
 
 ORACLES["kg_random_walks"] = _random_walks_oracle_sql()
+
+# Skip-gram (center, context, offset) pairs within a ±2 window over
+# the SAME walk corpus — the word2vec layout DeepWalk trains on.
+ORACLES["kg_skipgram_pairs"] = _random_walks_oracle_sql(skipgram_window=2)
 
 # Filtered TransE negatives over the extracted mention triples: k=2
 # md5-drawn object corruptions per triple against the ent-sorted

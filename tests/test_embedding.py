@@ -187,3 +187,75 @@ def test_shortest_paths_and_lpa_plans_stay_parallel(spark):
     for plan in (sp_plan, lpa_plan):
         assert "SinglePartition" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    from cartography_spark.operators.embedding import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "d"),
+         ("w2", 0, "x")],
+        "walk string, step int, id string",
+    )
+    got = sorted(
+        (r["center"], r["context"], r["offset"])
+        for r in skipgram_pairs(walks, window=2).collect()
+    )
+    want = []
+    seq = ["a", "b", "c", "d"]
+    for i, c in enumerate(seq):
+        for j, x in enumerate(seq):
+            if i != j and abs(i - j) <= 2:
+                want.append((c, x, j - i))
+    assert got == sorted(want)
+    # the singleton walk yields no pairs; window validation
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window"):
+        skipgram_pairs(walks, window=0)
+
+
+def test_entity_contexts_hand_computed(spark):
+    from cartography_spark.functions.triples import entity_contexts
+
+    docs = spark.createDataFrame(
+        [(1, "spark beats hand rolled join engines spark"),
+         (2, "join")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["id"], r["pos"], r["entity"], r["context"])
+        for r in entity_contexts(docs, "doc_id", "text",
+                                 ["spark", "join"], window=2).collect()
+    )
+    assert got == [
+        # doc 1: spark@1 (left edge), join@5, spark@7 (right edge)
+        (1, 1, "spark", "beats hand"),
+        (1, 5, "join", "hand rolled engines spark"),
+        (1, 7, "spark", "join engines"),
+        # doc 2: single-token doc -> empty context, still emitted
+        (2, 1, "join", ""),
+    ]
+
+
+def test_entity_contexts_counts_match_extract_mentions(spark):
+    from pyspark.sql import functions as F
+
+    from cartography_spark.functions.triples import entity_contexts, extract_mentions
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["spark", f"w{i}", "join", "spark"][: (i % 4) + 1]))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    vocab = ["spark", "join"]
+    per_occurrence = (
+        entity_contexts(docs, "doc_id", "text", vocab)
+        .groupBy(F.col("id").alias("subj_id"), F.col("entity").alias("obj"))
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    mentions = extract_mentions(docs, "doc_id", "text", vocab).select(
+        "subj_id", "obj", "n_mentions"
+    )
+    assert per_occurrence.exceptAll(mentions).count() == 0
+    assert mentions.exceptAll(per_occurrence).count() == 0
