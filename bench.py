@@ -422,7 +422,7 @@ def main() -> None:
         "kg_entity_pmi", "kg_hyperball_reach",
         "sketch_count_min", "sample_weighted", "text_lm_quality",
         "dedup_repeated_ngrams", "web_canonical_urls", "kg_neighborhood_function",
-        "kg_skipgram_pairs", "kg_entity_contexts",
+        "kg_skipgram_pairs", "kg_entity_contexts", "sketch_bloom_decontaminate",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

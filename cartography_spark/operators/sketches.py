@@ -196,3 +196,81 @@ def count_min_estimate(
         .groupBy(F.col("__v").alias(value_col))
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bf",
+) -> DataFrame:
+    """Bloom-filter bit set for the values of ``value_col``: the
+    DISTINCT bit indices ``md5(seed || i || '|' || value) % m_bits``
+    over hash functions ``i in [0, k)`` — ``(bit)`` rows. Bit tables
+    with the same (m_bits, k, seed) merge by UNION DISTINCT.
+
+    The at-scale membership path: ``curation.decontaminate`` broadcasts
+    the raw benchmark n-gram set, which stops working when the blocklist
+    outgrows the broadcast budget; the bloom form ships ``<= m_bits``
+    integers (at most a few MB for billions of members at ~10 bits per
+    member) with a bounded, one-sided false-positive rate — exactly the
+    "maybe contaminated -> route to the exact check" pre-filter.
+    Deterministic md5 bits, so the whole filter is re-derivable in SQL.
+    """
+    if k < 1 or m_bits < 2:
+        raise ValueError(f"need k >= 1 and m_bits >= 2, got {k}, {m_bits}")
+    probes = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("__v"),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__i"),
+    )
+    bit = _md5_pick(
+        F.concat(F.lit(seed), F.col("__i").cast("string"), F.lit("|"), F.col("__v")),
+        F.lit(m_bits).cast("long"),
+    )
+    return probes.select(bit.alias("bit")).distinct()
+
+
+def bloom_maybe_contains(
+    df: DataFrame,
+    bits: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bf",
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Add ``out_col``: true iff ALL ``k`` bloom bits of the row's
+    ``value_col`` are set in ``bits`` — never a false negative, false
+    positives at the standard ``(1 - e^(-kn/m))^k`` rate. The bit table
+    is broadcast (it is at most ``m_bits`` rows by construction); the
+    per-row verdict is one broadcast LEFT join per probe + an all-bits
+    count, grouped back on the ORIGINAL row via a generated row key so
+    duplicate values keep their multiplicity."""
+    probes = df.select(
+        "*",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__i"),
+    )
+    bit = _md5_pick(
+        F.concat(
+            F.lit(seed),
+            F.col("__i").cast("string"),
+            F.lit("|"),
+            F.col(value_col).cast("string"),
+        ),
+        F.lit(m_bits).cast("long"),
+    )
+    marked = probes.withColumn("__bit", bit).join(
+        F.broadcast(bits.select(F.col("bit").alias("__bit"), F.lit(1).alias("__hit"))),
+        "__bit",
+        "left",
+    )
+    keys = [c for c in df.columns]
+    return (
+        marked.groupBy(*keys)
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) == F.lit(k)
+            ).alias(out_col)
+        )
+    )

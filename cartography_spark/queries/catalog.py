@@ -675,6 +675,29 @@ def kg_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("r", F.round("avg_reach", 4).alias("avg_reach"))
 
 
+def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter for decontamination beside exact membership:
+    a 256-bit / 3-hash filter over a benchmark subset's texts probed by
+    every doc — never a false negative (pinned by exact), false
+    positives visible in the gated values at this deliberately tiny m.
+    The at-scale path when the blocklist outgrows the broadcast
+    budget."""
+    from cartography_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    bits = bloom_bits(bench, "text", m_bits=256, k=3)
+    maybe = bloom_maybe_contains(docs, bits, "text", m_bits=256, k=3)
+    exact = docs.join(
+        bench.select(F.col("text").alias("__bt")).distinct(),
+        docs["text"] == F.col("__bt"),
+        "left",
+    ).select("doc_id", F.col("__bt").isNotNull().alias("exact_member"))
+    return maybe.join(exact, "doc_id").select(
+        "doc_id", "maybe_member", "exact_member"
+    )
+
+
 def kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context, offset) pairs within a ±2 window
     over the deterministic walk corpus — the word2vec training layout
@@ -1802,6 +1825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "web_canonical_urls": web_canonical_urls,
     "kg_neighborhood_function": kg_neighborhood_function,
+    "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
     "kg_skipgram_pairs": kg_skipgram_pairs,
     "kg_entity_contexts": kg_entity_contexts,
     "text_tfidf": text_tfidf,

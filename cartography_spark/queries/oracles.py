@@ -1720,6 +1720,33 @@ FROM px
 """
 
 
+# Bloom pre-filter vs exact membership: 256-bit / 3-hash filter over
+# the benchmark subset, probed per doc — no false negatives, the FP
+# rows ARE part of the hashed answer.
+ORACLES["sketch_bloom_decontaminate"] = """
+WITH bench AS (SELECT text AS v FROM documents WHERE doc_id % 17 = 0),
+bits AS MATERIALIZED (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || v), 1, 8))::BIGINT
+      % 256 AS bit
+  FROM bench CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+probes AS (
+  SELECT doc_id, i,
+    ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || text), 1, 8))::BIGINT
+      % 256 AS bit
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 3 AS maybe_member
+  FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY doc_id),
+ex AS (
+  SELECT doc_id, text IN (SELECT v FROM bench) AS exact_member FROM documents)
+SELECT a.doc_id, a.maybe_member, e.exact_member
+FROM agg a JOIN ex e USING (doc_id)
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),

@@ -292,3 +292,77 @@ def test_effective_diameter_on_a_path_graph(spark):
     assert 5.5 < d <= 7.01, d
     with pytest.raises(ValueError, match="q must be"):
         effective_diameter(edf, q=0.0)
+
+
+# ----------------------------------------------------------- bloom
+
+def test_bloom_never_false_negative_and_fp_rate_sane(spark):
+    from cartography_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    members = [f"m{i}" for i in range(60)]
+    others = [f"x{i}" for i in range(400)]
+    mdf = spark.createDataFrame([(v,) for v in members], "val string")
+    adf = spark.createDataFrame([(v,) for v in members + others], "val string")
+    bits = bloom_bits(mdf, "val", m_bits=1024, k=3)
+    got = {
+        r["val"]: r["maybe_member"]
+        for r in bloom_maybe_contains(adf, bits, "val", m_bits=1024, k=3).collect()
+    }
+    assert all(got[v] for v in members)              # no false negatives, ever
+    fp = sum(got[v] for v in others)
+    # (1 - e^(-3*60/1024))^3 ~ 0.4%; 4x slack over 400 probes
+    assert fp <= 8, fp
+
+
+def test_bloom_matches_python_model(spark):
+    from cartography_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    members = [f"m{i}" for i in range(25)]
+    probes = [f"p{i}" for i in range(50)] + members[:5]
+    mdf = spark.createDataFrame([(v,) for v in members], "val string")
+    pdf = spark.createDataFrame([(v,) for v in probes], "val string")
+    m, k = 128, 3
+    bits = bloom_bits(mdf, "val", m_bits=m, k=k)
+    got = {
+        r["val"]: r["maybe_member"]
+        for r in bloom_maybe_contains(pdf, bits, "val", m_bits=m, k=k).collect()
+    }
+    bitset = {
+        _pick2(f"bf{i}|{v}", m) for v in members for i in range(k)
+    }
+    want = {
+        v: all(_pick2(f"bf{i}|{v}", m) in bitset for i in range(k)) for v in probes
+    }
+    assert got == want
+    # bit tables themselves agree with the model
+    assert {r["bit"] for r in bits.collect()} == bitset
+
+
+def test_bloom_bits_merge_by_union_and_validate(spark):
+    from cartography_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "val string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "val string")
+    whole = bloom_bits(a.unionAll(b), "val", m_bits=512)
+    merged = bloom_bits(a, "val", m_bits=512).unionAll(
+        bloom_bits(b, "val", m_bits=512)
+    ).distinct()
+    assert {r["bit"] for r in whole.collect()} == {r["bit"] for r in merged.collect()}
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_bits(a, "val", m_bits=1)
+
+
+def test_bloom_keeps_duplicate_probe_rows(spark):
+    from cartography_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    mdf = spark.createDataFrame([("x",)], "val string")
+    # duplicate rows with distinct payloads must each keep a verdict
+    pdf = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "rid long, val string"
+    )
+    bits = bloom_bits(mdf, "val", m_bits=128)
+    got = sorted(
+        (r["rid"], r["maybe_member"])
+        for r in bloom_maybe_contains(pdf, bits, "val", m_bits=128).collect()
+    )
+    assert got[0] == (1, True) and got[1] == (2, True)
