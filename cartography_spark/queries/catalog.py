@@ -675,6 +675,19 @@ def kg_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("r", F.round("avg_reach", 4).alias("avg_reach"))
 
 
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column profile of the events table (row/null/
+    distinct counts, typed min/max; timestamps as epoch micros) — the
+    post-materialization stats gate every pipeline stage runs. One
+    aggregation pass; the only collect is the 1-row aggregate."""
+    from cartography_spark.operators.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(
+        ev, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+
 def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom pre-filter for decontamination beside exact membership:
     a 256-bit / 3-hash filter over a benchmark subset's texts probed by
@@ -1826,6 +1839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_canonical_urls": web_canonical_urls,
     "kg_neighborhood_function": kg_neighborhood_function,
     "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
+    "profile_events": profile_events,
     "kg_skipgram_pairs": kg_skipgram_pairs,
     "kg_entity_contexts": kg_entity_contexts,
     "text_tfidf": text_tfidf,

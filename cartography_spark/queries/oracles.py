@@ -1747,6 +1747,38 @@ FROM agg a JOIN ex e USING (doc_id)
 """
 
 
+# Single-pass table profile: per-column counts + typed min/max
+# (timestamps as epoch micros so no render-format surface).
+ORACLES["profile_events"] = """
+SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       MIN(event_id)::DOUBLE AS min_num, MAX(event_id)::DOUBLE AS max_num,
+       NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+FROM events
+UNION ALL
+SELECT 'ts', COUNT(*), SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT ts),
+       epoch_us(MIN(ts))::DOUBLE, epoch_us(MAX(ts))::DOUBLE, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT user_id),
+       MIN(user_id)::DOUBLE, MAX(user_id)::DOUBLE, NULL, NULL
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT event_type),
+       NULL::DOUBLE, NULL::DOUBLE, MIN(event_type), MAX(event_type)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*), SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT value),
+       MIN(value), MAX(value), NULL, NULL
+FROM events
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),
