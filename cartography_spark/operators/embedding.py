@@ -215,3 +215,124 @@ def skipgram_pairs(
             (F.col("__t") - F.col("__s")).alias("offset"),
         )
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int,
+    p: float = 2.0,
+    q: float = 0.5,
+    num_walks: int = 1,
+    seed: str = "n2v",
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec KDD'16):
+    from state (prev, cur), neighbor ``x`` of ``cur`` is drawn with
+    weight 1/p if ``x == prev`` (return), 1 if the directed edge
+    ``prev -> x`` exists (stay near), else 1/q (explore); the first
+    step is uniform. Returns ``(walk, step, id)`` like
+    :func:`random_walks`. Low q biases outward (DFS-ish, structural
+    roles); low p biases homophily — the standard lever DeepWalk lacks.
+
+    Determinism: the draw is the md5 uniform u = (h+1)/2^32 against the
+    dst-sorted cumulative weight profile — a pure function of (seed,
+    walk, step), parallelism-invariant and re-derivable in SQL. Choose
+    p, q as powers of two (the defaults) and every cumulative sum is a
+    dyadic rational: EXACT in double on both engines, so even the
+    CDF comparisons carry no float-boundary risk.
+
+    Scale shape per step: one adjacency join fans each walker out to
+    deg(cur) candidate rows (second-order transitions need the weight
+    PROFILE, not just one row — the inherent cost of exact node2vec;
+    production walkers amortize it with per-(prev, cur) alias tables,
+    cf. KnightKing), one edge-existence LEFT join on (prev, x), and two
+    walk-partitioned windows that ride one hash exchange. State is
+    truncated per step.
+    """
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0, got {walk_len}")
+    if num_walks < 1:
+        raise ValueError(f"num_walks must be >= 1, got {num_walks}")
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0, got {p}, {q}")
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    state = (
+        nodes.select(
+            "id",
+            F.explode(
+                F.array(*[F.lit(str(w)) for w in range(num_walks)])
+            ).alias("__w"),
+        )
+        .select(
+            F.concat(F.col("id"), F.lit("#"), F.col("__w")).alias("walk"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("id").alias("cur"),
+        )
+        .localCheckpoint()
+    )
+    out = state.select("walk", F.lit(0).alias("step"), F.col("cur").alias("id"))
+    ret_w, far_w = 1.0 / p, 1.0 / q
+    for t in range(1, walk_len + 1):
+        cand = state.join(e, state["cur"] == e["src"]).select(
+            "walk", "prev", "cur", F.col("dst").alias("x")
+        )
+        dist1 = e.select(
+            F.col("src").alias("__p"), F.col("dst").alias("__x"), F.lit(1).alias("__d1")
+        )
+        weighted = cand.join(
+            dist1,
+            (cand["prev"] == dist1["__p"]) & (cand["x"] == dist1["__x"]),
+            "left",
+        ).select(
+            "walk",
+            "cur",
+            "x",
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("x") == F.col("prev"), F.lit(ret_w))
+            .when(F.col("__d1").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(far_w))
+            .alias("alpha"),
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col("walk"), F.lit(f":{t}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        u = (h + F.lit(1)).cast("double") / F.lit(float(2**32))
+        keyed = weighted.select(
+            "walk",
+            "cur",
+            "x",
+            F.sum("alpha").over(Window.partitionBy("walk")).alias("tot"),
+            F.sum("alpha")
+            .over(
+                Window.partitionBy("walk")
+                .orderBy("x")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cum"),
+            u.alias("u"),
+        )
+        picked = (
+            keyed.where(F.col("cum") > F.col("u") * F.col("tot"))
+            .withColumn(
+                "__rn",
+                F.row_number().over(Window.partitionBy("walk").orderBy("x")),
+            )
+            .where(F.col("__rn") == 1)
+            .select(
+                "walk", F.col("cur").alias("prev"), F.col("x").alias("cur")
+            )
+            .localCheckpoint()
+        )
+        out = out.unionAll(
+            picked.select("walk", F.lit(t).alias("step"), F.col("cur").alias("id"))
+        )
+        state = picked
+    return out

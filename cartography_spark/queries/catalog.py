@@ -688,6 +688,19 @@ def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec biased walks (p=2, q=0.5 — outward
+    exploration) over the extracted mention graph: the return /
+    stay-near / explore weight profile, the dst-sorted CDF, and the md5
+    draw all replayed by the unrolled twin; dyadic weights make every
+    cumsum exact on both engines."""
+    from cartography_spark.operators.embedding import node2vec_walks
+
+    return node2vec_walks(
+        _mention_bipartite_edges(spark, sf_dir), walk_len=3, p=2.0, q=0.5
+    )
+
+
 def sketch_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom pre-filter for decontamination beside exact membership:
     a 256-bit / 3-hash filter over a benchmark subset's texts probed by
@@ -1841,6 +1854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
     "profile_events": profile_events,
     "kg_skipgram_pairs": kg_skipgram_pairs,
+    "kg_node2vec_walks": kg_node2vec_walks,
     "kg_entity_contexts": kg_entity_contexts,
     "text_tfidf": text_tfidf,
     "pack_sequences": pack_sequences,

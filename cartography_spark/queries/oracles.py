@@ -1779,6 +1779,7 @@ FROM events
 """
 
 
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),
@@ -1999,6 +2000,67 @@ ORACLES["kg_random_walks"] = _random_walks_oracle_sql()
 # Skip-gram (center, context, offset) pairs within a ±2 window over
 # the SAME walk corpus — the word2vec layout DeepWalk trains on.
 ORACLES["kg_skipgram_pairs"] = _random_walks_oracle_sql(skipgram_window=2)
+
+def _node2vec_oracle_sql(
+    walk_len: int = 3,
+    p: float = 2.0,
+    q: float = 0.5,
+    num_walks: int = 1,
+    seed: str = "n2v",
+) -> str:
+    """Unrolled second-order node2vec twin for ``kg_node2vec_walks``:
+    per step, the candidate fan-out, the (prev, x) edge-existence LEFT
+    join, the dst-sorted cumulative weight profile, and the md5 uniform
+    draw u = (h+1)/2^32 — first x with cum > u*tot wins. With p, q
+    powers of two every cumsum is a dyadic rational, exact in double on
+    both engines."""
+    ret_w, far_w = repr(1.0 / p), repr(1.0 / q)
+    wvals = ", ".join(f"({w})" for w in range(num_walks))
+    head = f"""
+WITH {_MENTION_BIPARTITE_CTES},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed) u),
+s0 AS MATERIALIZED (
+  SELECT id || '#' || CAST(w AS VARCHAR) AS walk,
+         NULL::VARCHAR AS prev, id AS cur
+  FROM nodes CROSS JOIN (VALUES {wvals}) v(w))"""
+    steps = []
+    for t in range(1, walk_len + 1):
+        prev = f"s{t - 1}"
+        steps.append(f""",
+c{t} AS MATERIALIZED (
+  SELECT s.walk, s.prev, s.cur, a.dst AS x
+  FROM {prev} s JOIN ed a ON a.src = s.cur),
+w{t} AS MATERIALIZED (
+  SELECT c.walk, c.cur, c.x,
+         CASE WHEN c.prev IS NULL THEN 1.0::DOUBLE
+              WHEN c.x = c.prev THEN {ret_w}::DOUBLE
+              WHEN d.src IS NOT NULL THEN 1.0::DOUBLE
+              ELSE {far_w}::DOUBLE END AS alpha
+  FROM c{t} c LEFT JOIN ed d ON d.src = c.prev AND d.dst = c.x),
+k{t} AS MATERIALIZED (
+  SELECT walk, cur, x,
+         SUM(alpha) OVER (PARTITION BY walk) AS tot,
+         SUM(alpha) OVER (PARTITION BY walk ORDER BY x
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         ((('0x' || substr(md5('{seed}' || walk || ':{t}'), 1, 8))::BIGINT + 1))
+           / 4294967296.0 AS u
+  FROM w{t}),
+s{t} AS MATERIALIZED (
+  SELECT walk, prev, cur FROM (
+    SELECT walk, cur AS prev, x AS cur,
+           ROW_NUMBER() OVER (PARTITION BY walk ORDER BY x) AS rn
+    FROM k{t} WHERE cum > u * tot) z
+  WHERE rn = 1)""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT walk, {t} AS step, cur AS id FROM s{t}" for t in range(walk_len + 1)
+    )
+    return head + "".join(steps) + "\n" + finals + "\n"
+
+
+ORACLES["kg_node2vec_walks"] = _node2vec_oracle_sql()
+
 
 # Filtered TransE negatives over the extracted mention triples: k=2
 # md5-drawn object corruptions per triple against the ent-sorted

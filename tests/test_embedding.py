@@ -259,3 +259,103 @@ def test_entity_contexts_counts_match_extract_mentions(spark):
     )
     assert per_occurrence.exceptAll(mentions).count() == 0
     assert mentions.exceptAll(per_occurrence).count() == 0
+
+
+def _py_node2vec(edges, walk_len, p=2.0, q=0.5, num_walks=1, seed="n2v"):
+    adj = {}
+    eset = set(edges)
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    nodes = sorted({v for e in edges for v in e})
+    rows = []
+    for v in nodes:
+        for w in range(num_walks):
+            walk = f"{v}#{w}"
+            prev, cur = None, v
+            rows.append((walk, 0, cur))
+            for t in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                if prev is None:
+                    alphas = [1.0] * len(nbrs)
+                else:
+                    alphas = [
+                        (1.0 / p) if x == prev
+                        else 1.0 if (prev, x) in eset
+                        else (1.0 / q)
+                        for x in nbrs
+                    ]
+                h = int(hashlib.md5(f"{seed}{walk}:{t}".encode()).hexdigest()[:8], 16)
+                u = (h + 1) / 2**32
+                target = u * sum(alphas)
+                cum, pick = 0.0, None
+                for x, a in zip(nbrs, alphas):
+                    cum += a
+                    if cum > target:
+                        pick = x
+                        break
+                prev, cur = cur, pick
+                rows.append((walk, t, cur))
+    return sorted(rows)
+
+
+def test_node2vec_matches_python_model(spark):
+    from cartography_spark.operators.embedding import node2vec_walks
+
+    rng = random.Random(9)
+    nodes = [f"v{i}" for i in range(15)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)})
+    edges = [(s, d) for s, d in edges if s != d]
+    # symmetrize so returns are possible (the 1/p branch gets hit)
+    edges = list({*edges, *[(d, s) for s, d in edges]})
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        map(tuple, node2vec_walks(edf, walk_len=4, p=2.0, q=0.5).collect())
+    )
+    assert got == _py_node2vec(edges, walk_len=4, p=2.0, q=0.5)
+    # partition invariance
+    again = sorted(
+        map(tuple, node2vec_walks(edf.repartition(7), walk_len=4).collect())
+    )
+    assert again == got
+
+
+def test_node2vec_p_controls_return_rate(spark):
+    from cartography_spark.operators.embedding import node2vec_walks
+
+    # Star graph with center c: from a leaf the ONLY neighbor is c, so
+    # step pairs leaf->c->? test the return branch: with p tiny
+    # (return weight 1/p huge) the walk bounces c->leaf->c...; with p
+    # huge it should usually move to a DIFFERENT leaf.
+    edges = [("c", f"l{i}") for i in range(12)] + [(f"l{i}", "c") for i in range(12)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+
+    def return_rate(p):
+        rows = node2vec_walks(edf, walk_len=2, p=p, q=1.0).collect()
+        by_walk = {}
+        for r in rows:
+            by_walk.setdefault(r["walk"], {})[r["step"]] = r["id"]
+        # walks starting at a leaf: step1 = c, step2 = ? (return = same leaf)
+        rets = tot = 0
+        for w, steps in by_walk.items():
+            if w.startswith("l") and 2 in steps:
+                tot += 1
+                rets += steps[2] == w.split("#")[0]
+        return rets, tot
+
+    r_low, t_low = return_rate(1.0 / 1024)  # 1/p = 1024 vs 11 others
+    r_high, t_high = return_rate(64.0)     # 1/p = 1/64
+    assert t_low == t_high == 12
+    assert r_low >= 10          # return mass 1024/1035 per walk
+    assert r_high <= 2          # return mass ~1/(64*11)
+
+
+def test_node2vec_validates(spark):
+    from cartography_spark.operators.embedding import node2vec_walks
+
+    edf = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="p and q"):
+        node2vec_walks(edf, walk_len=1, p=0.0)
+    with pytest.raises(ValueError, match="walk_len"):
+        node2vec_walks(edf, walk_len=-2)
