@@ -423,7 +423,7 @@ def main() -> None:
         "sketch_count_min", "sample_weighted", "text_lm_quality",
         "dedup_repeated_ngrams", "web_canonical_urls", "kg_neighborhood_function",
         "kg_skipgram_pairs", "kg_entity_contexts", "sketch_bloom_decontaminate",
-        "profile_events", "kg_node2vec_walks",
+        "profile_events", "kg_node2vec_walks", "kg_harmonic_centrality",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

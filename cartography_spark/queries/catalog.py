@@ -747,6 +747,16 @@ def kg_entity_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_contexts(docs, "doc_id", "text", vocab, window=2)
 
 
+def kg_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality (sum over radii of new-ball-mass
+    / r) over the extracted mention graph — the disconnected-graph-safe
+    centrality, one register round + per-node fold per radius."""
+    from cartography_spark.operators.graphrank import harmonic_centrality
+
+    out = harmonic_centrality(_mention_bipartite_edges(spark, sf_dir), max_r=3, p=6)
+    return out.select("id", F.round("harmonic", 4).alias("harmonic"))
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1851,6 +1861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "web_canonical_urls": web_canonical_urls,
     "kg_neighborhood_function": kg_neighborhood_function,
+    "kg_harmonic_centrality": kg_harmonic_centrality,
     "sketch_bloom_decontaminate": sketch_bloom_decontaminate,
     "profile_events": profile_events,
     "kg_skipgram_pairs": kg_skipgram_pairs,

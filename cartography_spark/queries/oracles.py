@@ -1943,6 +1943,67 @@ r{i} AS MATERIALIZED (
 ORACLES["kg_neighborhood_function"] = _neighborhood_fn_oracle_sql()
 
 
+def _harmonic_oracle_sql(max_r: int = 3, p: int = 6) -> str:
+    """HyperBall harmonic-centrality twin: the register rounds and
+    per-round per-node estimator folds of _neighborhood_fn_oracle_sql,
+    then H(v) = sum over r of (est_r - est_{r-1}) / r with plain
+    division (one IEEE rounding, matching the operator)."""
+    from cartography_spark.operators.sketches import _alpha
+
+    m = 2**p
+    shift = 32 - p
+    am2 = f"{_alpha(m) * m * m!r}::DOUBLE"
+    head = f"""
+WITH {_MENTION_BIPARTITE_CTES},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed) u),
+r0 AS MATERIALIZED (
+  SELECT id, h >> {shift} AS bucket,
+         MAX(CASE WHEN h % {2**shift} = 0 THEN {shift + 1}
+                  ELSE {shift + 1} - length(bin(h % {2**shift})) END) AS rank
+  FROM (SELECT id, ('0x' || substr(md5(id), 1, 8))::BIGINT AS h FROM nodes) x
+  GROUP BY id, bucket)"""
+    est = (
+        f"""SELECT id,
+         CASE WHEN {am2} / sum_inv <= {2.5 * m!r} AND v > 0
+              THEN {float(m)!r} * ln({float(m)!r} / v)
+              ELSE {am2} / sum_inv END AS est
+  FROM (
+    SELECT id, SUM(power(0.5, rank)) + ({m} - COUNT(*)) AS sum_inv,
+           {m} - COUNT(*) AS v
+    FROM r{{i}} GROUP BY id) x"""
+    )
+    steps = []
+    for i in range(1, max_r + 1):
+        prev = f"r{i - 1}"
+        steps.append(f""",
+r{i} AS MATERIALIZED (
+  SELECT id, bucket, MAX(rank) AS rank FROM (
+    SELECT id, bucket, rank FROM {prev}
+    UNION ALL
+    SELECT e.src AS id, r.bucket, r.rank
+    FROM ed e JOIN {prev} r ON e.dst = r.id) u
+  GROUP BY id, bucket)""")
+    folds = "".join(
+        f",\nf{i} AS MATERIALIZED (\n  {est.format(i=i)})" for i in range(max_r + 1)
+    )
+    terms = " + ".join(
+        f"(f{i}.est - f{i - 1}.est) / {float(i)!r}" for i in range(1, max_r + 1)
+    )
+    joins = " ".join(f"JOIN f{i} USING (id)" for i in range(1, max_r + 1))
+    return (
+        head
+        + "".join(steps)
+        + folds
+        + f"\nSELECT id, ROUND({terms}, 4) AS harmonic\nFROM f0 {joins}\n"
+    )
+
+
+ORACLES["kg_harmonic_centrality"] = _harmonic_oracle_sql()
+
+
+
 def _random_walks_oracle_sql(
     walk_len: int = 3,
     num_walks: int = 1,

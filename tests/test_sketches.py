@@ -366,3 +366,45 @@ def test_bloom_keeps_duplicate_probe_rows(spark):
         for r in bloom_maybe_contains(pdf, bits, "val", m_bits=128).collect()
     )
     assert got[0] == (1, True) and got[1] == (2, True)
+
+
+def test_harmonic_centrality_matches_exact_on_small_graph(spark):
+    from cartography_spark.operators.graphrank import harmonic_centrality
+
+    # p=12 (4096 registers) on a 6-node graph: the HLL estimate of a
+    # <=6-element set is linear-counting-exact enough that the sketch
+    # harmonic equals the EXACT harmonic within 1%.
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "f"),
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(edf, max_r=4, p=12).collect()
+    }
+    # exact forward-distance harmonic within 4 hops
+    nodes = {v for e in edges for v in e}
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    import math
+
+    for v in nodes:
+        dist = {v: 0}
+        frontier = {v}
+        for r in range(1, 5):
+            frontier = {
+                x for u in frontier for x in adj.get(u, ()) if x not in dist
+            }
+            for x in frontier:
+                dist[x] = r
+        want = sum(1.0 / d for u, d in dist.items() if d > 0)
+        assert got[v] == pytest.approx(want, rel=0.01), (v, want, got[v])
+
+
+def test_harmonic_centrality_validates(spark):
+    from cartography_spark.operators.graphrank import harmonic_centrality
+
+    edf = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="max_r"):
+        harmonic_centrality(edf, max_r=0)
