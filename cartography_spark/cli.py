@@ -281,6 +281,20 @@ def cmd_layout(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Single-pass per-column profile of a parquet table (the
+    post-materialization stats gate), printed as one JSON line per
+    column — pipe into the run log or diff across pipeline versions."""
+    from cartography_spark.operators.profile import profile_table
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.table)
+    cols = args.columns.split(",") if args.columns else None
+    for row in profile_table(df, cols).collect():
+        print(json.dumps(row.asDict()))
+    return 0
+
+
 def cmd_store(args) -> int:
     """Store maintenance: compact (fold merge-on-read tombstones) and
     expire (retention GC) — the Iceberg rewrite_data_files /
@@ -416,6 +430,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--output", help="write the assignment here (parquet)")
         sp.add_argument("--id-col", default="doc_id")
         sp.set_defaults(fn=cmd_layout)
+
+    pr = sub.add_parser("profile", help="single-pass per-column stats of a parquet table")
+    pr.add_argument("--table", required=True, help="parquet path")
+    pr.add_argument("--columns", default=None, help="comma-separated subset (default: all)")
+    pr.set_defaults(fn=cmd_profile)
 
     st = sub.add_parser("store", help="store maintenance (compact / expire)")
     stsub = st.add_subparsers(dest="store_command", required=True)

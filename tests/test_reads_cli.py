@@ -270,3 +270,25 @@ def test_cli_layout_shards_split_pack(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["rows"] == 120
     assert res["groups"] == (120 * 41 + 63) // 64  # ceil(total_tokens/64)
+
+
+def test_cli_profile_prints_per_column_stats(spark, tmp_path, capsys):
+    import json
+
+    from cartography_spark.cli import main
+
+    src = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "k long, s string"
+    ).write.parquet(src)
+    rc = main(["--cores", "4", "profile", "--table", src])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    got = {r["col_name"]: r for r in lines}
+    assert got["k"]["n_distinct"] == 2 and got["k"]["max_num"] == 2.0
+    assert got["s"]["n_nulls"] == 1 and got["s"]["max_str"] == "b"
+    # column subset
+    rc = main(["--cores", "4", "profile", "--table", src, "--columns", "s"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["col_name"] for r in lines] == ["s"]
