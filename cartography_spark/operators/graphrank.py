@@ -481,6 +481,38 @@ def label_propagation(
     return labels
 
 
+def _ball_rounds(edges: DataFrame, max_r: int, p: int):
+    """Shared HyperBall register propagation: yields (r, register
+    frame) for r = 0..max_r — round 0 seeds each node's ball with
+    itself; each later round max-merges every node's registers with its
+    out-neighbors' (one equi-join + a partially-aggregated max,
+    lineage-truncated). Per-node state stays <= 2^p register rows."""
+    from cartography_spark.operators.sketches import hll_registers
+
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.select("id", F.col("id").alias("__member")), ["id"], "__member", p
+    ).localCheckpoint()
+    yield 0, regs
+    for r in range(1, max_r + 1):
+        pulled = (
+            e.join(regs, e["dst"] == regs["id"])
+            .select(e["src"].alias("id"), "bucket", "rank")
+        )
+        regs = (
+            regs.unionAll(pulled)
+            .groupBy("id", "bucket")
+            .agg(F.max("rank").alias("rank"))
+            .localCheckpoint()
+        )
+        yield r, regs
+
+
 def hyperball(
     edges: DataFrame,
     rounds: int,
@@ -510,31 +542,12 @@ def hyperball(
     Determinism: registers are pure md5 functions of node ids and the
     fold sums exact powers of two — identical at any parallelism.
     """
-    from cartography_spark.operators.sketches import hll_estimate, hll_registers
+    from cartography_spark.operators.sketches import hll_estimate
 
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    # Seed: each node's ball at r=0 is {itself}.
-    regs = hll_registers(
-        nodes.select("id", F.col("id").alias("__member")), ["id"], "__member", p
-    ).localCheckpoint()
-    for _ in range(rounds):
-        pulled = (
-            e.join(regs, e["dst"] == regs["id"])
-            .select(e["src"].alias("id"), "bucket", "rank")
-        )
-        regs = (
-            regs.unionAll(pulled)
-            .groupBy("id", "bucket")
-            .agg(F.max("rank").alias("rank"))
-            .localCheckpoint()
-        )
+    for _, regs in _ball_rounds(edges, rounds, p):
+        pass
     return hll_estimate(regs, ["id"], p).select(
         "id", F.col("approx_distinct").alias("approx_reach")
     )
@@ -552,19 +565,10 @@ def neighborhood_function(
     it for effective-diameter and centrality estimation); the per-round
     cost is identical to one hyperball round plus a 1-row fold.
     """
-    from cartography_spark.operators.sketches import hll_estimate, hll_registers
+    from cartography_spark.operators.sketches import hll_estimate
 
     if max_r < 0:
         raise ValueError(f"max_r must be >= 0, got {max_r}")
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    regs = hll_registers(
-        nodes.select("id", F.col("id").alias("__member")), ["id"], "__member", p
-    ).localCheckpoint()
 
     def _mean(r: int, frame: DataFrame) -> DataFrame:
         return (
@@ -573,19 +577,10 @@ def neighborhood_function(
             .select(F.lit(r).alias("r"), "avg_reach")
         )
 
-    out = _mean(0, regs)
-    for r in range(1, max_r + 1):
-        pulled = (
-            e.join(regs, e["dst"] == regs["id"])
-            .select(e["src"].alias("id"), "bucket", "rank")
-        )
-        regs = (
-            regs.unionAll(pulled)
-            .groupBy("id", "bucket")
-            .agg(F.max("rank").alias("rank"))
-            .localCheckpoint()
-        )
-        out = out.unionAll(_mean(r, regs))
+    out = None
+    for r, regs in _ball_rounds(edges, max_r, p):
+        step = _mean(r, regs)
+        out = step if out is None else out.unionAll(step)
     return out
 
 
@@ -607,34 +602,18 @@ def harmonic_centrality(
     beyond the shared estimator the only float ops are ``max_r``
     multiply-adds per node.
     """
-    from cartography_spark.operators.sketches import hll_estimate, hll_registers
+    from cartography_spark.operators.sketches import hll_estimate
 
     if max_r < 1:
         raise ValueError(f"max_r must be >= 1, got {max_r}")
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    regs = hll_registers(
-        nodes.select("id", F.col("id").alias("__member")), ["id"], "__member", p
-    ).localCheckpoint()
-    prev_est = hll_estimate(regs, ["id"], p).select(
-        "id", F.col("approx_distinct").alias("__prev")
-    )
+    prev_est = None
     total = None
-    for r in range(1, max_r + 1):
-        pulled = (
-            e.join(regs, e["dst"] == regs["id"])
-            .select(e["src"].alias("id"), "bucket", "rank")
-        )
-        regs = (
-            regs.unionAll(pulled)
-            .groupBy("id", "bucket")
-            .agg(F.max("rank").alias("rank"))
-            .localCheckpoint()
-        )
+    for r, regs in _ball_rounds(edges, max_r, p):
+        if r == 0:
+            prev_est = hll_estimate(regs, ["id"], p).select(
+                "id", F.col("approx_distinct").alias("__prev")
+            )
+            continue
         est = hll_estimate(regs, ["id"], p).select(
             "id", F.col("approx_distinct").alias("__cur")
         )
