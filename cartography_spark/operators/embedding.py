@@ -319,15 +319,18 @@ def node2vec_walks(
             .alias("cum"),
             u.alias("u"),
         )
+        # The winner is the SMALLEST x whose cum clears the target — a
+        # plain min over the filtered profile (same order the CDF was
+        # built in), which partially aggregates map-side; a row_number
+        # window here would re-sort the whole candidate fan-out.
         picked = (
             keyed.where(F.col("cum") > F.col("u") * F.col("tot"))
-            .withColumn(
-                "__rn",
-                F.row_number().over(Window.partitionBy("walk").orderBy("x")),
-            )
-            .where(F.col("__rn") == 1)
+            .groupBy("walk")
+            .agg(F.min(F.struct(F.col("x"), F.col("cur"))).alias("__s"))
             .select(
-                "walk", F.col("cur").alias("prev"), F.col("x").alias("cur")
+                "walk",
+                F.col("__s.cur").alias("prev"),
+                F.col("__s.x").alias("cur"),
             )
             .localCheckpoint()
         )
