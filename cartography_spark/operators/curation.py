@@ -308,3 +308,85 @@ def weighted_sample(
         .where(F.col("sample_rank") <= k)
         .drop("__ws_key")
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Data-mixing planner: given per-stratum target shares (summing to
+    1), compute the per-stratum sampling rates that realize the target
+    mixture WITHOUT upsampling — scale the total corpus down to the
+    largest T with ``share_i * T <= available_i`` for every stratum
+    (T = min_i available_i / share_i; the scarcest stratum is kept
+    whole), then ``rate_i = share_i * T / available_i``. Returns
+    ``(stratum, n_rows, available, target_share, rate, planned)`` —
+    feed ``rate`` per stratum into :func:`stratified_sample` to
+    materialize the plan. Strata absent from ``targets`` get rate 0
+    (excluded from the mix; their rows still report).
+
+    All distributed: per-stratum sums, a broadcast literal target map,
+    and a 1-row min cross-joined back — no collect. The arithmetic is
+    (sum / literal) ratios of exact aggregates, identical on both
+    engines into the final rounding.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    if any(v <= 0 for v in targets.values()):
+        raise ValueError("target shares must be > 0")
+    tmap = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    stats = (
+        df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(weight_col)).cast("double").alias("available"),
+        )
+        .withColumn(
+            "target_share",
+            F.coalesce(
+                F.element_at(tmap, F.col("stratum").cast("string")), F.lit(0.0)
+            ),
+        )
+    )
+    t_max = stats.where(F.col("target_share") > 0).agg(
+        F.min(F.col("available") / F.col("target_share")).alias("__t")
+    )
+    out = stats.crossJoin(F.broadcast(t_max))
+    rate = F.when(F.col("target_share") > 0,
+                  F.col("target_share") * F.col("__t") / F.col("available")
+                  ).otherwise(F.lit(0.0))
+    planned = F.when(F.col("target_share") > 0,
+                     F.col("target_share") * F.col("__t")).otherwise(F.lit(0.0))
+    return out.select(
+        "stratum", "n_rows", "available", "target_share",
+        rate.alias("rate"), planned.alias("planned"),
+    )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    out_col: str = "pct_rank",
+    ascending: bool = True,
+) -> DataFrame:
+    """Per-group percentile-rank calibration of a score column:
+    ``percent_rank`` = (rank - 1) / (n - 1) within the group (0 for a
+    singleton), ties sharing a rank — the cross-source normalization
+    that makes quality thresholds comparable between heterogeneous
+    sources (a "0.9" means top-decile IN ITS OWN source, whatever the
+    raw score scale there). One window = one hash exchange on the
+    group. Rank by an integer-valued score (e.g. token counts, exact
+    fingerprint counts) for a bit-stable cross-engine contract; float
+    scores calibrate fine but inherit the usual near-tie caveat.
+    """
+    from pyspark.sql.window import Window
+
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    win = Window.partitionBy(*group_cols).orderBy(order)
+    return df.withColumn(out_col, F.percent_rank().over(win))

@@ -757,6 +757,42 @@ def kg_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("harmonic", 4).alias("harmonic"))
 
 
+def sample_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan over the documents corpus: per-source token
+    availability vs an uneven target mixture -> the no-upsampling
+    sampling rates (the scarcest targeted stratum is kept whole,
+    rate = 1). Feed the rates into stratified_sample to materialize."""
+    from cartography_spark.operators.curation import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("w")
+    )
+    targets = {f"src{i}": 0.2 if i < 3 else 0.4 / 17 for i in range(20)}
+    out = mixture_plan(docs, "source", "w", targets)
+    return out.select(
+        "stratum", "n_rows", "available",
+        F.round("target_share", 6).alias("target_share"),
+        F.round("rate", 6).alias("rate"),
+        F.round("planned", 4).alias("planned"),
+    )
+
+
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank calibration of document length (an
+    integer score, so the cross-engine ordering is bit-stable): the
+    normalization that makes curation thresholds comparable across
+    heterogeneous sources."""
+    from cartography_spark.operators.curation import calibrate_scores
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    out = calibrate_scores(docs, ["source"], "n_tokens")
+    return out.select(
+        "doc_id", "source", "n_tokens", F.round("pct_rank", 6).alias("pct_rank")
+    )
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1857,6 +1893,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_hyperball_reach": kg_hyperball_reach,
     "sketch_count_min": sketch_count_min,
     "sample_weighted": sample_weighted,
+    "sample_mixture_plan": sample_mixture_plan,
+    "text_quality_calibrated": text_quality_calibrated,
     "text_lm_quality": text_lm_quality,
     "dedup_repeated_ngrams": dedup_repeated_ngrams,
     "web_canonical_urls": web_canonical_urls,

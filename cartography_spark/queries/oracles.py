@@ -1780,6 +1780,41 @@ FROM events
 
 
 
+# Mixture plan: per-stratum availability vs literal target shares,
+# T = min(available/share) over targeted strata, rate = share*T/avail.
+ORACLES["sample_mixture_plan"] = """
+WITH t(stratum, share) AS (VALUES ('src0', 0.2::DOUBLE), ('src1', 0.2::DOUBLE), ('src2', 0.2::DOUBLE), ('src3', 0.023529411764705882::DOUBLE), ('src4', 0.023529411764705882::DOUBLE), ('src5', 0.023529411764705882::DOUBLE), ('src6', 0.023529411764705882::DOUBLE), ('src7', 0.023529411764705882::DOUBLE), ('src8', 0.023529411764705882::DOUBLE), ('src9', 0.023529411764705882::DOUBLE), ('src10', 0.023529411764705882::DOUBLE), ('src11', 0.023529411764705882::DOUBLE), ('src12', 0.023529411764705882::DOUBLE), ('src13', 0.023529411764705882::DOUBLE), ('src14', 0.023529411764705882::DOUBLE), ('src15', 0.023529411764705882::DOUBLE), ('src16', 0.023529411764705882::DOUBLE), ('src17', 0.023529411764705882::DOUBLE), ('src18', 0.023529411764705882::DOUBLE), ('src19', 0.023529411764705882::DOUBLE)),
+stats AS (
+  SELECT d.source AS stratum, COUNT(*) AS n_rows,
+         SUM(len(string_split(d.text, ' ')))::DOUBLE AS available
+  FROM documents d GROUP BY d.source),
+j AS (
+  SELECT s.stratum, s.n_rows, s.available, COALESCE(t.share, 0.0) AS target_share
+  FROM stats s LEFT JOIN t ON t.stratum = s.stratum),
+tm AS (SELECT MIN(available / target_share) AS tmax FROM j WHERE target_share > 0)
+SELECT stratum, n_rows, available,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(CASE WHEN target_share > 0
+                  THEN target_share * (SELECT tmax FROM tm) / available
+                  ELSE 0.0 END, 6) AS rate,
+       ROUND(CASE WHEN target_share > 0
+                  THEN target_share * (SELECT tmax FROM tm)
+                  ELSE 0.0 END, 4) AS planned
+FROM j
+"""
+
+# Percentile-rank calibration of an integer score: PERCENT_RANK over
+# (source, n_tokens) — exact rational, bit-stable ordering.
+ORACLES["text_quality_calibrated"] = """
+SELECT doc_id, source, n_tokens,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_tokens), 6)
+         AS pct_rank
+FROM (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents) x
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),

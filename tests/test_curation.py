@@ -381,3 +381,56 @@ def test_weighted_sample_validates(spark):
     df2 = spark.createDataFrame([("a", 1, 2)], "grp string, id long, w long")
     with _pt.raises(ValueError, match="k must be"):
         weighted_sample(df2, ["grp"], "w", "id", k=0)
+
+
+# --------------------------------------------------------- mixture plan
+
+def test_mixture_plan_hand_computed(spark):
+    from cartography_spark.operators.curation import mixture_plan
+
+    rows = (
+        [("en", i, 10) for i in range(10)]      # 100 tokens available
+        + [("de", i, 10) for i in range(3)]     # 30 tokens (scarce)
+        + [("fr", i, 10) for i in range(5)]     # 50 tokens, untargeted
+    )
+    df = spark.createDataFrame(rows, "lang string, id long, w long")
+    got = {
+        r["stratum"]: r
+        for r in mixture_plan(df, "lang", "w", {"en": 0.5, "de": 0.5}).collect()
+    }
+    # T = min(100/0.5, 30/0.5) = 60: de kept whole, en sampled at 30%.
+    assert got["de"]["rate"] == pytest.approx(1.0)
+    assert got["de"]["planned"] == pytest.approx(30.0)
+    assert got["en"]["rate"] == pytest.approx(0.3)
+    assert got["en"]["planned"] == pytest.approx(30.0)
+    assert got["fr"]["rate"] == 0.0 and got["fr"]["planned"] == 0.0
+    assert got["fr"]["n_rows"] == 5  # still reported
+
+
+def test_mixture_plan_validates(spark):
+    from cartography_spark.operators.curation import mixture_plan
+
+    df = spark.createDataFrame([("en", 1)], "lang string, w long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        mixture_plan(df, "lang", "w", {"en": 0.5})
+    with pytest.raises(ValueError, match="> 0"):
+        mixture_plan(df, "lang", "w", {"en": 1.5, "de": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_plan(df, "lang", "w", {})
+
+
+def test_calibrate_scores_percentiles(spark):
+    from cartography_spark.operators.curation import calibrate_scores
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 20), ("a", 4, 40), ("b", 5, 7)]
+    df = spark.createDataFrame(rows, "g string, id long, s long")
+    got = {r["id"]: r["pct_rank"] for r in calibrate_scores(df, ["g"], "s").collect()}
+    assert got[1] == 0.0
+    assert got[2] == got[3] == pytest.approx(1 / 3)   # tie shares the rank
+    assert got[4] == 1.0
+    assert got[5] == 0.0                              # singleton group
+    desc = {
+        r["id"]: r["pct_rank"]
+        for r in calibrate_scores(df, ["g"], "s", ascending=False).collect()
+    }
+    assert desc[4] == 0.0 and desc[1] == 1.0
