@@ -424,7 +424,7 @@ def main() -> None:
         "dedup_repeated_ngrams", "web_canonical_urls", "kg_neighborhood_function",
         "kg_skipgram_pairs", "kg_entity_contexts", "sketch_bloom_decontaminate",
         "profile_events", "kg_node2vec_walks", "kg_harmonic_centrality",
-        "sample_mixture_plan", "text_quality_calibrated",
+        "sample_mixture_plan", "text_quality_calibrated", "agg_session_sequences",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

@@ -85,3 +85,42 @@ def session_stats(
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
     return s.groupBy(key_col, "session_seq").agg(*aggs)
+
+
+def session_sequences(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    token_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Per-session ordered token sequences: the behavioral-sequence
+    corpus (next-event-prediction / session-embedding training data) —
+    ``(key, session_start, n_events, sequence)`` with ``sequence`` the
+    session's ``token_col`` values joined by spaces in (ts, token)
+    order. Builds on :func:`sessionize`'s gap rule, so the session
+    boundaries are bit-identical to the stats operator's.
+
+    The collect_list rides the same (key, session) exchange as the
+    aggregate and is bounded by the session length (watermark-bounded
+    in the streaming form); ordering happens row-locally via
+    array_sort over (ts, token) structs — a deterministic total order
+    even under equal timestamps.
+    """
+    sess = sessionize(events, key_col, ts_col, gap_seconds)
+    agg = (
+        sess.groupBy(F.col(key_col).alias("key"), F.col("session_seq"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(token_col).alias("tok")))
+            ).alias("__ord"),
+        )
+    )
+    return agg.select(
+        "key",
+        "session_start",
+        "n_events",
+        F.array_join(F.expr("transform(__ord, s -> s.tok)"), " ").alias("sequence"),
+    )

@@ -1236,6 +1236,25 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session ordered event-type sequences (8h gap): the
+    behavioral-sequence corpus for next-event / session-embedding
+    training — boundaries bit-identical to agg_sessionize, ordering a
+    deterministic (ts, token) total order on both engines."""
+    from cartography_spark.operators.sessions import session_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_sequences(ev, "user_id", "ts", "event_type", 8 * 3600.0)
+    return out.select(
+        F.col("key").alias("user_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+        "sequence",
+    )
+
+
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized point-in-interval join (the second temporal primitive
     Spark lacks a scalable plan for — the naive BETWEEN theta-join
@@ -1926,6 +1945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_salted_skew": agg_salted_skew,
     "agg_dedup_lastwins_a2": agg_dedup_lastwins_a2,
     "agg_sessionize": agg_sessionize,
+    "agg_session_sequences": agg_session_sequences,
     "agg_percentiles": agg_percentiles,
     "join_interval": join_interval,
     "events_json_props": events_json_props,

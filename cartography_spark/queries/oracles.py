@@ -1815,6 +1815,33 @@ FROM (
 """
 
 
+# Session token sequences: same gap rule/numbering as agg_sessionize,
+# tokens joined in (ts, token) order — string_agg with the identical
+# ORDER BY tie-break.
+ORACLES["agg_session_sequences"] = """
+WITH b AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 28800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM b
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       COUNT(*) AS n_events,
+       string_agg(event_type, ' ' ORDER BY ts, event_type) AS sequence
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),

@@ -156,3 +156,28 @@ def test_rolling_window_one_exchange_and_model(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in final
+
+
+def test_session_sequences_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from cartography_spark.operators.sessions import session_sequences
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0, "view"),
+        ("u1", t0 + timedelta(seconds=10), "click"),
+        ("u1", t0 + timedelta(seconds=10), "buy"),    # equal ts: token order
+        ("u1", t0 + timedelta(hours=9), "view"),      # new session (8h gap)
+        ("u2", t0, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, etype string")
+    got = sorted(
+        (r["key"], r["session_start"], r["n_events"], r["sequence"])
+        for r in session_sequences(df, "user", "ts", "etype", 8 * 3600.0).collect()
+    )
+    assert got == [
+        ("u1", t0, 3, "view buy click"),
+        ("u1", t0 + timedelta(hours=9), 1, "view"),
+        ("u2", t0, 1, "signup"),
+    ]
