@@ -793,6 +793,60 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_related_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "related entities" serving view every KG exposes: top-3
+    co-occurring entities per entity by NPMI (symmetric closure of the
+    PMI pairs), deterministic (npmi desc, neighbor asc) tie-break —
+    rides one window over the pair table."""
+    from cartography_spark.functions.triples import extract_mentions
+    from cartography_spark.operators.index import cooccurrence_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = ["spark", "join", "merge", "filter", "scan", "hash", "sort", "agg"]
+    mentions = extract_mentions(docs, "doc_id", "text", vocab)
+    pairs = cooccurrence_pmi(mentions, "subj_id", "obj")
+    sym = pairs.select(
+        F.col("term_a").alias("entity"), F.col("term_b").alias("related"),
+        "n_pair", "npmi",
+    ).unionAll(
+        pairs.select(
+            F.col("term_b").alias("entity"), F.col("term_a").alias("related"),
+            "n_pair", "npmi",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("entity").orderBy(
+        F.col("npmi").desc(), F.col("related").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("entity", "related", "n_pair", F.round("npmi", 6).alias("npmi"), "rank")
+    )
+
+
+def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned in/out-degree histogram of the membership graph —
+    the power-law fingerprint every web-graph audit starts with.
+    Integer-exact: the bin is length(bin(degree)) - 1 = floor(log2),
+    derived without floats on both engines."""
+    nodes, edges = _entity_graph(spark, sf_dir)
+
+    def hist(col: str, direction: str) -> DataFrame:
+        deg = edges.groupBy(F.col(col).alias("id")).agg(
+            F.count("*").alias("deg")
+        )
+        return (
+            deg.select((F.length(F.bin("deg")) - 1).alias("log2_bin"))
+            .groupBy("log2_bin")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit(direction).alias("direction"), "log2_bin", "n_nodes")
+        )
+
+    return hist("src", "out").unionAll(hist("dst", "in"))
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1909,6 +1963,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negative_samples": kg_negative_samples,
     "sketch_hll_distinct": sketch_hll_distinct,
     "kg_entity_pmi": kg_entity_pmi,
+    "kg_related_entities": kg_related_entities,
+    "kg_degree_histogram": kg_degree_histogram,
     "kg_hyperball_reach": kg_hyperball_reach,
     "sketch_count_min": sketch_count_min,
     "sample_weighted": sample_weighted,

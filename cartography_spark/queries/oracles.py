@@ -1842,6 +1842,57 @@ GROUP BY user_id, session_seq
 """
 
 
+# Top-3 related entities per entity by NPMI over the symmetric pair
+# closure — same counts/ln as kg_entity_pmi, (npmi desc, related asc)
+# ROW_NUMBER tie-break.
+ORACLES["kg_related_entities"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS obj FROM documents),
+inc AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS doc, obj AS term
+  FROM toks
+  WHERE obj IN ('spark', 'join', 'merge', 'filter', 'scan', 'hash', 'sort', 'agg')),
+n AS (SELECT COUNT(DISTINCT doc) AS n FROM inc),
+dfq AS MATERIALIZED (SELECT term, COUNT(*) AS n FROM inc GROUP BY term),
+co AS MATERIALIZED (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_pair
+  FROM inc a JOIN inc b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY a.term, b.term),
+scored AS (
+  SELECT term_a, term_b, n_pair,
+         CASE WHEN n_pair = (SELECT n FROM n) THEN 1.0
+              ELSE ln(n_pair * (SELECT n FROM n) / (da.n * db.n))
+                   / ln((SELECT n FROM n) / n_pair) END AS npmi
+  FROM co JOIN dfq da ON da.term = co.term_a JOIN dfq db ON db.term = co.term_b),
+sym AS (
+  SELECT term_a AS entity, term_b AS related, n_pair, npmi FROM scored
+  UNION ALL
+  SELECT term_b, term_a, n_pair, npmi FROM scored)
+SELECT entity, related, n_pair, ROUND(npmi, 6) AS npmi, CAST(rank AS INT) AS rank
+FROM (
+  SELECT entity, related, n_pair, npmi,
+         ROW_NUMBER() OVER (PARTITION BY entity
+                            ORDER BY npmi DESC, related ASC) AS rank
+  FROM sym) t
+WHERE rank <= 3
+"""
+
+# Log2-binned degree histogram: bin = length(bin(deg)) - 1, no floats.
+ORACLES["kg_degree_histogram"] = """
+WITH edges AS (
+  SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+  UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation),
+outd AS (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+ind AS (SELECT dst AS id, COUNT(*) AS deg FROM edges GROUP BY dst)
+SELECT 'out' AS direction, log2_bin, COUNT(*) AS n_nodes
+FROM (SELECT length(bin(deg)) - 1 AS log2_bin FROM outd) x GROUP BY log2_bin
+UNION ALL
+SELECT 'in', log2_bin, COUNT(*)
+FROM (SELECT length(bin(deg)) - 1 AS log2_bin FROM ind) y GROUP BY log2_bin
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),
