@@ -247,8 +247,15 @@ def bloom_maybe_contains(
     per-row verdict is one broadcast LEFT join per probe + an all-bits
     count, grouped back on the ORIGINAL row via a generated row key so
     duplicate values keep their multiplicity."""
-    probes = df.select(
-        "*",
+    # Transient per-row key: grouping the k probes back on the row's
+    # COLUMNS would merge exact duplicate rows and their probe counts
+    # (sum = n*k != k -> a false NEGATIVE for a duplicated member); the
+    # key never leaves this function, so the output multiset stays
+    # deterministic.
+    keyed = df.withColumn("__rk", F.monotonically_increasing_id())
+    probes = keyed.select(
+        "__rk",
+        F.col(value_col).alias("__v"),
         F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__i"),
     )
     bit = _md5_pick(
@@ -256,7 +263,7 @@ def bloom_maybe_contains(
             F.lit(seed),
             F.col("__i").cast("string"),
             F.lit("|"),
-            F.col(value_col).cast("string"),
+            F.col("__v").cast("string"),
         ),
         F.lit(m_bits).cast("long"),
     )
@@ -265,12 +272,7 @@ def bloom_maybe_contains(
         "__bit",
         "left",
     )
-    keys = [c for c in df.columns]
-    return (
-        marked.groupBy(*keys)
-        .agg(
-            (
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) == F.lit(k)
-            ).alias(out_col)
-        )
+    verdicts = marked.groupBy("__rk").agg(
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) == F.lit(k)).alias(out_col)
     )
+    return keyed.join(verdicts, "__rk").drop("__rk")

@@ -356,7 +356,7 @@ def test_bloom_keeps_duplicate_probe_rows(spark):
     from cartography_spark.operators.sketches import bloom_bits, bloom_maybe_contains
 
     mdf = spark.createDataFrame([("x",)], "val string")
-    # duplicate rows with distinct payloads must each keep a verdict
+    # distinct rows sharing a value each keep a verdict...
     pdf = spark.createDataFrame(
         [(1, "x"), (2, "x"), (3, "y")], "rid long, val string"
     )
@@ -366,6 +366,16 @@ def test_bloom_keeps_duplicate_probe_rows(spark):
         for r in bloom_maybe_contains(pdf, bits, "val", m_bits=128).collect()
     )
     assert got[0] == (1, True) and got[1] == (2, True)
+    # ...and EXACT duplicate rows keep their multiplicity AND verdict
+    # (the regression: grouping on row columns merged their probe
+    # counts into sum = 2k != k -> a false negative for a member).
+    dup = spark.createDataFrame([("x",), ("x",), ("z",)], "val string")
+    got2 = sorted(
+        (r["val"], r["maybe_member"])
+        for r in bloom_maybe_contains(dup, bits, "val", m_bits=128).collect()
+    )
+    assert got2[0] == ("x", True) and got2[1] == ("x", True)
+    assert len(got2) == 3
 
 
 def test_harmonic_centrality_matches_exact_on_small_graph(spark):
