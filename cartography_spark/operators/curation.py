@@ -354,14 +354,23 @@ def mixture_plan(
         )
     )
     t_max = stats.where(F.col("target_share") > 0).agg(
-        F.min(F.col("available") / F.col("target_share")).alias("__t")
+        F.coalesce(
+            F.min(F.col("available") / F.col("target_share")), F.lit(0.0)
+        ).alias("__t")
     )
     out = stats.crossJoin(F.broadcast(t_max))
-    rate = F.when(F.col("target_share") > 0,
-                  F.col("target_share") * F.col("__t") / F.col("available")
-                  ).otherwise(F.lit(0.0))
-    planned = F.when(F.col("target_share") > 0,
-                     F.col("target_share") * F.col("__t")).otherwise(F.lit(0.0))
+    # A targeted stratum with zero available weight pins T to 0 (the
+    # mix is infeasible without it — everything gets rate 0, loudly
+    # visible in the plan, rather than a NaN from 0/0); a targeted
+    # stratum ABSENT from the data doesn't constrain T at all (no row
+    # to report), which the caller should treat the same way.
+    feasible = (F.col("target_share") > 0) & (F.col("available") > 0)
+    rate = F.when(
+        feasible, F.col("target_share") * F.col("__t") / F.col("available")
+    ).otherwise(F.lit(0.0))
+    planned = F.when(feasible, F.col("target_share") * F.col("__t")).otherwise(
+        F.lit(0.0)
+    )
     return out.select(
         "stratum", "n_rows", "available", "target_share",
         rate.alias("rate"), planned.alias("planned"),

@@ -434,3 +434,21 @@ def test_calibrate_scores_percentiles(spark):
         for r in calibrate_scores(df, ["g"], "s", ascending=False).collect()
     }
     assert desc[4] == 0.0 and desc[1] == 1.0
+
+
+def test_mixture_plan_zero_available_targeted_stratum_is_loud_not_nan(spark):
+    import math
+
+    from cartography_spark.operators.curation import mixture_plan
+
+    df = spark.createDataFrame(
+        [("en", 1, 10), ("de", 2, 0)], "lang string, id long, w long"
+    )
+    got = {
+        r["stratum"]: r
+        for r in mixture_plan(df, "lang", "w", {"en": 0.5, "de": 0.5}).collect()
+    }
+    # de has rows but zero weight: T = 0, every rate 0 — never NaN.
+    for r in got.values():
+        assert not math.isnan(r["rate"]) and not math.isnan(r["planned"])
+        assert r["rate"] == 0.0 and r["planned"] == 0.0
