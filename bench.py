@@ -425,7 +425,7 @@ def main() -> None:
         "kg_skipgram_pairs", "kg_entity_contexts", "sketch_bloom_decontaminate",
         "profile_events", "kg_node2vec_walks", "kg_harmonic_centrality",
         "sample_mixture_plan", "text_quality_calibrated", "agg_session_sequences",
-        "kg_related_entities", "kg_degree_histogram",
+        "kg_related_entities", "kg_degree_histogram", "kmv_source_overlap",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

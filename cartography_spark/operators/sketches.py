@@ -276,3 +276,90 @@ def bloom_maybe_contains(
         (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) == F.lit(k)).alias(out_col)
     )
     return keyed.join(verdicts, "__rk").drop("__rk")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Per-group KMV (bottom-k distinct-hash) sketch (Bar-Yossef et
+    al. / Beyer et al.'s "distinct sampling"): ``(group..., h)`` rows —
+    the ``k`` SMALLEST 32-bit md5 hashes of the group's distinct
+    values. Unlike HLL registers this sketch supports SET ALGEBRA:
+    bottom-k of a union is re-derivable from the members' sketches
+    (union the hash rows, keep the k smallest), which is what powers
+    pairwise overlap estimation. Merge = union + re-bottom-k.
+
+    Scale shape: one distinct over (group, hash) — map-side combined —
+    then one per-group window capped at k rows; group state never
+    exceeds k hashes.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    groups = list(group_cols)
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, h.alias("h"))
+        .distinct()
+    )
+    win = Window.partitionBy(*groups).orderBy("h")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_jaccard_pairs(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Pairwise Jaccard estimates between every two groups of a
+    :func:`kmv_sketch` table: for pair (a < b), take the k smallest
+    hashes of the UNION of the two sketches (valid — the union's
+    bottom-k is a subset of the sketches' union) and report the
+    fraction present in BOTH sketches: ``(group_a, group_b,
+    jaccard_est)``. The standard coordinated-sample estimator; the
+    cross-corpus overlap audit (which sources share content /
+    vocabulary) at sketch cost instead of a full set join.
+
+    The pair table is |groups|² rows of <= 2k hashes each — sketch-
+    sized, never corpus-sized; everything after the sketch build is
+    joins between k-row-per-group dims.
+    """
+    from pyspark.sql.window import Window
+
+    g = sketch.select(F.col(group_col).alias("__g"), "h")
+    a = g.select(F.col("__g").alias("group_a"), "h", F.lit(1).alias("in_a"))
+    b = g.select(F.col("__g").alias("group_b"), "h", F.lit(1).alias("in_b"))
+    pairs = (
+        a.select("group_a")
+        .distinct()
+        .join(b.select("group_b").distinct())
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+    rows = pairs.join(a, "group_a").select(
+        "group_a", "group_b", "h", "in_a", F.lit(0).alias("in_b")
+    ).unionAll(
+        pairs.join(b, "group_b").select(
+            "group_a", "group_b", "h", F.lit(0).alias("in_a"), "in_b"
+        )
+    )
+    merged = rows.groupBy("group_a", "group_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    win = Window.partitionBy("group_a", "group_b").orderBy("h")
+    bottom = merged.withColumn("__rn", F.row_number().over(win)).where(
+        F.col("__rn") <= k
+    )
+    return bottom.groupBy("group_a", "group_b").agg(
+        (F.sum(F.col("in_a") * F.col("in_b")) / F.count("*")).alias("jaccard_est")
+    )

@@ -847,6 +847,55 @@ def kg_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist("src", "out").unionAll(hist("dst", "in"))
 
 
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap audit at sketch cost: pairwise
+    Jaccard between every two sources' word-3-gram shingle sets,
+    estimated from 128-hash KMV sketches BESIDE the exact Jaccard —
+    the contamination/duplication map a multi-source corpus needs
+    before mixing, with the estimator's error driver-visible."""
+    from cartography_spark.functions.textstats import word_shingles
+    from cartography_spark.operators.sketches import kmv_jaccard_pairs, kmv_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    ).distinct()
+    est = kmv_jaccard_pairs(kmv_sketch(sh, ["source"], "s", k=128), "source", k=128)
+    sizes = sh.groupBy(F.col("source")).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("group_a"), F.col("b.source").alias("group_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        est.join(inter, ["group_a", "group_b"], "left")
+        .join(
+            sizes.select(F.col("source").alias("group_a"), F.col("n").alias("na")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("group_b"), F.col("n").alias("nb")),
+            "group_b",
+        )
+        .withColumn("__i", F.coalesce(F.col("inter"), F.lit(0)))
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+        F.round(
+            F.col("__i") / (F.col("na") + F.col("nb") - F.col("__i")), 6
+        ).alias("jaccard_exact"),
+    )
+
+
 def kg_entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / normalized-PMI association between extracted vocabulary
     entities co-mentioned in the same document — the relation-mining
@@ -1965,6 +2014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_pmi": kg_entity_pmi,
     "kg_related_entities": kg_related_entities,
     "kg_degree_histogram": kg_degree_histogram,
+    "kmv_source_overlap": kmv_source_overlap,
     "kg_hyperball_reach": kg_hyperball_reach,
     "sketch_count_min": sketch_count_min,
     "sample_weighted": sample_weighted,

@@ -1893,6 +1893,56 @@ FROM (SELECT length(bin(deg)) - 1 AS log2_bin FROM ind) y GROUP BY log2_bin
 """
 
 
+# KMV cross-source overlap: bottom-128 md5 sketches of each source's
+# word-3-gram shingle set, pairwise union-bottom-k Jaccard estimate
+# BESIDE the exact Jaccard (zero-intersection pairs kept via the left
+# join) — sketch error is part of the hashed answer.
+ORACLES["kmv_source_overlap"] = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT source, array_to_string(l[i:i+2], ' ') AS s
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(l) - 2, 1))) t(i)),
+hd AS MATERIALIZED (
+  SELECT DISTINCT source, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+sk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hd) x
+  WHERE rn <= 128),
+pairs AS (
+  SELECT a.source AS ga, b.source AS gb
+  FROM (SELECT DISTINCT source FROM sk) a, (SELECT DISTINCT source FROM sk) b
+  WHERE a.source < b.source),
+m AS MATERIALIZED (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.ga, p.gb)
+  GROUP BY p.ga, p.gb, s.h),
+bot AS (
+  SELECT ga, gb, in_a, in_b FROM (
+    SELECT ga, gb, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM m) y
+  WHERE rn <= 128),
+est AS (
+  SELECT ga, gb, SUM(in_a * in_b) / COUNT(*) AS je FROM bot GROUP BY ga, gb),
+inter AS (
+  SELECT a.source AS ga, b.source AS gb, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source),
+sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source)
+SELECT e.ga AS group_a, e.gb AS group_b,
+       ROUND(e.je, 6) AS jaccard_est,
+       ROUND(COALESCE(i.i, 0) / (sa.n + sb.n - COALESCE(i.i, 0)), 6)
+         AS jaccard_exact
+FROM est e
+LEFT JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+JOIN sizes sa ON sa.source = e.ga
+JOIN sizes sb ON sb.source = e.gb
+"""
+
+
 def _hll_oracle_sql(p: int = 8) -> str:
     """HLL twin for ``sketch_hll_distinct``: md5 32-bit hash, top-p
     register index via >>, integer-exact rank from length(bin(.)),

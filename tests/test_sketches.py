@@ -418,3 +418,66 @@ def test_harmonic_centrality_validates(spark):
     edf = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="max_r"):
         harmonic_centrality(edf, max_r=0)
+
+
+# ------------------------------------------------------------- KMV
+
+def test_kmv_jaccard_tracks_exact_overlap(spark):
+    from cartography_spark.operators.sketches import kmv_jaccard_pairs, kmv_sketch
+
+    # Three sets with known overlaps over a 4000-element universe:
+    # A = [0, 2000), B = [1000, 3000) (J(A,B) = 1/3),
+    # C = [3000, 4000) (disjoint from both).
+    rows = (
+        [("A", f"v{i}") for i in range(0, 2000)]
+        + [("B", f"v{i}") for i in range(1000, 3000)]
+        + [("C", f"v{i}") for i in range(3000, 4000)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_sketch(df, ["g"], "v", k=256)
+    got = {
+        (r["group_a"], r["group_b"]): r["jaccard_est"]
+        for r in kmv_jaccard_pairs(sk, "g", k=256).collect()
+    }
+    assert got[("A", "C")] == 0.0 and got[("B", "C")] == 0.0
+    # J=1/3 within ~4 sigma of sqrt(J(1-J)/k)
+    tol = 4 * (1 / 3 * 2 / 3 / 256) ** 0.5
+    assert abs(got[("A", "B")] - 1 / 3) < tol, got[("A", "B")]
+
+
+def test_kmv_sketch_is_bottom_k_of_distinct_hashes(spark):
+    import hashlib
+
+    from cartography_spark.operators.sketches import kmv_sketch
+
+    vals = [f"x{i}" for i in range(50)] * 3  # duplicates must not matter
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v string")
+    got = sorted(r["h"] for r in kmv_sketch(df, ["g"], "v", k=10).collect())
+    want = sorted(
+        int(hashlib.md5(v.encode()).hexdigest()[:8], 16) for v in set(vals)
+    )[:10]
+    assert got == want
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_sketch(df, ["g"], "v", k=0)
+
+
+def test_kmv_union_merge_property(spark):
+    from pyspark.sql import functions as F
+
+    from cartography_spark.operators.sketches import kmv_sketch
+
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(300)], "g string, v string")
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(300)], "g string, v string")
+    whole = sorted(r["h"] for r in kmv_sketch(a.unionAll(b), ["g"], "v", k=64).collect())
+    # union + re-bottom-k of the members' sketches == sketch of the union
+    from pyspark.sql.window import Window
+
+    merged_rows = (
+        kmv_sketch(a, ["g"], "v", k=64)
+        .unionAll(kmv_sketch(b, ["g"], "v", k=64))
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("h")))
+        .where(F.col("rn") <= 64)
+    )
+    merged = sorted(r["h"] for r in merged_rows.collect())
+    assert whole == merged
