@@ -54,17 +54,10 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(
-    df: DataFrame,
-    group_cols: Sequence[str],
-    value_col: str,
-    p: int = 8,
-) -> DataFrame:
-    """Per-group HLL register table: ``(group..., bucket, rank)`` with
-    ``bucket`` the top ``p`` bits of the 32-bit md5-derived hash and
-    ``rank`` the max over values of (leading zeros of the remaining
-    ``32-p`` bits) + 1. Absent buckets mean rank 0. Register tables
-    with the same ``p`` merge by ``max(rank)`` per (group, bucket)."""
+def hll_register_exprs(value_col: str, p: int = 8):
+    """The (bucket, rank) column pair of the HLL register build for one
+    value — shared by the batch :func:`hll_registers` and the streaming
+    windowed-register aggregation so both sketch IDENTICAL registers."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     shift = 32 - p
@@ -78,11 +71,26 @@ def hll_registers(
     rank = F.when(rem == 0, F.lit(shift + 1)).otherwise(
         F.lit(shift + 1) - F.length(F.bin(rem))
     )
+    return F.shiftright(h, shift), rank
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: ``(group..., bucket, rank)`` with
+    ``bucket`` the top ``p`` bits of the 32-bit md5-derived hash and
+    ``rank`` the max over values of (leading zeros of the remaining
+    ``32-p`` bits) + 1. Absent buckets mean rank 0. Register tables
+    with the same ``p`` merge by ``max(rank)`` per (group, bucket)."""
+    bucket, rank = hll_register_exprs(value_col, p)
     return (
         df.where(F.col(value_col).isNotNull())
         .select(
             *group_cols,
-            F.shiftright(h, shift).alias("bucket"),
+            bucket.alias("bucket"),
             rank.alias("rank"),
         )
         .groupBy(*group_cols, "bucket")

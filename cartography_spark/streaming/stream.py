@@ -429,6 +429,46 @@ def stream_interval_join(
     return out
 
 
+def stream_hll_registers(
+    events: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    p: int = 8,
+) -> DataFrame:
+    """Windowed HLL register stream: per (event-time window, bucket)
+    the max rank of the window's values — ``(window_start, bucket,
+    rank)``, at most ``2^p`` rows per window regardless of volume. The
+    streaming half of the persist-registers / estimate-later pattern:
+    append-mode rows finalize when the watermark passes the window;
+    fold any subset with ``sketches.hll_estimate`` (grouped by
+    ``window_start``) or max-merge across days first — the registers
+    are IDENTICAL to the batch :func:`sketches.hll_registers` on the
+    same rows (shared expressions; stream==batch pinned by test).
+
+    Why registers and not estimates: a streaming estimate would need a
+    second aggregation over the first (unsupported chained streaming
+    aggs) — and the register table is the more useful artifact anyway
+    (mergeable across windows, days, and pipelines).
+    """
+    from cartography_spark.operators.sketches import hll_register_exprs
+
+    bucket, rank = hll_register_exprs(value_col, p)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.window(F.col(ts_col), window).alias("w"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.max("rank").alias("rank"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "rank")
+    )
+
+
 def run_to_table(
     counts: DataFrame,
     output_dir: str,

@@ -636,3 +636,60 @@ def test_stream_interval_join_validates(spark):
     c = spark.createDataFrame([("u", None)], "user string, ts2 timestamp")
     with pytest.raises(ValueError, match="max_delay_seconds"):
         stream_interval_join(a, c, "user", "ts", "ts2", -1.0)
+
+
+def test_stream_hll_registers_match_batch_and_estimate(spark, tmp_path):
+    """Streamed windowed HLL registers must equal the batch register
+    build on the same rows (shared expressions), and folding them must
+    reproduce batch hll_distinct per window — the persist-registers /
+    estimate-later pattern, across micro-batches."""
+    from datetime import datetime, timedelta
+
+    from cartography_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+    from cartography_spark.streaming.stream import stream_hll_registers
+
+    t0 = datetime(2024, 1, 1)
+    src, out_dir, ck = str(tmp_path / "ev"), str(tmp_path / "o"), str(tmp_path / "c")
+    rows = [
+        ("u%d" % (i % 37), t0 + timedelta(minutes=i % 50))
+        for i in range(400)
+    ] + [
+        ("w%d" % i, t0 + timedelta(hours=2, minutes=i % 30)) for i in range(80)
+    ]
+    schema = "uid string, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(3).write.parquet(src)
+    far = t0 + timedelta(days=30)
+    spark.createDataFrame([("zz", far)], schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    regs = stream_hll_registers(stream, "ts", "uid", window="1 hour",
+                                watermark="1 hour", p=8)
+    q = (
+        regs.writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=180)
+
+    got = spark.read.parquet(out_dir).where(
+        F.col("window_start") < far - timedelta(days=1)
+    )
+    batch_src = df.withColumn(
+        "window_start", F.window("ts", "1 hour")["start"]
+    )
+    want = hll_registers(batch_src, ["window_start"], "uid", p=8)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # folding the streamed registers == batch hll_distinct per window
+    est = hll_estimate(got, ["window_start"], p=8)
+    want_est = hll_distinct(batch_src, ["window_start"], "uid", p=8)
+    diff = est.join(want_est.withColumnRenamed("approx_distinct", "w"), "window_start")
+    for r in diff.collect():
+        assert r["approx_distinct"] == r["w"]
