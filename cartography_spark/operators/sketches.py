@@ -36,7 +36,6 @@ caller's rounding).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
