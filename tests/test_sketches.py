@@ -481,3 +481,18 @@ def test_kmv_union_merge_property(spark):
     )
     merged = sorted(r["h"] for r in merged_rows.collect())
     assert whole == merged
+
+
+def test_bloom_probe_plan_broadcasts_the_bit_table(spark):
+    from cartography_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    mdf = spark.createDataFrame([(f"m{i}",) for i in range(50)], "val string")
+    pdf = spark.createDataFrame([(f"p{i}",) for i in range(200)], "val string")
+    bits = bloom_bits(mdf, "val", m_bits=1024)
+    plan = (
+        bloom_maybe_contains(pdf, bits, "val", m_bits=1024)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the bit table must ride as a broadcast, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
