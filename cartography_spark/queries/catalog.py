@@ -1925,6 +1925,61 @@ def kg_pages_e2e_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pages_e2e(spark, 4000, seed=7)
 
 
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web link graph from the pages' html: decode ->
+    regexp href extraction -> explode -> one partial-aggregated hash
+    shuffle on (src_host, dst_host). The DuckDB twin re-derives the
+    PLANTED links from the generator's splitmix chain (no html, no
+    regex), so a green hash proves href extraction == ground truth —
+    the link-graph analog of the pages-e2e text gate. sf-keyed page
+    count like kg_pages_e2e (static oracle exact at the sf0.01 driver
+    gate; scripts/check_oracle.py regenerates above it)."""
+    from cartography_spark.functions.weblinks import extract_links, host_graph
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    return host_graph(extract_links(pages))
+
+
+def web_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host in-crawl vs frontier outlink classification: the link
+    stream LEFT-joins the crawled url set on the exact dst url. The
+    twin derives membership arithmetically (target id < n_pages), so
+    the hash match proves the planted dst urls string-equal the real
+    target urls — the url-consistency invariant a crawl scheduler
+    depends on."""
+    from cartography_spark.functions.weblinks import crawl_frontier, extract_links
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    return crawl_frontier(extract_links(pages), pages)
+
+
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain ranking over the EXTRACTED host graph: html -> hrefs ->
+    (src_host, dst_host, n_links) -> weighted PageRank (5 iterations,
+    d=0.85, dangling mass redistributed — frontier-only hosts ARE the
+    dangling nodes here). Twin: regenerated links + the shared unrolled
+    power-iteration builder with the weighted contribution rule."""
+    from cartography_spark.functions.weblinks import extract_links, host_graph
+    from cartography_spark.operators.graphrank import pagerank
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    edges = host_graph(extract_links(pages)).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out = pagerank(nodes, edges, damping=0.85, iterations=5, weight_col="weight")
+    return out.select("id", F.round("pagerank", 6).alias("pagerank"))
+
+
 def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full entity-linking loop over the documents corpus: MinHash-LSH
     blocking -> Jaccard verify -> connected-components canonical ids.
@@ -2089,5 +2144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_flagship_pipeline": kg_flagship_pipeline,
     "kg_pages_e2e": kg_pages_e2e,
     "kg_pages_e2e_large": kg_pages_e2e_large,
+    "web_link_graph": web_link_graph,
+    "web_crawl_frontier": web_crawl_frontier,
+    "web_host_pagerank": web_host_pagerank,
     "multimodal_features": multimodal_features,
 }

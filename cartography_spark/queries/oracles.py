@@ -1107,46 +1107,55 @@ FROM x
 # ---------------------------------------------------------------------------
 
 
+_SM_GOLDEN = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+_SM_M64 = 1 << 64
+
+
+def _sql_mm(a: str, b: int) -> str:
+    # (a * b) mod 2^64 with 32-bit limbs, all intermediates < 2^97.
+    return (
+        f"((({a}) % 4294967296) * {b % 4294967296}"
+        f" + (((({a}) // 4294967296) * {b % 4294967296}"
+        f" + (({a}) % 4294967296) * {b // 4294967296}) % 4294967296)"
+        f" * 4294967296) % 18446744073709551616"
+    )
+
+
+def _sql_mix(x: str, k: int, out: str) -> str:
+    # Columns computing mix(x, k) -> `out` via lateral alias refs.
+    kg = (k * _SM_GOLDEN) % _SM_M64
+    return (
+        f"CAST((({x})::HUGEINT + {kg}) % 18446744073709551616 AS UBIGINT) AS {out}_z1, "
+        f"xor({out}_z1, {out}_z1 >> 30) AS {out}_t1, "
+        f"CAST({_sql_mm(f'{out}_t1::HUGEINT', _SM_C2)} AS UBIGINT) AS {out}_z2, "
+        f"xor({out}_z2, {out}_z2 >> 27) AS {out}_t2, "
+        f"CAST({_sql_mm(f'{out}_t2::HUGEINT', _SM_C3)} AS UBIGINT) AS {out}_z3, "
+        f"xor({out}_z3, {out}_z3 >> 31) AS {out}"
+    )
+
+
+def _sql_pick(raw: str, out: str, cdf_vals, n: int) -> str:
+    # np.searchsorted(cdf, u, 'left') == count of cdf entries < u;
+    # u = float64(raw) / float64(2^64 - 1) (the divisor rounds to 2^64).
+    cdf = "[" + ", ".join(repr(float(v)) for v in cdf_vals) + "]"
+    return (
+        f"least(len(list_filter({cdf}, c -> c < "
+        f"(CAST({raw} AS DOUBLE) / CAST(18446744073709551615 AS DOUBLE)))), {n - 1}) AS {out}"
+    )
+
+
 def _pages_e2e_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
     from cartography_spark.sources.pages import ENTITIES, PREDICATES, _ENTITY_CDF
 
-    GOLDEN = 0x9E3779B97F4A7C15
-    C2 = 0xBF58476D1CE4E5B9
-    C3 = 0x94D049BB133111EB
-    M64 = 1 << 64
-
-    def mm(a: str, b: int) -> str:
-        # (a * b) mod 2^64 with 32-bit limbs, all intermediates < 2^97.
-        return (
-            f"((({a}) % 4294967296) * {b % 4294967296}"
-            f" + (((({a}) // 4294967296) * {b % 4294967296}"
-            f" + (({a}) % 4294967296) * {b // 4294967296}) % 4294967296)"
-            f" * 4294967296) % 18446744073709551616"
-        )
-
-    def mix(x: str, k: int, out: str) -> str:
-        # Columns computing mix(x, k) -> `out` via lateral alias refs.
-        kg = (k * GOLDEN) % M64
-        return (
-            f"CAST((({x})::HUGEINT + {kg}) % 18446744073709551616 AS UBIGINT) AS {out}_z1, "
-            f"xor({out}_z1, {out}_z1 >> 30) AS {out}_t1, "
-            f"CAST({mm(f'{out}_t1::HUGEINT', C2)} AS UBIGINT) AS {out}_z2, "
-            f"xor({out}_z2, {out}_z2 >> 27) AS {out}_t2, "
-            f"CAST({mm(f'{out}_t2::HUGEINT', C3)} AS UBIGINT) AS {out}_z3, "
-            f"xor({out}_z3, {out}_z3 >> 31) AS {out}"
-        )
-
-    cdf = "[" + ", ".join(repr(float(v)) for v in _ENTITY_CDF) + "]"
+    mix = _sql_mix
     ents = "[" + ", ".join(f"'{e}'" for e in ENTITIES) + "]"
     preds = "[" + ", ".join(f"'{p}'" for p in PREDICATES) + "]"
     n_ent = len(ENTITIES)
-    # np.searchsorted(cdf, u, 'left') == count of cdf entries < u;
-    # u = float64(raw) / float64(2^64 - 1) (the divisor rounds to 2^64).
+
     def pick(raw: str, out: str) -> str:
-        return (
-            f"least(len(list_filter({cdf}, c -> c < "
-            f"(CAST({raw} AS DOUBLE) / CAST(18446744073709551615 AS DOUBLE)))), {n_ent - 1}) AS {out}"
-        )
+        return _sql_pick(raw, out, _ENTITY_CDF, n_ent)
 
     return f"""
 WITH ids AS (SELECT unnest(generate_series(0, {n_pages - 1}))::UBIGINT AS i),
@@ -1177,6 +1186,93 @@ ORACLES["kg_pages_e2e"] = _pages_e2e_oracle_sql()
 # independent seed — so the driver's value-hash check covers the
 # html->text->triples chain at 8x the r4 gate's scale.
 ORACLES["kg_pages_e2e_large"] = _pages_e2e_oracle_sql(4000, 7)
+
+
+# ---------------------------------------------------------------------------
+# Web link-graph family (round 5 day-5): the generator plants 1..3
+# deterministic footer outlinks per page (sources/pages.py::
+# _link_targets); Spark extracts them from the html bytes
+# (functions/weblinks.py) while the twin re-derives the PLANTED links
+# directly from the splitmix chain — no html, no regex. A green hash
+# therefore proves href extraction == ground-truth plant, the link-graph
+# analog of the pages-e2e text gate.
+# ---------------------------------------------------------------------------
+
+
+def _links_ctes(n_pages: int, seed: int) -> str:
+    """CTE chain ending in ``links(i, src_host, dst_host, tid)`` — one
+    row per planted outlink of pages 0..n_pages-1 at ``seed``,
+    replicating sources/pages.py::_link_targets limb-exactly."""
+    from cartography_spark.sources.pages import (
+        DOMAINS,
+        LINK_UNIVERSE,
+        MAX_LINKS,
+        _DOMAIN_CDF,
+    )
+
+    mix = _sql_mix
+    doms = "[" + ", ".join(f"'{d}'" for d in DOMAINS) + "]"
+
+    def pickdom(raw: str, out: str) -> str:
+        return _sql_pick(raw, out, _DOMAIN_CDF, len(DOMAINS))
+
+    return f"""ids AS (SELECT unnest(generate_series(0, {n_pages - 1}))::UBIGINT AS i),
+k AS (SELECT i, {mix('i', seed, 'key')} FROM ids),
+srcraw AS (SELECT i, key, {mix('key', 1, 'sdraw')} FROM k),
+srcd AS (SELECT i, key, {pickdom('sdraw', 'sd')} FROM srcraw),
+lk AS (SELECT i, key, sd, {mix('key', 8, 'lk')} FROM srcd),
+slots AS (SELECT i, key, sd,
+                 unnest(generate_series(0, CAST(1 + lk % {MAX_LINKS} AS BIGINT) - 1)) AS t
+          FROM lk),
+tkx AS (SELECT i, sd, t,
+               {mix('(key::HUGEINT + t + 1) % 18446744073709551616', 11, 'tk')}
+        FROM slots),
+tidx AS (SELECT i, sd, CAST(tk % {LINK_UNIVERSE} AS UBIGINT) AS tid FROM tkx),
+tkeyx AS (SELECT i, sd, tid, {mix('tid', seed, 'tkey')} FROM tidx),
+trawx AS (SELECT i, sd, tid, {mix('tkey', 1, 'traw')} FROM tkeyx),
+tdx AS (SELECT i, sd, tid, {pickdom('traw', 'td')} FROM trawx),
+links AS (SELECT i, ({doms})[sd + 1] AS src_host, ({doms})[td + 1] AS dst_host, tid
+          FROM tdx)"""
+
+
+def _link_graph_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    return f"""
+WITH {_links_ctes(n_pages, seed)}
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM links GROUP BY src_host, dst_host
+"""
+
+
+def _crawl_frontier_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    # In-crawl iff tid < n_pages: a planted dst url is BUILT through the
+    # target page's own (seed, id) chain, so it string-equals the
+    # target's real url exactly when the target is in the crawl — the
+    # twin derives membership arithmetically where Spark runs the real
+    # url equi-join, making the url-consistency claim itself the gate.
+    return f"""
+WITH {_links_ctes(n_pages, seed)}
+SELECT src_host,
+       SUM(CASE WHEN tid < {n_pages} THEN 1 ELSE 0 END) AS n_internal,
+       SUM(CASE WHEN tid < {n_pages} THEN 0 ELSE 1 END) AS n_frontier
+FROM links GROUP BY src_host
+"""
+
+
+def _host_pagerank_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    graph_ctes = f"""{_links_ctes(n_pages, seed)},
+edges AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst, COUNT(*)::DOUBLE AS weight
+  FROM links GROUP BY src_host, dst_host),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges))"""
+    return _pagerank_oracle_sql(graph_ctes, weighted=True)
+
+
+ORACLES["web_link_graph"] = _link_graph_oracle_sql()
+ORACLES["web_crawl_frontier"] = _crawl_frontier_oracle_sql()
+# web_host_pagerank is registered below, after _pagerank_oracle_sql
+# (its unroll builder) is defined.
 
 
 def _pagerank_oracle_sql(
@@ -1305,6 +1401,12 @@ ORACLES["kg_pagerank_weighted"] = _pagerank_oracle_sql(
 ORACLES["kg_pagerank_personalized"] = _pagerank_oracle_sql(
     seed_pred="id LIKE 'R%'"
 )
+
+# Weighted PageRank over the EXTRACTED host link graph (round 5 day-5):
+# the full html -> href extraction -> host aggregation -> rank chain in
+# one gate; the twin regenerates the planted links and runs the same
+# unrolled power iteration.
+ORACLES["web_host_pagerank"] = _host_pagerank_oracle_sql()
 
 
 def _hits_oracle_sql(iters: int = 5) -> str:

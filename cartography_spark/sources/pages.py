@@ -72,6 +72,39 @@ def _pick(u64: np.ndarray, cdf: np.ndarray) -> np.ndarray:
     return np.searchsorted(cdf, u, side="left").clip(0, len(cdf) - 1)
 
 
+# Outlink plant (round 5 day-5): every page carries 1..MAX_LINKS
+# absolute outlinks in its FOOTER — the extractor drops footer blocks,
+# so the golden text/triples contracts are untouched, while the corpus
+# gains a real web link graph (the Common-Crawl host-graph artifact).
+# Targets are page ids in a fixed LINK_UNIVERSE (links point into a
+# larger web than any one crawl — ids >= n are the crawl frontier), and
+# each target's host is derived through the SAME (seed, id) chain the
+# target page itself would use, so an in-crawl link's dst url equals
+# the target's real url exactly.
+LINK_UNIVERSE = 4096
+MAX_LINKS = 3
+
+
+def _link_targets(key: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per page: (n_links, tids[MAX_LINKS, n], tdoms[MAX_LINKS, n]).
+
+    n_links = 1 + mix(key, 8) % MAX_LINKS; slot t's target id is
+    mix(key + t + 1, 11) % LINK_UNIVERSE, and its domain is the target
+    page's own domain pick (mix(mix(tid, seed), 1) through the Zipf
+    CDF). Pure function of (seed, id) — replicated limb-exactly by the
+    DuckDB generator-twin oracles (queries/oracles.py::_links_ctes).
+    """
+    n_links = (1 + (_mix(key, 8) % np.uint64(MAX_LINKS))).astype(np.int64)
+    tids = np.empty((MAX_LINKS, len(key)), dtype=np.uint64)
+    tdoms = np.empty((MAX_LINKS, len(key)), dtype=np.int64)
+    for t in range(MAX_LINKS):
+        tk = _mix(key + np.uint64(t + 1), 11)
+        tid = tk % np.uint64(LINK_UNIVERSE)
+        tdoms[t] = _pick(_mix(_mix(tid, seed), 1), _DOMAIN_CDF)
+        tids[t] = tid
+    return n_links, tids, tdoms
+
+
 def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
     key = _mix(ids, seed)
     dom_idx = _pick(_mix(key, 1), _DOMAIN_CDF)
@@ -83,6 +116,7 @@ def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
 
     urls, texts, htmls = [], [], []
     n_ent, n_pred = len(ENTITIES), len(PREDICATES)
+    n_links, link_tids, link_tdoms = _link_targets(key, seed)
     for j in range(len(ids)):
         rid, k = int(ids[j]), key[j : j + 1]
         sents = []
@@ -99,12 +133,17 @@ def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
         domain = DOMAINS[int(dom_idx[j])]
         url = f"https://{domain}/page/{rid}"
         paras = "".join(f"<p>{s}</p>" for s in sents)
+        outlinks = "".join(
+            f"<a href='https://{DOMAINS[int(link_tdoms[t][j])]}"
+            f"/page/{int(link_tids[t][j])}'>ref</a>"
+            for t in range(int(n_links[j]))
+        )
         html = (
             f"<html><head><title>{domain} page {rid}</title>"
             f"<script>var x={rid};</script></head><body>"
             f"<nav><a href='/'>home</a> | <a href='/about'>about</a></nav>"
             f"<div class=\"content\">{paras}</div>"
-            f"<footer>&copy; 2025 {domain}</footer></body></html>"
+            f"<footer>&copy; 2025 {domain}{outlinks}</footer></body></html>"
         )
         urls.append(url)
         texts.append(text)

@@ -45,10 +45,20 @@ def main():
     # above sf0.01. (The driver always compares at sf0.01, where the
     # static entry is already exact.)
     from cartography_spark.queries.catalog import _pages_n
-    from cartography_spark.queries.oracles import _pages_e2e_oracle_sql
+    from cartography_spark.queries.oracles import (
+        _crawl_frontier_oracle_sql,
+        _host_pagerank_oracle_sql,
+        _link_graph_oracle_sql,
+        _pages_e2e_oracle_sql,
+    )
 
     oracles = dict(ORACLES)
-    oracles["kg_pages_e2e"] = _pages_e2e_oracle_sql(_pages_n(sf_dir), 42)
+    n_pages = _pages_n(sf_dir)
+    oracles["kg_pages_e2e"] = _pages_e2e_oracle_sql(n_pages, 42)
+    # The link-graph family is sf-keyed the same way (same pages batch).
+    oracles["web_link_graph"] = _link_graph_oracle_sql(n_pages, 42)
+    oracles["web_crawl_frontier"] = _crawl_frontier_oracle_sql(n_pages, 42)
+    oracles["web_host_pagerank"] = _host_pagerank_oracle_sql(n_pages, 42)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -1,0 +1,124 @@
+"""Web link-graph family: href extraction must equal the generator's
+planted outlinks exactly (the link analog of the golden-text pins),
+host aggregation must be partition-invariant and single-shuffle, and
+the frontier classification's url join must agree with the arithmetic
+in-crawl derivation."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cartography_spark.functions.weblinks import (
+    crawl_frontier,
+    extract_links,
+    host_graph,
+)
+from cartography_spark.sources.pages import (
+    DOMAINS,
+    _DOMAIN_CDF,
+    _link_targets,
+    _mix,
+    _pick,
+    synthesize_pages,
+)
+
+
+def _expected_links(n: int, seed: int) -> set[tuple[str, str]]:
+    """Pure-numpy recompute of every planted (src_url, dst_url)."""
+    ids = np.arange(n, dtype=np.uint64)
+    key = _mix(ids, seed)
+    sdom = _pick(_mix(key, 1), _DOMAIN_CDF)
+    n_links, tids, tdoms = _link_targets(key, seed)
+    out = set()
+    for j in range(n):
+        src = f"https://{DOMAINS[int(sdom[j])]}/page/{j}"
+        for t in range(int(n_links[j])):
+            dst = f"https://{DOMAINS[int(tdoms[t][j])]}/page/{int(tids[t][j])}"
+            out.add((src, dst))
+    return out
+
+
+def test_extracted_links_equal_planted_links(spark):
+    n, seed = 200, 5
+    pages = synthesize_pages(spark, n, seed=seed)
+    got = {(r["src_url"], r["dst_url"]) for r in extract_links(pages).collect()}
+    assert got == _expected_links(n, seed)
+    # 1..3 links per page, so the multiset is bounded; every page has
+    # at least one outlink.
+    counts = (
+        extract_links(pages).groupBy("src_url").count().select("count").collect()
+    )
+    assert all(1 <= r["count"] <= 3 for r in counts)
+    assert len(counts) == n
+
+
+def test_relative_nav_links_are_excluded(spark):
+    pages = synthesize_pages(spark, 50, seed=1)
+    links = extract_links(pages)
+    bad = links.where(~F.col("dst_url").rlike(r"^https://site\d{2}\.example\.org/page/\d+$"))
+    assert bad.count() == 0
+
+
+def test_links_do_not_leak_into_extracted_text(spark):
+    """The outlinks live in the footer, which the extractor drops —
+    the golden-text contract must hold unchanged."""
+    from cartography_spark.functions.textextract import extract_text
+
+    pages = synthesize_pages(spark, 100, seed=2)
+    got = extract_text(pages.select("url", "html"), "html", "text")
+    joined = got.alias("g").join(pages.select("url", "text").alias("p"), "url")
+    assert joined.where("g.text <> p.text").count() == 0
+    assert joined.where(F.col("g.text").contains("ref")).count() == 0
+
+
+def test_host_graph_partition_invariant_and_single_shuffle(spark):
+    a = host_graph(extract_links(synthesize_pages(spark, 300, seed=3, partitions=2)))
+    b = host_graph(extract_links(synthesize_pages(spark, 300, seed=3, partitions=13)))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    total = a.agg(F.sum("n_links")).collect()[0][0]
+    n_link_rows = extract_links(synthesize_pages(spark, 300, seed=3)).count()
+    assert total == n_link_rows
+    a.collect()
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in final
+
+
+def test_crawl_frontier_join_agrees_with_arithmetic_membership(spark):
+    """The url equi-join's in-crawl counts must equal the generator's
+    tid < n derivation — the planted dst url IS the target's real url."""
+    from cartography_spark.sources.pages import LINK_UNIVERSE
+
+    n, seed = 400, 42
+    pages = synthesize_pages(spark, n, seed=seed)
+    got = {
+        r["src_host"]: (r["n_internal"], r["n_frontier"])
+        for r in crawl_frontier(extract_links(pages), pages).collect()
+    }
+    ids = np.arange(n, dtype=np.uint64)
+    key = _mix(ids, seed)
+    sdom = _pick(_mix(key, 1), _DOMAIN_CDF)
+    n_links, tids, _ = _link_targets(key, seed)
+    expected: dict[str, list[int]] = {}
+    for j in range(n):
+        host = DOMAINS[int(sdom[j])]
+        e = expected.setdefault(host, [0, 0])
+        for t in range(int(n_links[j])):
+            e[0 if int(tids[t][j]) < n else 1] += 1
+    assert got == {h: (a, b) for h, (a, b) in expected.items()}
+    # Some of both classes must exist at this scale (n < LINK_UNIVERSE).
+    assert n < LINK_UNIVERSE
+    assert sum(v[0] for v in got.values()) > 0
+    assert sum(v[1] for v in got.values()) > 0
+
+
+def test_host_pagerank_mass_conserved(spark):
+    from cartography_spark.queries.catalog import web_host_pagerank
+
+    out = web_host_pagerank(spark, "/root/testdata/sf0.01")
+    total = out.agg(F.sum("pagerank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-3
+    assert out.where(F.col("pagerank") <= 0).count() == 0
