@@ -1980,6 +1980,59 @@ def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+# The generator's crawl calendar: even page ids belong to the
+# 2025-01-01 crawl batch, odd ids to 2025-02-01 (sources/pages.py::
+# _page_batch), with per-page offsets < 30 days — so these two
+# boundaries split the batches exactly.
+_CRAWL_CALENDAR = ("2025-01-01", "2025-02-01")
+
+
+def _crawl_tagged_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html -> text -> triples -> crawl-tagged distinct fact
+    assertions, the shared front half of the temporal-fact gates."""
+    from cartography_spark.functions.textextract import extract_text
+    from cartography_spark.functions.triples import extract_triples
+    from cartography_spark.operators.temporalkg import assign_crawl, fact_snapshots
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    triples = extract_triples(extract_text(pages.drop("text"), "html", "text"))
+    return fact_snapshots(assign_crawl(triples, _CRAWL_CALENDAR))
+
+
+def kg_fact_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-KG fact history over the EXTRACTED triples: each
+    (subj, pred, obj) gets validity intervals in crawl-index space
+    (gaps-and-islands over the crawls asserting it) plus is_current —
+    the N-snapshot generalization of the reference's firstseen/
+    lastupdated lifecycle. The DuckDB twin re-derives the planted
+    triples AND each page's crawl batch from the splitmix chain
+    (crawl = 1 + i % 2), so a green hash proves the full
+    html -> text -> triples -> crawl-assignment -> interval chain,
+    including that warc_ts batch planting matches id parity."""
+    from cartography_spark.operators.temporalkg import fact_intervals
+
+    iv = fact_intervals(_crawl_tagged_facts(spark, sf_dir))
+    return iv.select(
+        "subj",
+        "pred",
+        "obj",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("subj", "pred", "obj", "valid_from")
+
+
+def kg_fact_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-crawl-transition fact churn (added / removed / retained
+    counts) — the sync-over-sync drift signal, emitted O(intervals)
+    from the islands arrays (never #facts x #crawls). Same
+    generator-twin derivation as kg_fact_intervals."""
+    from cartography_spark.operators.temporalkg import fact_churn
+
+    return fact_churn(_crawl_tagged_facts(spark, sf_dir)).orderBy("crawl_id")
+
+
 def kg_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full entity-linking loop over the documents corpus: MinHash-LSH
     blocking -> Jaccard verify -> connected-components canonical ids.
@@ -2147,5 +2200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_link_graph": web_link_graph,
     "web_crawl_frontier": web_crawl_frontier,
     "web_host_pagerank": web_host_pagerank,
+    "kg_fact_intervals": kg_fact_intervals,
+    "kg_fact_churn": kg_fact_churn,
     "multimodal_features": multimodal_features,
 }

@@ -1146,7 +1146,12 @@ def _sql_pick(raw: str, out: str, cdf_vals, n: int) -> str:
     )
 
 
-def _pages_e2e_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+def _triples_ctes(n_pages: int, seed: int) -> str:
+    """CTE chain ending in ``tr(i, subj, pred, obj)`` — one row per
+    planted sentence of pages 0..n_pages-1 at ``seed``, replicating
+    sources/pages.py::_page_batch's splitmix picks limb-exactly.
+    Shared by the e2e extraction gates and the temporal-fact gates
+    (which additionally tag each page's crawl batch off ``i``)."""
     from cartography_spark.sources.pages import ENTITIES, PREDICATES, _ENTITY_CDF
 
     mix = _sql_mix
@@ -1157,8 +1162,7 @@ def _pages_e2e_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
     def pick(raw: str, out: str) -> str:
         return _sql_pick(raw, out, _ENTITY_CDF, n_ent)
 
-    return f"""
-WITH ids AS (SELECT unnest(generate_series(0, {n_pages - 1}))::UBIGINT AS i),
+    return f"""ids AS (SELECT unnest(generate_series(0, {n_pages - 1}))::UBIGINT AS i),
 k AS (SELECT i, {mix('i', seed, 'key')} FROM ids),
 ns AS (SELECT i, key, {mix('key', 2, 'nk')} FROM k),
 pairs AS (SELECT i, key, unnest(generate_series(0, CAST(3 + nk % 10 AS BIGINT) - 1)) AS si
@@ -1166,19 +1170,91 @@ pairs AS (SELECT i, key, unnest(generate_series(0, CAST(3 + nk % 10 AS BIGINT) -
 skt AS (SELECT i, si, {mix('(key::HUGEINT + si + 1) % 18446744073709551616', 7, 'sk')} FROM pairs),
 raw AS (SELECT i, si, {mix('sk', 1, 's_raw')}, {mix('sk', 2, 'o_raw')}, {mix('sk', 3, 'p_raw')}
         FROM skt),
-picks AS (SELECT {pick('s_raw', 's_i')}, {pick('o_raw', 'o_i0')},
+picks AS (SELECT i, {pick('s_raw', 's_i')}, {pick('o_raw', 'o_i0')},
                  CASE WHEN o_i0 = s_i THEN (o_i0 + 1) % {n_ent} ELSE o_i0 END AS o_i,
                  CAST(p_raw % {len(PREDICATES)} AS BIGINT) AS p_i
           FROM raw),
-tr AS (SELECT ({ents})[s_i + 1] AS subj,
+tr AS (SELECT i, ({ents})[s_i + 1] AS subj,
               replace(({preds})[p_i + 1], ' ', '_') AS pred,
               ({ents})[o_i + 1] AS obj
-       FROM picks)
+       FROM picks)"""
+
+
+def _pages_e2e_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    return f"""
+WITH {_triples_ctes(n_pages, seed)}
 SELECT subj, pred, obj, COUNT(*) AS n
 FROM tr GROUP BY subj, pred, obj
 ORDER BY n DESC, subj, pred, obj
 LIMIT 100
 """
+
+
+def _fact_snaps_ctes(n_pages: int, seed: int) -> str:
+    """Extends :func:`_triples_ctes` with ``snaps(crawl_id, subj,
+    pred, obj)`` — distinct crawl-tagged fact assertions, where the
+    crawl batch is re-derived ARITHMETICALLY from the page id
+    (even -> crawl 1 / 2025-01-01, odd -> crawl 2 / 2025-02-01, the
+    generator's plant) while Spark derives it from warc_ts boundaries
+    — so a green hash also pins the timestamp-batch invariant."""
+    return f"""{_triples_ctes(n_pages, seed)},
+snaps AS (SELECT DISTINCT CAST(1 + i % 2 AS INT) AS crawl_id, subj, pred, obj FROM tr)"""
+
+
+def _fact_intervals_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    # Classic window-function gaps-and-islands — deliberately a
+    # DIFFERENT algorithm than Spark's one-shuffle array-HOF split, so
+    # the gate cross-checks the islands semantics, not the code.
+    return f"""
+WITH {_fact_snaps_ctes(n_pages, seed)},
+rn AS (SELECT *, row_number() OVER (PARTITION BY subj, pred, obj ORDER BY crawl_id) AS rn
+       FROM snaps),
+iv AS (SELECT subj, pred, obj,
+              MIN(crawl_id) AS valid_from, MAX(crawl_id) AS valid_to
+       FROM rn GROUP BY subj, pred, obj, crawl_id - rn),
+mx AS (SELECT MAX(crawl_id) AS m FROM snaps)
+SELECT subj, pred, obj, valid_from, valid_to,
+       CASE WHEN valid_to = m THEN 1 ELSE 0 END AS is_current
+FROM iv, mx
+ORDER BY subj, pred, obj, valid_from
+"""
+
+
+def _fact_churn_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    return f"""
+WITH {_fact_snaps_ctes(n_pages, seed)},
+mx AS (SELECT MAX(crawl_id) AS m FROM snaps),
+trans AS (SELECT unnest(generate_series(2, (SELECT m FROM mx)))::INT AS crawl_id),
+curr AS (SELECT t.crawl_id, s.subj, s.pred, s.obj
+         FROM trans t JOIN snaps s ON s.crawl_id = t.crawl_id),
+prevs AS (SELECT t.crawl_id, s.subj, s.pred, s.obj
+          FROM trans t JOIN snaps s ON s.crawl_id = t.crawl_id - 1),
+ar AS (SELECT c.crawl_id,
+              SUM(CASE WHEN p.subj IS NULL THEN 1 ELSE 0 END) AS n_added,
+              SUM(CASE WHEN p.subj IS NOT NULL THEN 1 ELSE 0 END) AS n_retained
+       FROM curr c LEFT JOIN prevs p
+         ON p.crawl_id = c.crawl_id AND p.subj = c.subj
+        AND p.pred = c.pred AND p.obj = c.obj
+       GROUP BY c.crawl_id),
+rm AS (SELECT p.crawl_id,
+              SUM(CASE WHEN c.subj IS NULL THEN 1 ELSE 0 END) AS n_removed
+       FROM prevs p LEFT JOIN curr c
+         ON c.crawl_id = p.crawl_id AND c.subj = p.subj
+        AND c.pred = p.pred AND c.obj = p.obj
+       GROUP BY p.crawl_id)
+SELECT t.crawl_id,
+       COALESCE(ar.n_added, 0) AS n_added,
+       COALESCE(rm.n_removed, 0) AS n_removed,
+       COALESCE(ar.n_retained, 0) AS n_retained
+FROM trans t
+LEFT JOIN ar ON ar.crawl_id = t.crawl_id
+LEFT JOIN rm ON rm.crawl_id = t.crawl_id
+ORDER BY t.crawl_id
+"""
+
+
+ORACLES["kg_fact_intervals"] = _fact_intervals_oracle_sql()
+ORACLES["kg_fact_churn"] = _fact_churn_oracle_sql()
 
 
 ORACLES["kg_pages_e2e"] = _pages_e2e_oracle_sql()
