@@ -723,3 +723,166 @@ def _triangles_from_und(und: DataFrame) -> DataFrame:
         .unionAll(closed.select(F.col("c").alias("id")))
     )
     return corners.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def _min_reach_fixpoint(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """``(id, lbl)``: the minimum node id reachable FROM ``id`` along
+    directed ``edges(src, dst)`` (including ``id`` itself), computed as
+    a frontier min-label fixpoint — labels flow backwards along edges
+    (a node adopts the min of its successors' labels), and per round
+    only last-round-improved nodes re-propagate, exactly the
+    ``shortest_paths`` frontier discipline. Each round is one equi-join
+    + one map-side-combined ``min`` + a full-outer merge; lineage is
+    truncated per round. Round count is bounded by the longest shortest
+    path to each node's eventual minimum — O(diameter), not O(n)."""
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    frontier = labels
+    while not frontier.isEmpty():
+        cand = (
+            frontier.join(edges, frontier["id"] == edges["dst"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("lbl").alias("cand"))
+        )
+        merged = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least("lbl", "cand").alias("lbl"),
+                (F.col("cand") < F.col("lbl")).alias("__improved"),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.where(F.col("__improved")).select("id", "lbl")
+        labels = merged.select("id", "lbl")
+    return labels
+
+
+def strongly_connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Exact SCCs of the directed graph ``edges(src, dst)`` over
+    ``nodes(id)``: returns ``(id, scc)`` where ``scc`` is the minimum
+    member id of the component — the directed counterpart of
+    ``components.py``'s undirected CC, and the precondition for any
+    web-bowtie audit (Broder et al., WWW'00: the web's SCC condensation
+    is the IN -> CORE -> OUT bowtie).
+
+    Algorithm: iterative forward-backward min-label coloring (the
+    Pregel-style SCC of Salihoglu & Widom, VLDB'14, with min-id
+    colors). Per outer round, over the still-unassigned subgraph:
+    ``f(v)`` = min id reachable from v, ``b(v)`` = min id that reaches
+    v (the same fixpoint on reversed edges). ``f(v) == b(v) == c``
+    proves v and c mutually reachable, so every such v joins SCC ``c``;
+    assigned nodes (and their edges) drop out and the round repeats.
+    The subgraph minimum always satisfies the test, so >= 1 whole SCC
+    retires per round — in practice a web/host graph condenses in a
+    few rounds (one giant core + shallow periphery); a pathological
+    SCC-chain degrades to O(#SCCs) rounds, the documented tradeoff of
+    the coloring scheme. Every step is an equi-join or a partial
+    aggregation; nothing is collected.
+
+    Reference analog: the reference's exposure analyses walk directed
+    reachability between asset classes (``cartography/data/jobs/
+    analysis/*.json``); mutual-reachability classes are the closure of
+    that idea over the whole graph.
+    """
+    active_nodes = nodes.select("id").distinct().localCheckpoint()
+    active_edges = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    out: DataFrame | None = None
+    while not active_nodes.isEmpty():
+        fwd = _min_reach_fixpoint(active_nodes, active_edges)
+        rev = active_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        bwd = _min_reach_fixpoint(active_nodes, rev).withColumnRenamed("lbl", "blbl")
+        both = fwd.join(bwd, "id")
+        done = (
+            both.where(F.col("lbl") == F.col("blbl"))
+            .select("id", F.col("lbl").alias("scc"))
+            .localCheckpoint()
+        )
+        out = done if out is None else out.unionAll(done).localCheckpoint()
+        active_nodes = active_nodes.join(done, "id", "left_anti").localCheckpoint()
+        done_ids = done.select("id")
+        active_edges = (
+            active_edges.join(done_ids, active_edges["src"] == done_ids["id"], "left_anti")
+            .join(done_ids, active_edges["dst"] == done_ids["id"], "left_anti")
+            .localCheckpoint()
+        )
+    if out is None:
+        return nodes.select("id", F.col("id").alias("scc")).where(F.lit(False))
+    return out
+
+
+def _reachable_from(seed_ids: DataFrame, edges: DataFrame) -> DataFrame:
+    """``(id)``: every node reachable from ``seed_ids(id)`` along
+    directed ``edges(src, dst)``, seeds included — frontier BFS with
+    per-round lineage truncation and early exit (the set-semantics
+    specialization of ``shortest_paths``)."""
+    seen = seed_ids.select("id").distinct().localCheckpoint()
+    frontier = seen
+    while not frontier.isEmpty():
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(seen, "id", "left_anti")
+            .localCheckpoint()
+        )
+        seen = seen.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return seen
+
+
+def bowtie_regions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Broder bowtie decomposition of the directed graph: returns
+    ``(id, region)`` with region in {'CORE', 'IN', 'OUT', 'OTHER'}.
+    CORE is the largest SCC (ties broken by smallest scc id — a total
+    order, so the split is deterministic); IN reaches the core without
+    belonging to it; OUT is reached from the core; OTHER is everything
+    else (tendrils, IN->OUT tubes that bypass the core, and
+    disconnected islands — IN and OUT are provably disjoint, since a
+    node both reaching and reached by the core would be mutually
+    reachable with it and hence inside it).
+
+    This is THE structural audit of a crawled web graph (Broder et
+    al. measured ~28% CORE / 21% IN / 21% OUT on the 1999 web); on the
+    host graph it tells a crawl scheduler which domains feed discovery
+    (IN), which are sinks (OUT), and which islands need seeding. Cost:
+    one SCC run + a 1-row top-1 aggregate (the only collect) + two
+    frontier BFS sweeps + broadcast-able membership joins.
+    """
+    scc = strongly_connected_components(nodes, edges).localCheckpoint()
+    top = (
+        scc.groupBy("scc")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("scc").asc())
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return nodes.select("id", F.lit("OTHER").alias("region")).where(F.lit(False))
+    core_id = top[0]["scc"]
+    core = scc.where(F.col("scc") == F.lit(core_id)).select("id").localCheckpoint()
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    out_set = _reachable_from(core, e).withColumnRenamed("id", "oid")
+    in_set = _reachable_from(core, rev).withColumnRenamed("id", "iid")
+    all_nodes = nodes.select("id").distinct()
+    return (
+        all_nodes.join(core.withColumn("__core", F.lit(1)), "id", "left")
+        .join(in_set.withColumn("__in", F.lit(1)), all_nodes["id"] == in_set["iid"], "left")
+        .join(out_set.withColumn("__out", F.lit(1)), all_nodes["id"] == out_set["oid"], "left")
+        .select(
+            "id",
+            F.when(F.col("__core").isNotNull(), F.lit("CORE"))
+            .when(F.col("__in").isNotNull(), F.lit("IN"))
+            .when(F.col("__out").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("region"),
+        )
+    )

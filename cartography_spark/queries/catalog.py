@@ -1980,6 +1980,61 @@ def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("pagerank", 6).alias("pagerank"))
 
 
+def _host_graph_frames(spark: SparkSession, sf_dir: str):
+    """(nodes, edges) of the extracted host graph — the shared front
+    half of the SCC / bowtie gates. Edges are SPARSIFIED to the strong
+    links (n_links >= n_pages/100): the planted 20-domain graph is
+    dense enough that its raw form is one giant SCC at every sf, which
+    would leave the directed-reachability split trivially all-CORE —
+    weight-thresholding (the standard host-graph backbone trick) keeps
+    multiple SCCs and all bowtie regions driver-visible. Nodes keep
+    EVERY linked host (pre-threshold), so isolated/weakly-linked hosts
+    land in OTHER rather than vanishing."""
+    from cartography_spark.functions.weblinks import extract_links, host_graph
+    from cartography_spark.sources.pages import synthesize_pages
+
+    n_pages = _pages_n(sf_dir)
+    pages = synthesize_pages(spark, n_pages, seed=42)
+    hg = host_graph(extract_links(pages))
+    edges = hg.where(F.col("n_links") >= F.lit(max(2, n_pages // 100))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    nodes = (
+        hg.select(F.col("src_host").alias("id"))
+        .unionAll(hg.select(F.col("dst_host").alias("id")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+def web_host_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the EXTRACTED host-graph
+    backbone: html -> hrefs -> host edges -> weight threshold -> FW-BW
+    min-label SCC coloring. The twin regenerates the planted links and
+    computes SCCs as a recursive transitive closure +
+    mutual-reachability min — a different algorithm, so the hash match
+    cross-checks SCC semantics (directed mutual reachability), not the
+    code."""
+    from cartography_spark.operators.graphrank import strongly_connected_components
+
+    nodes, edges = _host_graph_frames(spark, sf_dir)
+    return strongly_connected_components(nodes, edges)
+
+
+def web_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bowtie decomposition of the extracted host-graph
+    backbone: CORE = largest SCC (ties -> min scc id), IN reaches it,
+    OUT is reached from it, OTHER = tendrils/tubes/islands. The crawl-
+    scheduling audit: IN hosts feed discovery, OUT hosts are sinks,
+    OTHER needs seeding. All four regions are populated at the sf0.01
+    gate (13 CORE / 3 IN / 3 OUT / 1 OTHER). Twin: closure-derived
+    regions over the planted link graph."""
+    from cartography_spark.operators.graphrank import bowtie_regions
+
+    nodes, edges = _host_graph_frames(spark, sf_dir)
+    return bowtie_regions(nodes, edges)
+
+
 # The generator's crawl calendar: even page ids belong to the
 # 2025-01-01 crawl batch, odd ids to 2025-02-01 (sources/pages.py::
 # _page_batch), with per-page offsets < 30 days — so these two
@@ -2200,6 +2255,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_link_graph": web_link_graph,
     "web_crawl_frontier": web_crawl_frontier,
     "web_host_pagerank": web_host_pagerank,
+    "web_host_scc": web_host_scc,
+    "web_bowtie": web_bowtie,
     "kg_fact_intervals": kg_fact_intervals,
     "kg_fact_churn": kg_fact_churn,
     "multimodal_features": multimodal_features,

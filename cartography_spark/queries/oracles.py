@@ -1485,6 +1485,93 @@ ORACLES["kg_pagerank_personalized"] = _pagerank_oracle_sql(
 ORACLES["web_host_pagerank"] = _host_pagerank_oracle_sql()
 
 
+def _host_scc_ctes(n_pages: int, seed: int) -> str:
+    """Extends :func:`_links_ctes` with ``sccs(id, scc)`` — the exact
+    SCCs of the planted host graph, computed ALGORITHM-INDEPENDENTLY
+    as a recursive transitive closure plus a mutual-reachability
+    min-aggregate (v and w share an SCC iff v ->* w and w ->* v).
+    Spark runs FW-BW min-label coloring instead, so a green hash
+    cross-checks SCC *semantics*, not a re-implementation. The closure
+    is quadratic in hosts — fine for the 20-domain plant; at scale
+    only the Spark side runs.
+
+    ``lmat`` materializes the host projection of the generated links
+    before the DISTINCT/filter — without it DuckDB re-inlines the
+    whole splitmix generator chain per host-column reference under
+    this spelling and the plan goes super-linear (>120 s vs 0.3 s
+    measured; same family as the plain-CTE ~3^iters blowup documented
+    at :func:`_pagerank_oracle_sql`).
+
+    Edges are weight-thresholded (n_links >= n_pages/100) exactly like
+    the Spark gate's ``_host_graph_frames`` — the raw plant is one
+    giant SCC, the backbone keeps the decomposition non-trivial."""
+    thr = max(2, n_pages // 100)
+    return f"""{_links_ctes(n_pages, seed)},
+lmat AS MATERIALIZED (SELECT src_host, dst_host FROM links),
+hedges AS MATERIALIZED (
+  SELECT src_host AS src, dst_host AS dst FROM lmat
+  WHERE src_host <> dst_host
+  GROUP BY src_host, dst_host HAVING COUNT(*) >= {thr}),
+hnodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src_host AS id FROM lmat UNION ALL SELECT dst_host FROM lmat)),
+reach AS MATERIALIZED (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT src, dst FROM hedges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN hedges e ON e.src = r.dst
+  ) SELECT src, dst FROM r),
+mutual AS (
+  SELECT id AS a, id AS b FROM hnodes
+  UNION
+  SELECT r1.src AS a, r1.dst AS b
+  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+sccs AS MATERIALIZED (SELECT a AS id, MIN(b) AS scc FROM mutual GROUP BY a)"""
+
+
+def _host_scc_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    return f"""
+WITH {_host_scc_ctes(n_pages, seed)}
+SELECT id, scc FROM sccs ORDER BY id
+"""
+
+
+def _bowtie_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    # CORE = largest SCC (ties -> min scc id); IN reaches it, OUT is
+    # reached from it, OTHER is the rest — same deterministic split as
+    # operators/graphrank.py::bowtie_regions, derived from the closure.
+    return f"""
+WITH {_host_scc_ctes(n_pages, seed)},
+core AS MATERIALIZED (
+  SELECT scc FROM (
+    SELECT scc, COUNT(*) AS c FROM sccs GROUP BY scc
+    ORDER BY c DESC, scc ASC LIMIT 1)),
+core_ids AS MATERIALIZED (
+  SELECT id FROM sccs WHERE scc = (SELECT scc FROM core))
+SELECT n.id,
+       CASE
+         WHEN n.id IN (SELECT id FROM core_ids) THEN 'CORE'
+         WHEN EXISTS (SELECT 1 FROM reach r
+                      WHERE r.src = n.id
+                        AND r.dst IN (SELECT id FROM core_ids)) THEN 'IN'
+         WHEN EXISTS (SELECT 1 FROM reach r
+                      WHERE r.dst = n.id
+                        AND r.src IN (SELECT id FROM core_ids)) THEN 'OUT'
+         ELSE 'OTHER'
+       END AS region
+FROM hnodes n ORDER BY n.id
+"""
+
+
+# Web bowtie family (round 5 day-5 continuation): the Broder-bowtie
+# audit over the EXTRACTED host graph. The twin re-derives the planted
+# links AND computes SCC/regions via a recursive closure — a different
+# algorithm than Spark's FW-BW coloring, so the gate cross-checks
+# mutual-reachability semantics end to end.
+ORACLES["web_host_scc"] = _host_scc_oracle_sql()
+ORACLES["web_bowtie"] = _bowtie_oracle_sql()
+
+
 def _hits_oracle_sql(iters: int = 5) -> str:
     """Unrolled HITS twin for ``kg_hits`` over the membership graph:
     per iteration, authority = in-link hub sum then L2-normalize, hub =
