@@ -886,3 +886,60 @@ def bowtie_regions(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .alias("region"),
         )
     )
+
+
+def condensation(scc: DataFrame, edges: DataFrame) -> DataFrame:
+    """Quotient DAG of the SCC coloring: one edge ``(src_scc,
+    dst_scc)`` per pair of distinct components joined by >= 1 original
+    edge. ``scc`` is ``strongly_connected_components`` output
+    ``(id, scc)``; the result is acyclic by construction (an inter-
+    component cycle would merge the components). Two broadcast-able
+    membership joins + one distinct — the standard prelude to any
+    DAG-only analysis (topological layering, reachability counting)
+    over a graph that has cycles."""
+    m_src = scc.select(F.col("id").alias("src"), F.col("scc").alias("src_scc"))
+    m_dst = scc.select(F.col("id").alias("dst"), F.col("scc").alias("dst_scc"))
+    return (
+        edges.select("src", "dst")
+        .join(m_src, "src")
+        .join(m_dst, "dst")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .select(
+            F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def dag_levels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """``(id, level)``: longest-path depth of each node of a DAG —
+    level 0 for sources (no incoming edge), else 1 + max level over
+    predecessors. The topological layering of an SCC condensation:
+    level k components can only be written after every level < k
+    upstream component, so it IS the dependency schedule of a staged
+    graph build. Frontier fixpoint like ``_min_reach_fixpoint`` but
+    maximizing: per round one equi-join + a map-side-combined max,
+    only last-round-raised nodes re-propagate; rounds = DAG depth.
+    Precondition: ``edges`` is acyclic (a cycle never converges) —
+    feed it ``condensation`` output, which is acyclic by construction.
+    """
+    levels = nodes.select("id", F.lit(0).alias("level")).localCheckpoint()
+    frontier = levels
+    while not frontier.isEmpty():
+        cand = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("level") + F.lit(1)).alias("cand"))
+        )
+        merged = (
+            levels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.greatest("level", "cand").alias("level"),
+                (F.col("cand") > F.col("level")).alias("__raised"),
+            )
+            .localCheckpoint()
+        )
+        frontier = merged.where(F.col("__raised")).select("id", "level")
+        levels = merged.select("id", "level")
+    return levels

@@ -2035,6 +2035,63 @@ def web_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_regions(nodes, edges)
 
 
+def web_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over a planted
+    redirect map: pages with id%10 in {1,2,3} redirect to id+1 (chains
+    of up to 3 hops ending at the id%10==4 terminal) and each
+    id%1000 in {7,8} pair forms a 2-cycle (a redirect loop — the
+    "do not crawl" verdict). Redirect targets resolve to REAL page
+    urls via an equi-join on the pages frame, so the gate re-verifies
+    url construction like ``web_crawl_frontier`` does. Spark resolves
+    in O(log chain) self-join rounds (operators/redirects.py); the
+    twin re-derives the plant arithmetically and walks chains ONE hop
+    per recursion step — a different algorithm, so the hash match
+    cross-checks terminal/hops/cycle semantics."""
+    from cartography_spark.operators.redirects import resolve_redirects
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    ids = pages.select(
+        "url", F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long").alias("pid")
+    )
+    dst_pid = (
+        F.when(F.col("pid") % 1000 == 7, F.col("pid") + 1)
+        .when(F.col("pid") % 1000 == 8, F.col("pid") - 1)
+        .when((F.col("pid") % 10).isin(1, 2, 3), F.col("pid") + 1)
+    )
+    srcs = ids.withColumn("dst_pid", dst_pid).where(F.col("dst_pid").isNotNull())
+    tgt = ids.select(F.col("pid").alias("dst_pid"), F.col("url").alias("dst_url"))
+    redirects = srcs.join(tgt, "dst_pid").select(
+        F.col("url").alias("src"), F.col("dst_url").alias("dst")
+    )
+    return resolve_redirects(redirects, max_chain_len=8)
+
+
+def web_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quotient-DAG summary of the host-graph backbone: per SCC its
+    member count and its longest-path level in the condensation
+    (sources at 0) — the dependency schedule of a staged graph build.
+    Spark: FW-BW SCC -> membership-join condensation -> frontier
+    max-level fixpoint; the twin derives all three from the recursive
+    closure. 8 components at the sf0.01 gate (the 13-host core + 7
+    periphery singletons)."""
+    from cartography_spark.operators.graphrank import (
+        condensation,
+        dag_levels,
+        strongly_connected_components,
+    )
+
+    nodes, edges = _host_graph_frames(spark, sf_dir)
+    scc = strongly_connected_components(nodes, edges).localCheckpoint()
+    cond = condensation(scc, edges).localCheckpoint()
+    comps = scc.select(F.col("scc").alias("id")).distinct()
+    levels = dag_levels(comps, cond)
+    sizes = scc.groupBy("scc").agg(F.count("*").alias("n_hosts"))
+    return sizes.join(
+        levels.select(F.col("id").alias("scc"), "level"), "scc"
+    ).select("scc", "n_hosts", "level")
+
+
 # The generator's crawl calendar: even page ids belong to the
 # 2025-01-01 crawl batch, odd ids to 2025-02-01 (sources/pages.py::
 # _page_batch), with per-page offsets < 30 days — so these two
@@ -2257,6 +2314,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_host_pagerank": web_host_pagerank,
     "web_host_scc": web_host_scc,
     "web_bowtie": web_bowtie,
+    "web_redirect_resolution": web_redirect_resolution,
+    "web_scc_condensation": web_scc_condensation,
     "kg_fact_intervals": kg_fact_intervals,
     "kg_fact_churn": kg_fact_churn,
     "multimodal_features": multimodal_features,

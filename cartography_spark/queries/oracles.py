@@ -1572,6 +1572,93 @@ ORACLES["web_host_scc"] = _host_scc_oracle_sql()
 ORACLES["web_bowtie"] = _bowtie_oracle_sql()
 
 
+def _condensation_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    """Twin for ``web_scc_condensation``: condensation edges from the
+    closure-derived sccs, longest-path levels via a recursive walk
+    seeded at EVERY component at 0 (max over all walks ending at v ==
+    1 + max over predecessors, by induction — the same fixpoint
+    ``dag_levels`` computes frontier-style). The walk terminates
+    because the condensation is acyclic by construction."""
+    return f"""
+WITH {_host_scc_ctes(n_pages, seed)},
+cedges AS MATERIALIZED (
+  SELECT DISTINCT s1.scc AS src, s2.scc AS dst
+  FROM hedges e
+  JOIN sccs s1 ON s1.id = e.src
+  JOIN sccs s2 ON s2.id = e.dst
+  WHERE s1.scc <> s2.scc),
+cnodes AS MATERIALIZED (SELECT DISTINCT scc AS id FROM sccs),
+lvl AS MATERIALIZED (
+  WITH RECURSIVE l(id, level) AS (
+    SELECT id, 0 FROM cnodes
+    UNION ALL
+    SELECT e.dst, l.level + 1 FROM l JOIN cedges e ON e.src = l.id
+  ) SELECT id, MAX(level) AS level FROM l GROUP BY id)
+SELECT z.scc, z.n_hosts, l.level
+FROM (SELECT scc, COUNT(*) AS n_hosts FROM sccs GROUP BY scc) z
+JOIN lvl l ON l.id = z.scc
+ORDER BY z.scc
+"""
+
+
+def _redirect_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    """Twin for ``web_redirect_resolution``: re-derives each page's
+    url (domain = the generator's Zipf pick over mix(mix(i, seed), 1),
+    limb-identical to ``_page_batch``), plants the same redirect map
+    arithmetically, then resolves by walking chains ONE hop per
+    recursion step with a depth cap well above the longest acyclic
+    chain (3) — cyclic walks never reach a terminal row, so
+    ``final IS NULL`` is the cycle verdict. Spark resolves the same
+    map by pointer doubling: a different algorithm, so a green hash
+    pins terminal, hop-count, and cycle semantics."""
+    from cartography_spark.sources.pages import DOMAINS, _DOMAIN_CDF
+
+    mix = _sql_mix
+    doms = "[" + ", ".join(f"'{d}'" for d in DOMAINS) + "]"
+    pick = _sql_pick("draw", "d", _DOMAIN_CDF, len(DOMAINS))
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_pages - 1}))::UBIGINT AS i),
+uk AS (SELECT i, {mix('i', seed, 'k1')} FROM ids),
+ud AS (SELECT i, {mix('k1', 1, 'draw')} FROM uk),
+udom AS (SELECT i, {pick} FROM ud),
+urls AS MATERIALIZED (
+  SELECT i::BIGINT AS pid,
+         'https://' || ({doms})[d + 1] || '/page/' || i::VARCHAR AS url
+  FROM udom),
+redir AS MATERIALIZED (
+  SELECT s.url AS src, t.url AS dst
+  FROM (SELECT pid, url,
+               CASE WHEN pid % 1000 = 7 THEN pid + 1
+                    WHEN pid % 1000 = 8 THEN pid - 1
+                    WHEN pid % 10 IN (1, 2, 3) THEN pid + 1 END AS dpid
+        FROM urls) s
+  JOIN urls t ON t.pid = s.dpid),
+walk AS MATERIALIZED (
+  WITH RECURSIVE w(src, cur, hops) AS (
+    SELECT src, dst, 1 FROM redir
+    UNION ALL
+    SELECT w.src, r.dst, w.hops + 1
+    FROM w JOIN redir r ON r.src = w.cur
+    WHERE w.hops < 10
+  ) SELECT src, cur, hops FROM w),
+term AS MATERIALIZED (
+  SELECT w.src, w.cur AS final, w.hops FROM walk w
+  WHERE w.cur NOT IN (SELECT src FROM redir))
+SELECT r.src, t.final, t.hops, (t.final IS NULL) AS is_cycle
+FROM (SELECT DISTINCT src FROM redir) r
+LEFT JOIN term t ON t.src = r.src
+ORDER BY r.src
+"""
+
+
+# Redirect resolution + condensation layering (round 5 day-5): both
+# twins walk/close step-by-step where Spark pointer-doubles /
+# frontier-iterates — algorithm-independent checks of the chain
+# terminal and DAG-level semantics.
+ORACLES["web_redirect_resolution"] = _redirect_oracle_sql()
+ORACLES["web_scc_condensation"] = _condensation_oracle_sql()
+
+
 def _hits_oracle_sql(iters: int = 5) -> str:
     """Unrolled HITS twin for ``kg_hits`` over the membership graph:
     per iteration, authority = in-link hub sum then L2-normalize, hub =

@@ -47,6 +47,7 @@ def main():
     from cartography_spark.queries.catalog import _pages_n
     from cartography_spark.queries.oracles import (
         _bowtie_oracle_sql,
+        _condensation_oracle_sql,
         _crawl_frontier_oracle_sql,
         _fact_churn_oracle_sql,
         _fact_intervals_oracle_sql,
@@ -54,6 +55,7 @@ def main():
         _host_scc_oracle_sql,
         _link_graph_oracle_sql,
         _pages_e2e_oracle_sql,
+        _redirect_oracle_sql,
     )
 
     oracles = dict(ORACLES)
@@ -65,6 +67,8 @@ def main():
     oracles["web_host_pagerank"] = _host_pagerank_oracle_sql(n_pages, 42)
     oracles["web_host_scc"] = _host_scc_oracle_sql(n_pages, 42)
     oracles["web_bowtie"] = _bowtie_oracle_sql(n_pages, 42)
+    oracles["web_redirect_resolution"] = _redirect_oracle_sql(n_pages, 42)
+    oracles["web_scc_condensation"] = _condensation_oracle_sql(n_pages, 42)
     # The temporal-fact family rides the same sf-keyed pages batch.
     oracles["kg_fact_intervals"] = _fact_intervals_oracle_sql(n_pages, 42)
     oracles["kg_fact_churn"] = _fact_churn_oracle_sql(n_pages, 42)
