@@ -943,3 +943,83 @@ def dag_levels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         frontier = merged.where(F.col("__raised")).select("id", "level")
         levels = merged.select("id", "level")
     return levels
+
+
+def maximal_independent_set(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Deterministic maximal independent set: ``nodes(id, pri)``,
+    ``edges(src, dst)`` in either direction (symmetrized, self-loops
+    dropped; endpoints must appear in ``nodes``). Returns ``(id,
+    kept)`` for every node — kept nodes are pairwise non-adjacent and
+    no unkept node could be added.
+
+    Luby-style rounds with FIXED priorities: per round every active
+    node whose ``(pri, id)`` is strictly smaller than all active
+    neighbors' joins the set; winners' neighbors retire. With fixed
+    priorities this computes exactly the GREEDY MIS of the ``(pri,
+    id)`` order (the lexicographically-first MIS of that permutation)
+    — a well-defined set independent of the round schedule, which is
+    what makes it reproducible at any parallelism and checkable
+    against a sequential model. The global minimum always wins its
+    round, so the loop terminates; with hash priorities rounds are
+    O(log n) in expectation (Luby'86 analysis applies to the fixed
+    draw per phase).
+
+    The training-data use: near-duplicate RETENTION. Connected-
+    component dedup keeps one doc per transitively-closed cluster —
+    over-merging under chained similarity; MIS over the pair graph
+    keeps a MAXIMAL set of mutually non-duplicate docs, strictly more
+    data at the same pairwise-novelty bar. Per round: one equi-join +
+    a map-side-combined struct-min + two anti-joins, lineage
+    truncated; nothing data-proportional is collected.
+    """
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    active = nodes.select("id", "pri").localCheckpoint()
+    kept: DataFrame | None = None
+    while not active.isEmpty():
+        nbr = (
+            und.join(
+                active.select(F.col("id").alias("dst"), F.col("pri").alias("dpri")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min(F.struct(F.col("dpri"), F.col("dst"))).alias("mn"))
+        )
+        w = (
+            active.join(nbr, active["id"] == nbr["src"], "left")
+            .where(
+                F.col("mn").isNull()
+                | (F.struct(F.col("pri"), F.col("id")) < F.col("mn"))
+            )
+            .select("id")
+            .localCheckpoint()
+        )
+        kept = w if kept is None else kept.unionAll(w).localCheckpoint()
+        losers = (
+            und.join(w.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        removed = w.unionAll(losers).distinct().localCheckpoint()
+        active = active.join(removed, "id", "left_anti").localCheckpoint()
+        rem_src = removed.withColumnRenamed("id", "src")
+        rem_dst = removed.withColumnRenamed("id", "dst")
+        und = (
+            und.join(rem_src, "src", "left_anti")
+            .join(rem_dst, "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    if kept is None:
+        return nodes.select("id", F.lit(False).alias("kept")).where(F.lit(False))
+    return nodes.select("id").join(
+        kept.withColumn("kept", F.lit(True)), "id", "left"
+    ).select("id", F.coalesce("kept", F.lit(False)).alias("kept"))

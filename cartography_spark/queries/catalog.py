@@ -1548,6 +1548,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", "lang", shingle_n=3, threshold=0.6)
 
 
+def dedup_retention_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate RETENTION by maximal independent set: keep a
+    maximal set of mutually non-duplicate docs over the exact n-gram
+    Jaccard pair graph (threshold 0.6, lang-blocked). CC dedup keeps
+    one doc per transitively-closed cluster — chained similarity
+    over-merges; MIS keeps strictly more data at the same pairwise
+    bar (a kept pair is never a duplicate pair, and nothing else can
+    be added). Priorities are md5(doc_id) so the greedy-MIS order is
+    deterministic and engine-replicable; the twin unrolls the same
+    fixed-priority rounds in SQL (the model-vs-greedy cross-check
+    lives in tests/test_mis.py). Output: every doc in scope with its
+    keep verdict.
+
+    The gate's pair source is the EXACT blocked all-pairs operator
+    (so the edge set is oracle-derivable without replicating LSH
+    banding), whose cost is quadratic in block size — above the
+    sf0.01 driver scale the doc universe is restricted to a
+    deterministic doc_id%5 slice to keep the exact baseline at gate
+    cost (sf0.1: 1 000 docs, ~9 100 dup pairs). Production retention
+    would feed `lsh_blocked_join`/minhash pairs into the same MIS."""
+    from cartography_spark.operators.dedup import ngram_jaccard_pairs
+    from cartography_spark.operators.graphrank import maximal_independent_set
+
+    docs = _t(spark, sf_dir, "documents")
+    if _pages_n(sf_dir) > 500:
+        docs = docs.where(F.col("doc_id") % 5 == 0)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", "lang", shingle_n=3, threshold=0.6
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("id"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    out = maximal_independent_set(nodes, edges)
+    return out.select(F.col("id").alias("doc_id"), "kept")
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII scrub, byte-exact across engines: every doc gets a
     deterministic synthetic email + URL + IPv4 prepended (the corpus
@@ -2285,6 +2323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_retention_mis": dedup_retention_mis,
     "dedup_containment": dedup_containment,
     "text_redact_pii": text_redact_pii,
     "text_quality": text_quality,

@@ -530,6 +530,68 @@ WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.6
 """
 
+def _mis_oracle_sql(rounds: int = 8, mod: int = 1) -> str:
+    """Twin for ``dedup_retention_mis``: the ngram-Jaccard pair graph
+    (same CTE spelling as the ``dedup_ngram_jaccard`` oracle) then
+    ``rounds`` unrolled fixed-priority MIS rounds — per round a node
+    joins the keep set iff its ``pri:id`` sort key (md5 hex is fixed
+    32 chars, so string concat comparison == (pri, id) lexicographic)
+    beats every still-active neighbor's, and winners' neighbors
+    retire. Fixed priorities make the fixpoint the greedy MIS of the
+    priority order, so extra rounds are no-ops; if ``rounds`` were
+    ever too few the leftover actives would surface as kept=false
+    mismatches, not silent agreement. Chained CTEs are MATERIALIZED
+    per the module's anti-inlining idiom. ``mod`` mirrors the gate's
+    above-driver-scale doc_id%mod universe restriction (1 = all
+    docs at sf0.01)."""
+    key_a = "a.pri || ':' || lpad(a.id::VARCHAR, 20, '0')"
+    key_b = "b.pri || ':' || lpad(b.id::VARCHAR, 20, '0')"
+    parts = [
+        f"""pgd AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_distinct([substr(lower(text), i, 3)
+                        FOR i IN generate_series(1, greatest(len(text) - 2, 1))]) AS sh
+  FROM documents WHERE doc_id % {mod} = 0),
+pg AS MATERIALIZED (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM pgd a JOIN pgd b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.6),
+und AS MATERIALIZED (
+  SELECT src, dst FROM pg UNION SELECT dst AS src, src AS dst FROM pg),
+a0 AS MATERIALIZED (
+  SELECT doc_id AS id, md5(doc_id::VARCHAR) AS pri
+  FROM documents WHERE doc_id % {mod} = 0)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT a.id FROM a{i} a
+  LEFT JOIN (
+    SELECT u.src AS id, MIN({key_b}) AS mn
+    FROM und u JOIN a{i} b ON b.id = u.dst
+    GROUP BY u.src) m ON m.id = a.id
+  WHERE m.mn IS NULL OR ({key_a}) < m.mn),
+a{i + 1} AS MATERIALIZED (
+  SELECT a.id, a.pri FROM a{i} a
+  WHERE a.id NOT IN (SELECT id FROM w{i})
+    AND a.id NOT IN (SELECT u.dst FROM und u JOIN w{i} w ON w.id = u.src))"""
+        )
+    kept_union = "\n  UNION ALL ".join(f"SELECT id FROM w{i}" for i in range(rounds))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+kept AS MATERIALIZED ({kept_union})
+SELECT a.id AS doc_id, (a.id IN (SELECT id FROM kept)) AS kept
+FROM a0 a ORDER BY a.id
+"""
+    )
+
+
+ORACLES["dedup_retention_mis"] = _mis_oracle_sql()
+
+
 ORACLES["text_quality"] = """
 WITH f AS (
   SELECT doc_id,

@@ -54,6 +54,7 @@ def main():
         _host_pagerank_oracle_sql,
         _host_scc_oracle_sql,
         _link_graph_oracle_sql,
+        _mis_oracle_sql,
         _pages_e2e_oracle_sql,
         _redirect_oracle_sql,
     )
@@ -69,6 +70,9 @@ def main():
     oracles["web_bowtie"] = _bowtie_oracle_sql(n_pages, 42)
     oracles["web_redirect_resolution"] = _redirect_oracle_sql(n_pages, 42)
     oracles["web_scc_condensation"] = _condensation_oracle_sql(n_pages, 42)
+    # MIS retention restricts its doc universe above the driver scale
+    # (catalog.py::dedup_retention_mis) — key the twin the same way.
+    oracles["dedup_retention_mis"] = _mis_oracle_sql(mod=1 if n_pages <= 500 else 5)
     # The temporal-fact family rides the same sf-keyed pages batch.
     oracles["kg_fact_intervals"] = _fact_intervals_oracle_sql(n_pages, 42)
     oracles["kg_fact_churn"] = _fact_churn_oracle_sql(n_pages, 42)
