@@ -1140,3 +1140,62 @@ def repeated_ngram_spans(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def excise_repeated_ngrams(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove every cross-document repeated word ``n``-gram span from
+    the text — the excision half of the Lee et al. 2022 exact-substring
+    dedup (repeated_ngram_spans finds the boilerplate; this cuts it).
+    A token is dropped iff it is covered by ANY occurrence of a
+    repeated gram (a gram starting at token position s covers
+    s..s+n-1); survivors rejoin with single spaces in original order.
+    Returns ``(id, n_tokens, n_removed, clean_text)``.
+
+    Scale shape: the corpus itself never regroups — the gram stream is
+    one row per token, only REPEATED-gram occurrences survive the
+    gram-keyed semi-join, and they aggregate to one start-position
+    array per affected doc (bounded by that doc's boilerplate hits,
+    not its length). That small frame left-joins back on id (AQE can
+    broadcast it when boilerplate is rare) and the mask is then pure
+    row-local array logic: token i survives iff no start lies in
+    [i-n+1, i]. The per-row cost is O(tokens x hits); a corpus whose
+    docs are MOSTLY boilerplate degrades toward quadratic per row —
+    at that point excision is the wrong tool (drop the doc).
+
+    The starts array is let-bound through the join (a real column),
+    per the PLANS.md idiom — the exists() lambda references it without
+    recomputing the aggregate.
+    """
+    rep = repeated_ngram_spans(docs, id_col, text_col, n, min_docs).select("gram")
+    hits = (
+        ngram_spans(docs, id_col, text_col, n)
+        .join(rep, "gram", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    staged = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    ).join(hits, "id", "left")
+    kept = F.filter(
+        F.zip_with(
+            F.col("__toks"),
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+            lambda st: (st <= s["i"]) & (s["i"] < st + F.lit(n)),
+        ),
+    )
+    return staged.select(
+        "id",
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+    )

@@ -1586,6 +1586,26 @@ def dedup_retention_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "kept")
 
 
+def dedup_excise_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring EXCISION (the fix half of Lee et al. repeated
+    n-gram dedup): every token covered by a cross-document repeated
+    5-gram is cut, survivors rejoin in order, and the gate hashes
+    md5(clean_text) so a single mis-kept token flips the row. The
+    corpus never regroups — only repeated-gram hits shuffle (see
+    operators/dedup.py::excise_repeated_ngrams). Twin: DuckDB list
+    comprehension replaying the same coverage rule."""
+    from cartography_spark.operators.dedup import excise_repeated_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    out = excise_repeated_ngrams(docs, "doc_id", "text", n=5, min_docs=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style PII scrub, byte-exact across engines: every doc gets a
     deterministic synthetic email + URL + IPv4 prepended (the corpus
@@ -2324,6 +2344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_retention_mis": dedup_retention_mis,
+    "dedup_excise_repeated": dedup_excise_repeated,
     "dedup_containment": dedup_containment,
     "text_redact_pii": text_redact_pii,
     "text_quality": text_quality,

@@ -592,6 +592,39 @@ FROM a0 a ORDER BY a.id
 ORACLES["dedup_retention_mis"] = _mis_oracle_sql()
 
 
+# Excision twin: same coverage rule (token i cut iff a repeated-gram
+# start lies in [i-4, i]) replayed as a DuckDB list comprehension;
+# md5(clean_text) makes the verdict byte-exact.
+ORACLES["dedup_excise_repeated"] = """
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g0 AS MATERIALIZED (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS pos
+  FROM t),
+g AS MATERIALIZED (
+  SELECT doc_id, pos, array_to_string(toks[pos:pos + 4], ' ') AS gram
+  FROM g0),
+rep AS MATERIALIZED (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS MATERIALIZED (
+  SELECT g.doc_id, list_sort(list(DISTINCT g.pos)) AS starts
+  FROM g JOIN rep USING (gram) GROUP BY g.doc_id),
+m AS MATERIALIZED (
+  SELECT t.doc_id, len(t.toks) AS n_tokens,
+         COALESCE(h.starts, []::BIGINT[]) AS starts, t.toks
+  FROM t LEFT JOIN hits h ON h.doc_id = t.doc_id),
+k AS (
+  SELECT doc_id, n_tokens,
+         [toks[i] FOR i IN generate_series(1, len(toks))
+          IF len(list_filter(starts, s -> s <= i AND i < s + 5)) = 0] AS kept
+  FROM m)
+SELECT doc_id, n_tokens, n_tokens - len(kept) AS n_removed,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+FROM k ORDER BY doc_id
+"""
+
+
 ORACLES["text_quality"] = """
 WITH f AS (
   SELECT doc_id,
