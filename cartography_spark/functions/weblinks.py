@@ -110,3 +110,49 @@ def crawl_frontier(links: DataFrame, crawled: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def fetch_schedule(links: DataFrame, crawled: DataFrame, rate: int = 2) -> DataFrame:
+    """Politeness-budgeted fetch schedule for the crawl frontier:
+    every not-yet-crawled dst url, prioritized by inlink count (how
+    many crawled links point at it — the classic frontier ordering)
+    and assigned a fetch round so no host is hit more than ``rate``
+    times per round. Returns ``(url, host, n_inlinks, fetch_round)``
+    with rounds 0-based and the within-host order deterministic
+    (inlinks desc, url asc — a total order).
+
+    Scale shape: inlink counting is one partial-aggregated hash
+    shuffle on dst_url; the frontier anti-join is url-hashed (no
+    skew: urls unique); the round assignment is ONE window exchange
+    on host sharing a single in-partition sort. A host's frontier at
+    10^12 pages is bounded by its own page count — the per-host
+    window never sees the corpus.
+
+    Reference analog: the reference's sync scheduler paces API calls
+    per service to respect rate limits (``cartography/sync.py``
+    stages); per-host crawl rounds are the crawl-side instance.
+    """
+    if rate < 1:
+        raise ValueError(f"rate must be >= 1, got {rate}")
+    from pyspark.sql import Window
+
+    crawl_urls = crawled.select(F.col("url").alias("dst_url")).distinct()
+    frontier = (
+        links.join(crawl_urls, "dst_url", "left_anti")
+        .groupBy("dst_url")
+        .agg(F.count("*").alias("n_inlinks"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_inlinks").desc(), F.col("url").asc()
+    )
+    return (
+        frontier.select(
+            F.col("dst_url").alias("url"),
+            url_host("dst_url").alias("host"),
+            "n_inlinks",
+        )
+        .withColumn(
+            "fetch_round",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(rate)).cast("long"),
+        )
+    )

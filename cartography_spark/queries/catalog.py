@@ -2093,6 +2093,29 @@ def web_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowtie_regions(nodes, edges)
 
 
+def web_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-budgeted frontier schedule: with the even-id January
+    crawl batch done (the generator's crawl calendar), every link
+    target NOT yet crawled is prioritized by inlink count and packed
+    into per-host fetch rounds of 2 (functions/weblinks.py::
+    fetch_schedule — one count shuffle + one host window). The Spark
+    side derives the frontier via the real url anti-join against the
+    crawled subset; the twin derives membership ARITHMETICALLY (tid
+    odd or beyond the synthesized range), so a green hash re-proves
+    the planted-url consistency claim along the way. Scoping the
+    crawl to the even batch keeps the frontier non-empty at every sf
+    (above n=4096 the link universe is fully synthesized, so the
+    everything-crawled frontier would be vacuous)."""
+    from cartography_spark.functions.weblinks import extract_links, fetch_schedule
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    crawled = pages.where(
+        F.regexp_extract("url", r"/page/(\d+)$", 1).cast("long") % 2 == 0
+    )
+    return fetch_schedule(extract_links(pages), crawled, rate=2)
+
+
 def web_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling over a planted
     redirect map: pages with id%10 in {1,2,3} redirect to id+1 (chains
@@ -2376,6 +2399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_bowtie": web_bowtie,
     "web_redirect_resolution": web_redirect_resolution,
     "web_scc_condensation": web_scc_condensation,
+    "web_fetch_schedule": web_fetch_schedule,
     "kg_fact_intervals": kg_fact_intervals,
     "kg_fact_churn": kg_fact_churn,
     "multimodal_features": multimodal_features,

@@ -1754,6 +1754,34 @@ ORACLES["web_redirect_resolution"] = _redirect_oracle_sql()
 ORACLES["web_scc_condensation"] = _condensation_oracle_sql()
 
 
+def _fetch_schedule_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    """Twin for ``web_fetch_schedule``: the frontier is derived
+    ARITHMETICALLY (tid odd — outside the even-id crawled batch — or
+    tid beyond the synthesized range; a planted dst url string-equals
+    a real crawled url exactly when its target is a synthesized page,
+    the url-consistency claim ``web_crawl_frontier`` already gates)
+    where Spark runs the real url anti-join; the window twin replays
+    the same (inlinks desc, url asc) per-host packing."""
+    return f"""
+WITH {_links_ctes(n_pages, seed)},
+fr AS MATERIALIZED (
+  SELECT dst_host, tid FROM links
+  WHERE tid % 2 = 1 OR tid >= {n_pages}),
+f AS MATERIALIZED (
+  SELECT 'https://' || dst_host || '/page/' || tid::VARCHAR AS url,
+         dst_host AS host, COUNT(*) AS n_inlinks
+  FROM fr GROUP BY 1, 2)
+SELECT url, host, n_inlinks,
+       ((ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY n_inlinks DESC, url ASC)) - 1) // 2
+         AS fetch_round
+FROM f ORDER BY url
+"""
+
+
+ORACLES["web_fetch_schedule"] = _fetch_schedule_oracle_sql()
+
+
 def _hits_oracle_sql(iters: int = 5) -> str:
     """Unrolled HITS twin for ``kg_hits`` over the membership graph:
     per iteration, authority = in-link hub sum then L2-normalize, hub =

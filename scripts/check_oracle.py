@@ -51,6 +51,7 @@ def main():
         _crawl_frontier_oracle_sql,
         _fact_churn_oracle_sql,
         _fact_intervals_oracle_sql,
+        _fetch_schedule_oracle_sql,
         _host_pagerank_oracle_sql,
         _host_scc_oracle_sql,
         _link_graph_oracle_sql,
@@ -70,6 +71,7 @@ def main():
     oracles["web_bowtie"] = _bowtie_oracle_sql(n_pages, 42)
     oracles["web_redirect_resolution"] = _redirect_oracle_sql(n_pages, 42)
     oracles["web_scc_condensation"] = _condensation_oracle_sql(n_pages, 42)
+    oracles["web_fetch_schedule"] = _fetch_schedule_oracle_sql(n_pages, 42)
     # MIS retention restricts its doc universe above the driver scale
     # (catalog.py::dedup_retention_mis) — key the twin the same way.
     oracles["dedup_retention_mis"] = _mis_oracle_sql(mod=1 if n_pages <= 500 else 5)

@@ -122,3 +122,47 @@ def test_host_pagerank_mass_conserved(spark):
     total = out.agg(F.sum("pagerank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-3
     assert out.where(F.col("pagerank") <= 0).count() == 0
+
+
+def test_fetch_schedule_packs_rounds_and_prioritizes_inlinks(spark):
+    from pyspark.sql import functions as F
+
+    from cartography_spark.functions.weblinks import fetch_schedule
+
+    # 5 frontier urls on one host with distinct inlink counts, rate 2:
+    # rounds must fill in priority order; a second host schedules
+    # independently from round 0.
+    links = []
+    counts = {"a": 5, "b": 3, "c": 3, "d": 2, "e": 1}
+    for u, c in counts.items():
+        links += [(f"https://s/{i}", f"https://h1.x/{u}") for i in range(c)]
+    links += [("https://s/0", "https://h2.x/only")]
+    ldf = spark.createDataFrame(links, "src_url string, dst_url string")
+    crawled = spark.createDataFrame([("https://s/0",)], "url string")
+    out = {
+        r["url"]: (r["n_inlinks"], r["fetch_round"])
+        for r in fetch_schedule(ldf, crawled, rate=2).collect()
+    }
+    # Priority order on h1: a(5), then b/c tie broken by url asc, d, e.
+    assert out["https://h1.x/a"] == (5, 0)
+    assert out["https://h1.x/b"] == (3, 0)
+    assert out["https://h1.x/c"] == (3, 1)
+    assert out["https://h1.x/d"] == (2, 1)
+    assert out["https://h1.x/e"] == (1, 2)
+    assert out["https://h2.x/only"] == (1, 0)
+
+
+def test_fetch_schedule_excludes_crawled_and_validates_rate(spark):
+    import pytest
+
+    from cartography_spark.functions.weblinks import fetch_schedule
+
+    ldf = spark.createDataFrame(
+        [("https://s/0", "https://h.x/seen"), ("https://s/0", "https://h.x/new")],
+        "src_url string, dst_url string",
+    )
+    crawled = spark.createDataFrame([("https://h.x/seen",)], "url string")
+    urls = {r["url"] for r in fetch_schedule(ldf, crawled, rate=1).collect()}
+    assert urls == {"https://h.x/new"}
+    with pytest.raises(ValueError, match="rate"):
+        fetch_schedule(ldf, crawled, rate=0)
