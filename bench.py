@@ -426,6 +426,12 @@ def main() -> None:
         "profile_events", "kg_node2vec_walks", "kg_harmonic_centrality",
         "sample_mixture_plan", "text_quality_calibrated", "agg_session_sequences",
         "kg_related_entities", "kg_degree_histogram", "kmv_source_overlap",
+        # Day-4/5 web + temporal-KG + retention families.
+        "web_link_graph", "web_crawl_frontier", "web_host_pagerank",
+        "kg_fact_intervals", "kg_fact_churn",
+        "web_host_scc", "web_bowtie", "web_scc_condensation",
+        "web_redirect_resolution", "web_fetch_schedule",
+        "dedup_retention_mis", "dedup_excise_repeated",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:
