@@ -29,9 +29,11 @@ def resolve_redirects(redirects: DataFrame, max_chain_len: int = 64) -> DataFram
     """Resolve every redirect source to its terminal destination.
 
     ``redirects(src, dst)`` must be functional: at most one ``dst``
-    per ``src`` (HTTP gives exactly one Location per url; callers with
-    conflicting observations dedup first — a duplicate src would fan
-    out the pointer join). Returns one row per distinct src:
+    per ``src`` (HTTP gives exactly one Location per url). Conflicting
+    observations of the same src are resolved to the MINIMUM dst —
+    an arbitrary-but-deterministic winner, so re-runs and partition
+    counts can't flip the resolution (a first-row-seen dedup would).
+    Returns one row per distinct src:
 
     - ``final``: the terminal url (a node with no outgoing redirect),
       or NULL when the chain never terminates;
@@ -49,7 +51,7 @@ def resolve_redirects(redirects: DataFrame, max_chain_len: int = 64) -> DataFram
     (composed pointer adds the two segment lengths), so the output is
     bit-deterministic at any parallelism.
     """
-    base = redirects.select("src", "dst").dropDuplicates(["src"])
+    base = redirects.groupBy("src").agg(F.min("dst").alias("dst"))
     # Non-terminal test set: every url that itself redirects.
     srcs = base.select(F.col("src").alias("dst")).distinct().localCheckpoint()
     f = base.withColumn("hops", F.lit(1)).localCheckpoint()

@@ -65,12 +65,15 @@ def test_long_chain_within_budget_and_over_budget(spark):
 
 def test_duplicate_src_deduped_not_fanned_out(spark):
     # Functional-graph precondition: a duplicate src observation keeps
-    # one pointer (dropDuplicates) instead of fanning out the join.
+    # one pointer instead of fanning out the join, and CONFLICTING
+    # observations resolve to the deterministic min dst.
     out = resolve_redirects(_redir(spark, [("a", "b"), ("a", "b"), ("b", "c")]))
     rows = out.collect()
     assert len(rows) == 2
     got = {r["src"]: r["final"] for r in rows}
     assert got == {"a": "c", "b": "c"}
+    conflict = _resolve(spark, [("a", "z"), ("a", "b"), ("b", "c")])
+    assert conflict["a"] == ("c", 2, False)
 
 
 def test_resolution_partition_invariant(spark):
