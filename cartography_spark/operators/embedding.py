@@ -143,6 +143,11 @@ def negative_samples(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     t = triples.select("subj", "pred", "obj")
+    # The global row_number IS a SinglePartition window (Spark warns) —
+    # deliberately: it runs over the distinct-ENTITY dictionary, a
+    # dim-sized frame (same budget class as a broadcast dim), never the
+    # triple stream. A corpus-sized global sort would be the packing.py
+    # prefix-scan shape instead.
     ents = (
         t.select(F.col("obj").alias("ent"))
         .distinct()
