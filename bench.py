@@ -432,6 +432,10 @@ def main() -> None:
         "web_host_scc", "web_bowtie", "web_scc_condensation",
         "web_redirect_resolution", "web_fetch_schedule",
         "dedup_retention_mis", "dedup_excise_repeated",
+        # Day-6 families: fact fusion, anchor dictionary, BPE, DSIR,
+        # domain shrinkage.
+        "kg_fact_fusion", "web_anchor_text", "bpe_merge_rules",
+        "dsir_selection", "domain_quality",
     ]
     new_ops: dict[str, float] = {}
     for name in NEW_OPS:

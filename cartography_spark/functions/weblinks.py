@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 # POSIX subset, so the oracle can share the pattern verbatim.
 HREF_PATTERN = r"href='(https?://[^']+)'"
 HOST_PATTERN = r"^https?://([^/]+)"
+# Anchor-carrying absolute link: group 1 = url, group 2 = anchor text.
+ANCHOR_PATTERN = r"href='(https?://[^']+)'>([^<]+)</a>"
 
 
 def url_host(col: Column | str) -> Column:
@@ -65,6 +67,68 @@ def extract_links(
         F.explode(F.regexp_extract_all(html_str, F.lit(HREF_PATTERN), 1)).alias(
             "dst_url"
         ),
+    )
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(src_url, dst_url, anchor) — absolute links WITH their anchor
+    text, the web's naming signal for the linked page.
+
+    Same narrow scan-stage shape as :func:`extract_links`: decode ->
+    two ``regexp_extract_all`` passes over the SAME let-bound html
+    string (group 1 = url, group 2 = anchor — Spark's
+    regexp_extract_all returns one group per call) -> ``arrays_zip``
+    -> explode. Relative nav links never match (https-only pattern).
+    """
+    html_str = F.col(html_col).cast("string")
+    pair = F.explode(
+        F.arrays_zip(
+            F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 1).alias("u"),
+            F.regexp_extract_all(html_str, F.lit(ANCHOR_PATTERN), 2).alias("a"),
+        )
+    )
+    return df.select(F.col(url_col).alias("src_url"), pair.alias("p")).select(
+        "src_url",
+        F.col("p.u").alias("dst_url"),
+        F.col("p.a").alias("anchor"),
+    )
+
+
+def anchor_entities(anchors: DataFrame) -> DataFrame:
+    """Per linked-to url: the web's consensus name for it.
+
+    (dst_url, top_anchor, n_top, n_inlinks, n_anchors) — the most
+    frequent inbound anchor text (count desc, anchor asc tie-break),
+    its count, total inlinks, and distinct anchor variants. This is
+    the classic anchor-text dictionary that seeds entity linking
+    (anchor -> entity surface forms), the web-KG analog of the
+    reference harvesting display names from API payloads.
+
+    Scale shape: one (dst_url, anchor) partial-agg shuffle, then one
+    dst_url-keyed aggregation whose argmax is a map-side-combinable
+    ``min(struct(-n, anchor))`` — never a window over the corpus. A
+    url's anchor-variant set is bounded by its inlinks; hot urls
+    (the Zipf head) stay safe because the first partial agg already
+    collapsed duplicates per (url, anchor).
+    """
+    per_anchor = anchors.groupBy("dst_url", "anchor").agg(
+        F.count("*").alias("n")
+    )
+    agg = per_anchor.groupBy("dst_url").agg(
+        F.min(
+            F.struct((-F.col("n")).alias("neg"), F.col("anchor").alias("anchor"))
+        ).alias("__top"),
+        F.sum("n").alias("n_inlinks"),
+        F.count("*").alias("n_anchors"),
+    )
+    return agg.select(
+        "dst_url",
+        F.col("__top.anchor").alias("top_anchor"),
+        (-F.col("__top.neg")).alias("n_top"),
+        "n_inlinks",
+        "n_anchors",
     )
 
 

@@ -399,3 +399,52 @@ def calibrate_scores(
     order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
     win = Window.partitionBy(*group_cols).orderBy(order)
     return df.withColumn(out_col, F.percent_rank().over(win))
+
+
+def domain_quality(
+    docs: DataFrame,
+    domain_col: str = "source",
+    k: float = 20.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain quality with empirical-Bayes shrinkage — the
+    domain-level filter signal a crawl curator ranks hosts by (the
+    C4/RefinedWeb-style "good domain" prior). A domain's raw mean
+    quality is shrunk toward the corpus mean by its evidence:
+
+        shrunk = (n * raw_mean + k * global_mean) / (n + k)
+
+    so a 3-page domain with lucky scores cannot outrank a 10k-page
+    domain of consistently good text (k = pseudo-count prior
+    strength).
+
+    Returns (``domain_col``, n_docs, raw_mean, shrunk_score), floats
+    ROUND 6. Scale shape: per-doc scoring is scan-stage JVM work
+    (functions/textstats.py); the domain agg is ONE partial-agg hash
+    shuffle whose output is domain-cardinality; the global mean is a
+    1-row aggregate cross-joined back (never collected). Reference
+    analog: none — training-data family (SURVEY §2 "beyond the
+    reference"), the domain-level companion of the per-doc Gopher
+    gates above.
+    """
+    from cartography_spark.functions.textstats import quality_features
+
+    scored = quality_features(docs, text_col)
+    per_dom = scored.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("quality_score").alias("__raw"),
+    )
+    glob = scored.agg(F.avg("quality_score").alias("__g"))
+    return (
+        per_dom.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("domain").alias(domain_col),
+            "n_docs",
+            F.round("__raw", 6).alias("raw_mean"),
+            F.round(
+                (F.col("n_docs") * F.col("__raw") + F.lit(k) * F.col("__g"))
+                / (F.col("n_docs") + F.lit(k)),
+                6,
+            ).alias("shrunk_score"),
+        )
+    )

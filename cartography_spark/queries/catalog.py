@@ -2289,6 +2289,89 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text dictionary over the planted link graph: per
+    linked-to url, the web's consensus name (top inbound anchor,
+    count desc / anchor asc), inlink total, and anchor-variant count
+    — the entity-surface-form harvest that seeds entity linking. The
+    DuckDB twin re-derives urls AND anchor entity picks arithmetically
+    from the splitmix chain while Spark regexes them out of the html
+    bytes (two-group extraction over one let-bound decode)."""
+    from cartography_spark.functions.weblinks import (
+        anchor_entities,
+        extract_anchors,
+    )
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    return anchor_entities(extract_anchors(pages))
+
+
+def kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over the full extraction chain: html -> text ->
+    (s,p,o) observations tagged with their page's host -> two-round
+    accuracy-weighted fact fusion (operators/factfusion.py). The
+    DuckDB twin re-derives both the planted triples AND each page's
+    domain from the splitmix chain, then votes with ROW_NUMBER
+    argmaxes — a green hash pins the voting spec (round-0 majority,
+    Laplace source accuracy, round-6-before-argmax weighting) against
+    a different implementation, on top of the extraction plant."""
+    from cartography_spark.functions.textextract import extract_text
+    from cartography_spark.functions.triples import extract_triples_jvm
+    from cartography_spark.functions.weblinks import url_host
+    from cartography_spark.operators.factfusion import fuse_facts
+    from cartography_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, _pages_n(sf_dir), seed=42)
+    text = extract_text(pages.drop("text"), "html", "text")
+    triples = extract_triples_jvm(text).select(
+        url_host("url").alias("source"), "subj", "pred", "obj"
+    )
+    return fuse_facts(triples)
+
+
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merge rules learned from the documents corpus
+    (operators/bpe.py): corpus -> word-frequency table (the one
+    corpus-sized pass) -> per-round pair-count argmax + greedy-left
+    fold merge. The DuckDB twin applies merges with a match-run
+    parity rule instead of a scan — agreement pins the greedy
+    semantics themselves."""
+    from cartography_spark.operators.bpe import bpe_merge_rules as learn
+
+    return learn(_t(spark, sf_dir, "documents"), k=6).select(
+        "merge_rank",
+        F.col("left").alias("lft"),
+        F.col("right").alias("rgt"),
+        "pair_count",
+        "merged",
+    )
+
+
+def domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality with empirical-Bayes shrinkage toward the
+    corpus mean (operators/curation.py::domain_quality) — the
+    host-level curation signal. One domain-keyed partial agg + a
+    1-row global mean cross-joined back."""
+    from cartography_spark.operators.curation import domain_quality as dq
+
+    return dq(_t(spark, sf_dir, "documents"))
+
+
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py): hashed
+    unigram+bigram bucket models (md5, 256 buckets), target = the
+    src0 slice of the corpus, per-doc summed log-likelihood ratio,
+    selection = positive per-feature average. Floats ROUND 6 after
+    the sums in both engines."""
+    from cartography_spark.operators.dsir import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(
+        docs, docs.where(F.col("source") == "src0"), n_buckets=256
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_node_merge_u1": kg_node_merge_u1,
     "kg_typed_index_scan": kg_typed_index_scan,
@@ -2402,5 +2485,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_fetch_schedule": web_fetch_schedule,
     "kg_fact_intervals": kg_fact_intervals,
     "kg_fact_churn": kg_fact_churn,
+    "kg_fact_fusion": kg_fact_fusion,
+    "web_anchor_text": web_anchor_text,
+    "bpe_merge_rules": bpe_merge_rules,
+    "dsir_selection": dsir_selection,
+    "domain_quality": domain_quality,
     "multimodal_features": multimodal_features,
 }

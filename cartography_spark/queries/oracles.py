@@ -1371,21 +1371,28 @@ ORACLES["kg_pages_e2e_large"] = _pages_e2e_oracle_sql(4000, 7)
 
 
 def _links_ctes(n_pages: int, seed: int) -> str:
-    """CTE chain ending in ``links(i, src_host, dst_host, tid)`` — one
+    """CTE chain ending in ``links(i, src_host, dst_host, tid, anch)``
+    — one
     row per planted outlink of pages 0..n_pages-1 at ``seed``,
     replicating sources/pages.py::_link_targets limb-exactly."""
     from cartography_spark.sources.pages import (
         DOMAINS,
+        ENTITIES,
         LINK_UNIVERSE,
         MAX_LINKS,
         _DOMAIN_CDF,
+        _ENTITY_CDF,
     )
 
     mix = _sql_mix
     doms = "[" + ", ".join(f"'{d}'" for d in DOMAINS) + "]"
+    ents = "[" + ", ".join(f"'{e}'" for e in ENTITIES) + "]"
 
     def pickdom(raw: str, out: str) -> str:
         return _sql_pick(raw, out, _DOMAIN_CDF, len(DOMAINS))
+
+    def pickent(raw: str, out: str) -> str:
+        return _sql_pick(raw, out, _ENTITY_CDF, len(ENTITIES))
 
     return f"""ids AS (SELECT unnest(generate_series(0, {n_pages - 1}))::UBIGINT AS i),
 k AS (SELECT i, {mix('i', seed, 'key')} FROM ids),
@@ -1398,12 +1405,15 @@ slots AS (SELECT i, key, sd,
 tkx AS (SELECT i, sd, t,
                {mix('(key::HUGEINT + t + 1) % 18446744073709551616', 11, 'tk')}
         FROM slots),
-tidx AS (SELECT i, sd, CAST(tk % {LINK_UNIVERSE} AS UBIGINT) AS tid FROM tkx),
-tkeyx AS (SELECT i, sd, tid, {mix('tid', seed, 'tkey')} FROM tidx),
-trawx AS (SELECT i, sd, tid, {mix('tkey', 1, 'traw')} FROM tkeyx),
-tdx AS (SELECT i, sd, tid, {pickdom('traw', 'td')} FROM trawx),
-links AS (SELECT i, ({doms})[sd + 1] AS src_host, ({doms})[td + 1] AS dst_host, tid
-          FROM tdx)"""
+tidx AS (SELECT i, sd, tk, CAST(tk % {LINK_UNIVERSE} AS UBIGINT) AS tid FROM tkx),
+tkeyx AS (SELECT i, sd, tk, tid, {mix('tid', seed, 'tkey')} FROM tidx),
+trawx AS (SELECT i, sd, tk, tid, {mix('tkey', 1, 'traw')} FROM tkeyx),
+tdx AS (SELECT i, sd, tk, tid, {pickdom('traw', 'td')} FROM trawx),
+anrx AS (SELECT i, sd, tid, td, {mix('tk', 3, 'araw')} FROM tdx),
+anpx AS (SELECT i, sd, tid, td, {pickent('araw', 'ai')} FROM anrx),
+links AS (SELECT i, ({doms})[sd + 1] AS src_host, ({doms})[td + 1] AS dst_host, tid,
+                 ({ents})[ai + 1] AS anch
+          FROM anpx)"""
 
 
 def _link_graph_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
@@ -3024,4 +3034,245 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, ROUND(s, 6) AS score, CAST(term_rank AS INT) AS term_rank
 FROM ranked WHERE term_rank <= 3
+"""
+
+
+def _fact_fusion_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    """Generator-twin fact fusion: re-derives the planted triples AND
+    each page's domain (the fusion ``source``) from the splitmix
+    chain, then runs the two voting rounds in plain SQL with
+    ROW_NUMBER argmaxes — a different argmax mechanism than Spark's
+    partial-aggregated struct-min, so a green hash cross-checks the
+    voting spec, not the implementation. Weighted votes are ROUND 6
+    BEFORE the argmax on both sides (cross-engine float order can
+    never flip a winner)."""
+    from cartography_spark.sources.pages import DOMAINS, _DOMAIN_CDF
+
+    doms = "[" + ", ".join(f"'{d}'" for d in DOMAINS) + "]"
+    return f"""
+WITH {_triples_ctes(n_pages, seed)},
+dr AS (SELECT i, {_sql_mix('key', 1, 'sdraw')} FROM k),
+dpick AS (SELECT i, {_sql_pick('sdraw', 'sd', _DOMAIN_CDF, len(DOMAINS))} FROM dr),
+dom AS (SELECT i, ({doms})[sd + 1] AS source FROM dpick),
+claims AS (SELECT DISTINCT d.source, t.subj, t.pred, t.obj
+           FROM tr t JOIN dom d USING (i)),
+v0 AS (SELECT subj, pred, obj, COUNT(*) AS votes
+       FROM claims GROUP BY subj, pred, obj),
+win0 AS (SELECT subj, pred, obj FROM (
+           SELECT subj, pred, obj,
+                  ROW_NUMBER() OVER (PARTITION BY subj, pred
+                                     ORDER BY votes DESC, obj) AS rn
+           FROM v0) WHERE rn = 1),
+acc AS (SELECT c.source,
+               (SUM(CASE WHEN c.obj = w.obj THEN 1 ELSE 0 END) + 1.0)
+                 / (COUNT(*) + 2.0) AS acc
+        FROM claims c JOIN win0 w ON c.subj = w.subj AND c.pred = w.pred
+        GROUP BY c.source),
+v1 AS (SELECT c.subj, c.pred, c.obj,
+              ROUND(SUM(a.acc), 6) AS wvote, COUNT(*) AS src_votes
+       FROM claims c JOIN acc a USING (source)
+       GROUP BY c.subj, c.pred, c.obj),
+win1 AS (SELECT subj, pred, obj, wvote, src_votes FROM (
+           SELECT subj, pred, obj, wvote, src_votes,
+                  ROW_NUMBER() OVER (PARTITION BY subj, pred
+                                     ORDER BY wvote DESC, obj) AS rn
+           FROM v1) WHERE rn = 1),
+tot AS (SELECT subj, pred, SUM(wvote) AS total FROM v1 GROUP BY subj, pred),
+nsrc AS (SELECT subj, pred, COUNT(DISTINCT source) AS n_sources
+         FROM claims GROUP BY subj, pred)
+SELECT w.subj, w.pred, w.obj, nsrc.n_sources, w.src_votes,
+       ROUND(w.wvote, 6) AS weight,
+       ROUND(w.wvote / t.total, 6) AS confidence
+FROM win1 w
+JOIN tot t ON w.subj = t.subj AND w.pred = t.pred
+JOIN nsrc ON w.subj = nsrc.subj AND w.pred = nsrc.pred
+"""
+
+
+ORACLES["kg_fact_fusion"] = _fact_fusion_oracle_sql()
+
+
+def _bpe_oracle_sql(k: int = 6) -> str:
+    """Unrolled BPE merge learning over the documents vocabulary.
+    Merge application uses a match-run PARITY rule over the original
+    symbol list (position p merges iff it matches (L, R) and an odd
+    p - last-non-match-position — i.e. an even number of consecutive
+    matches precede it in its run), which equals the greedy
+    left-to-right scan Spark folds with — a genuinely different
+    algorithm, so agreement pins the merge semantics. Every chained
+    CTE is AS MATERIALIZED (DuckDB inlines plain CTEs per reference —
+    the k-round chain would blow up 3^k, the PLANS.md day-3
+    pagerank-twin finding)."""
+    parts = [
+        """wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(generate_series(1, length(word)),
+                        i -> substring(word, i, 1)) AS syms
+  FROM wf)"""
+    ]
+    for r in range(1, k + 1):
+        p = f"w{r - 1}"
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT z[1] AS lft, z[2] AS rgt, SUM(freq) AS cnt
+  FROM (SELECT freq,
+               unnest(list_zip(syms[:length(syms) - 1], syms[2:])) AS z
+        FROM {p})
+  GROUP BY 1, 2),
+b{r} AS MATERIALIZED (
+  SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1),
+mt{r} AS (
+  SELECT word, freq, syms, b.lft, b.rgt,
+         list_transform(generate_series(1, greatest(length(syms) - 1, 0)),
+                        q -> syms[q] = b.lft AND syms[q + 1] = b.rgt) AS mt
+  FROM {p} LEFT JOIN b{r} b ON TRUE),
+dc{r} AS (
+  SELECT word, freq, syms, lft, rgt,
+         list_transform(generate_series(1, greatest(length(syms) - 1, 0)),
+           q -> mt[q] AND (q - coalesce(list_max(
+                  list_filter(generate_series(1, q - 1),
+                              x -> NOT mt[x])), 0)) % 2 = 1) AS dec
+  FROM mt{r}),
+w{r} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN lft IS NULL THEN syms ELSE
+           flatten(list_transform(generate_series(1, length(syms)), q ->
+             CASE WHEN q < length(syms) AND dec[q] THEN [lft || rgt]
+                  WHEN q > 1 AND coalesce(dec[q - 1], FALSE) THEN []
+                  ELSE [syms[q]] END))
+         END AS syms
+  FROM dc{r})""")
+    rules = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, lft, rgt, cnt AS pair_count,"
+        f" lft || rgt AS merged FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + rules
+
+
+ORACLES["bpe_merge_rules"] = _bpe_oracle_sql()
+
+
+# DSIR importance resampling (operators/dsir.py): hashed unigram+bigram
+# bucket models (md5 -> first-8-hex -> mod B, byte-identical to Spark's
+# conv(substring(md5...))), Laplace(+1) smoothing, per-doc summed
+# log-likelihood ratio. ROUND 6 after the sums; selection thresholds
+# the ROUNDED per-feature average on both sides.
+_DSIR_BUCKETS = 256
+ORACLES["dsir_selection"] = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(toks || list_transform(
+           list_zip(toks[:length(toks) - 1], toks[2:]),
+           z -> z[1] || ' ' || z[2])) AS gram
+  FROM tok),
+bkt AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+              AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM grams GROUP BY doc_id, source, bucket),
+allb AS (SELECT unnest(generate_series(0, {_DSIR_BUCKETS - 1})) AS bucket),
+rawc AS (SELECT bucket, SUM(n) AS cnt FROM bkt GROUP BY bucket),
+tgtc AS (SELECT bucket, SUM(n) AS cnt FROM bkt WHERE source = 'src0'
+         GROUP BY bucket),
+praw AS (
+  SELECT a.bucket,
+         ln((COALESCE(r.cnt, 0) + 1.0)
+            / ((SELECT SUM(cnt) FROM rawc) + {_DSIR_BUCKETS})) AS logp
+  FROM allb a LEFT JOIN rawc r USING (bucket)),
+ptgt AS (
+  SELECT a.bucket,
+         ln((COALESCE(t.cnt, 0) + 1.0)
+            / ((SELECT COALESCE(SUM(cnt), 0) FROM tgtc)
+               + {_DSIR_BUCKETS})) AS logp
+  FROM allb a LEFT JOIN tgtc t USING (bucket)),
+ratio AS (
+  SELECT p.bucket, t.logp - p.logp AS llr_b
+  FROM praw p JOIN ptgt t USING (bucket)),
+sc AS (
+  SELECT b.doc_id, SUM(b.n) AS n_features, SUM(b.n * r.llr_b) AS llr
+  FROM bkt b JOIN ratio r USING (bucket) GROUP BY b.doc_id)
+SELECT doc_id, n_features, ROUND(llr, 6) AS llr,
+       ROUND(llr / n_features, 6) AS avg_llr,
+       ROUND(llr / n_features, 6) > 0 AS selected
+FROM sc
+"""
+
+
+def _anchor_text_oracle_sql(n_pages: int = 500, seed: int = 42) -> str:
+    """Generator-twin anchor-text dictionary: per linked-to url, the
+    consensus anchor (count desc, anchor asc), re-deriving urls AND
+    anchor entity picks from the splitmix chain while Spark regexes
+    them out of the html bytes — a green hash pins the anchor plant,
+    the two-group extraction, and the argmax spec at once."""
+    return f"""
+WITH {_links_ctes(n_pages, seed)},
+urls AS (SELECT 'https://' || dst_host || '/page/' || CAST(tid AS BIGINT)
+                  AS dst_url,
+                anch
+         FROM links),
+pa AS (SELECT dst_url, anch, COUNT(*) AS n FROM urls GROUP BY dst_url, anch),
+top AS (SELECT dst_url, anch AS top_anchor, n AS n_top FROM (
+          SELECT dst_url, anch, n,
+                 ROW_NUMBER() OVER (PARTITION BY dst_url
+                                    ORDER BY n DESC, anch) AS rn
+          FROM pa) WHERE rn = 1),
+tot AS (SELECT dst_url, SUM(n) AS n_inlinks, COUNT(*) AS n_anchors
+        FROM pa GROUP BY dst_url)
+SELECT t.dst_url, t.top_anchor, t.n_top, o.n_inlinks, o.n_anchors
+FROM top t JOIN tot o USING (dst_url)
+"""
+
+
+ORACLES["web_anchor_text"] = _anchor_text_oracle_sql()
+
+
+# Domain quality with empirical-Bayes shrinkage
+# (operators/curation.py::domain_quality): per-doc quality_score is the
+# text_quality expression; domain means shrink toward the corpus mean
+# with pseudo-count k=20. ROUND 6 after every float aggregate.
+ORACLES["domain_quality"] = """
+WITH f AS (
+  SELECT source,
+         CAST(len(text) AS BIGINT) AS n_chars_calc,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','is','to','in','that','it','with',
+                        'was','for','on','as','are','at','be'))) AS stop
+  FROM documents
+),
+r AS (
+  SELECT source,
+         ROUND(punct / n_chars_calc, 4)::DOUBLE AS punct_ratio,
+         ROUND(stop / n_tokens, 4)::DOUBLE AS stopword_ratio,
+         n_tokens
+  FROM f
+),
+q AS (
+  SELECT source,
+         ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+               + least(stopword_ratio * 5.0, 1.0) * 0.4
+               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.1, 4)::DOUBLE
+           AS quality_score
+  FROM r
+),
+d AS (
+  SELECT source AS domain, COUNT(*) AS n_docs, AVG(quality_score) AS raw
+  FROM q GROUP BY source
+),
+g AS (SELECT AVG(quality_score) AS gm FROM q)
+SELECT d.domain AS source, d.n_docs,
+       ROUND(d.raw, 6) AS raw_mean,
+       ROUND((d.n_docs * d.raw + 20.0 * g.gm) / (d.n_docs + 20.0), 6)
+         AS shrunk_score
+FROM d CROSS JOIN g
 """

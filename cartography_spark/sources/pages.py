@@ -85,24 +85,31 @@ LINK_UNIVERSE = 4096
 MAX_LINKS = 3
 
 
-def _link_targets(key: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per page: (n_links, tids[MAX_LINKS, n], tdoms[MAX_LINKS, n]).
+def _link_targets(
+    key: np.ndarray, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per page: (n_links, tids[MAX_LINKS, n], tdoms[MAX_LINKS, n],
+    tanch[MAX_LINKS, n]).
 
     n_links = 1 + mix(key, 8) % MAX_LINKS; slot t's target id is
     mix(key + t + 1, 11) % LINK_UNIVERSE, and its domain is the target
     page's own domain pick (mix(mix(tid, seed), 1) through the Zipf
-    CDF). Pure function of (seed, id) — replicated limb-exactly by the
+    CDF). tanch is the slot's ANCHOR-TEXT entity (mix(tk, 3) through
+    the entity Zipf CDF) — the web's naming signal for the linked
+    page. Pure function of (seed, id) — replicated limb-exactly by the
     DuckDB generator-twin oracles (queries/oracles.py::_links_ctes).
     """
     n_links = (1 + (_mix(key, 8) % np.uint64(MAX_LINKS))).astype(np.int64)
     tids = np.empty((MAX_LINKS, len(key)), dtype=np.uint64)
     tdoms = np.empty((MAX_LINKS, len(key)), dtype=np.int64)
+    tanch = np.empty((MAX_LINKS, len(key)), dtype=np.int64)
     for t in range(MAX_LINKS):
         tk = _mix(key + np.uint64(t + 1), 11)
         tid = tk % np.uint64(LINK_UNIVERSE)
         tdoms[t] = _pick(_mix(_mix(tid, seed), 1), _DOMAIN_CDF)
+        tanch[t] = _pick(_mix(tk, 3), _ENTITY_CDF)
         tids[t] = tid
-    return n_links, tids, tdoms
+    return n_links, tids, tdoms, tanch
 
 
 def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
@@ -116,7 +123,7 @@ def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
 
     urls, texts, htmls = [], [], []
     n_ent, n_pred = len(ENTITIES), len(PREDICATES)
-    n_links, link_tids, link_tdoms = _link_targets(key, seed)
+    n_links, link_tids, link_tdoms, link_tanch = _link_targets(key, seed)
     for j in range(len(ids)):
         rid, k = int(ids[j]), key[j : j + 1]
         sents = []
@@ -135,7 +142,7 @@ def _page_batch(ids: np.ndarray, seed: int) -> pd.DataFrame:
         paras = "".join(f"<p>{s}</p>" for s in sents)
         outlinks = "".join(
             f"<a href='https://{DOMAINS[int(link_tdoms[t][j])]}"
-            f"/page/{int(link_tids[t][j])}'>ref</a>"
+            f"/page/{int(link_tids[t][j])}'>{ENTITIES[int(link_tanch[t][j])]}</a>"
             for t in range(int(n_links[j]))
         )
         html = (

@@ -46,10 +46,12 @@ def main():
     # static entry is already exact.)
     from cartography_spark.queries.catalog import _pages_n
     from cartography_spark.queries.oracles import (
+        _anchor_text_oracle_sql,
         _bowtie_oracle_sql,
         _condensation_oracle_sql,
         _crawl_frontier_oracle_sql,
         _fact_churn_oracle_sql,
+        _fact_fusion_oracle_sql,
         _fact_intervals_oracle_sql,
         _fetch_schedule_oracle_sql,
         _host_pagerank_oracle_sql,
@@ -78,6 +80,8 @@ def main():
     # The temporal-fact family rides the same sf-keyed pages batch.
     oracles["kg_fact_intervals"] = _fact_intervals_oracle_sql(n_pages, 42)
     oracles["kg_fact_churn"] = _fact_churn_oracle_sql(n_pages, 42)
+    oracles["kg_fact_fusion"] = _fact_fusion_oracle_sql(n_pages, 42)
+    oracles["web_anchor_text"] = _anchor_text_oracle_sql(n_pages, 42)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

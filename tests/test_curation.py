@@ -452,3 +452,50 @@ def test_mixture_plan_zero_available_targeted_stratum_is_loud_not_nan(spark):
     for r in got.values():
         assert not math.isnan(r["rate"]) and not math.isnan(r["planned"])
         assert r["rate"] == 0.0 and r["planned"] == 0.0
+
+
+def test_domain_quality_shrinks_toward_global_mean(spark):
+    from cartography_spark.operators.curation import domain_quality
+
+    # big domain: 30 docs of identical mid text; small: 2 outliers.
+    rows = [(i, "the cat sat on the mat with a hat", "big") for i in range(30)]
+    rows += [(100, "a b c d e f g h i j k l m n o p q r s t", "small"),
+             (101, "w x y z aa bb cc dd ee ff gg hh ii jj", "small")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in domain_quality(df, k=20.0).collect()}
+    assert got["big"]["n_docs"] == 30 and got["small"]["n_docs"] == 2
+    # shrinkage: each domain's shrunk score sits between raw and global
+    import numpy as np
+    g = (30 * got["big"]["raw_mean"] + 2 * got["small"]["raw_mean"]) / 32
+    for d in ("big", "small"):
+        r = got[d]
+        lo, hi = sorted((r["raw_mean"], g))
+        assert lo - 1e-9 <= r["shrunk_score"] <= hi + 1e-9
+    # the small domain moves proportionally much further toward global
+    small_move = abs(got["small"]["shrunk_score"] - got["small"]["raw_mean"])
+    big_move = abs(got["big"]["shrunk_score"] - got["big"]["raw_mean"])
+    denom_small = abs(g - got["small"]["raw_mean"]) or 1.0
+    denom_big = abs(g - got["big"]["raw_mean"]) or 1.0
+    assert small_move / denom_small > big_move / denom_big
+
+
+def test_domain_quality_exact_formula(spark):
+    from cartography_spark.functions.textstats import quality_features
+    from cartography_spark.operators.curation import domain_quality
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "pack my box with five dozen liquor jugs", "a"),
+        (3, "how vexingly quick daft zebras jump", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    scores = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_features(df).collect()
+    }
+    g = sum(scores.values()) / 3
+    got = {r["source"]: r for r in domain_quality(df, k=2.0).collect()}
+    raw_a = (scores[1] + scores[2]) / 2
+    assert got["a"]["raw_mean"] == round(raw_a, 6)
+    assert got["a"]["shrunk_score"] == round((2 * raw_a + 2 * g) / 4, 6)
+    assert got["b"]["shrunk_score"] == round((scores[3] + 2 * g) / 3, 6)

@@ -29,7 +29,7 @@ def _expected_links(n: int, seed: int) -> set[tuple[str, str]]:
     ids = np.arange(n, dtype=np.uint64)
     key = _mix(ids, seed)
     sdom = _pick(_mix(key, 1), _DOMAIN_CDF)
-    n_links, tids, tdoms = _link_targets(key, seed)
+    n_links, tids, tdoms, _anch = _link_targets(key, seed)
     out = set()
     for j in range(n):
         src = f"https://{DOMAINS[int(sdom[j])]}/page/{j}"
@@ -69,7 +69,8 @@ def test_links_do_not_leak_into_extracted_text(spark):
     got = extract_text(pages.select("url", "html"), "html", "text")
     joined = got.alias("g").join(pages.select("url", "text").alias("p"), "url")
     assert joined.where("g.text <> p.text").count() == 0
-    assert joined.where(F.col("g.text").contains("ref")).count() == 0
+    # footer markup (anchor urls) must never leak into extracted text
+    assert joined.where(F.col("g.text").contains("example.org")).count() == 0
 
 
 def test_host_graph_partition_invariant_and_single_shuffle(spark):
@@ -101,7 +102,7 @@ def test_crawl_frontier_join_agrees_with_arithmetic_membership(spark):
     ids = np.arange(n, dtype=np.uint64)
     key = _mix(ids, seed)
     sdom = _pick(_mix(key, 1), _DOMAIN_CDF)
-    n_links, tids, _ = _link_targets(key, seed)
+    n_links, tids, _, _anch = _link_targets(key, seed)
     expected: dict[str, list[int]] = {}
     for j in range(n):
         host = DOMAINS[int(sdom[j])]
@@ -166,3 +167,73 @@ def test_fetch_schedule_excludes_crawled_and_validates_rate(spark):
     assert urls == {"https://h.x/new"}
     with pytest.raises(ValueError, match="rate"):
         fetch_schedule(ldf, crawled, rate=0)
+
+
+def test_extract_anchors_matches_generator_plant(spark):
+    from cartography_spark.functions.weblinks import extract_anchors
+    from cartography_spark.sources.pages import ENTITIES
+
+    n, seed = 250, 42
+    pages = synthesize_pages(spark, n, seed=seed)
+    got = {}
+    for r in extract_anchors(pages).collect():
+        k = (r["src_url"], r["dst_url"], r["anchor"])
+        got[k] = got.get(k, 0) + 1
+
+    ids = np.arange(n, dtype=np.uint64)
+    key = _mix(ids, seed)
+    sdom = _pick(_mix(key, 1), _DOMAIN_CDF)
+    n_links, tids, tdoms, tanch = _link_targets(key, seed)
+    want = {}
+    for j in range(n):
+        src = f"https://{DOMAINS[int(sdom[j])]}/page/{j}"
+        for t in range(int(n_links[j])):
+            k = (
+                src,
+                f"https://{DOMAINS[int(tdoms[t][j])]}/page/{int(tids[t][j])}",
+                ENTITIES[int(tanch[t][j])],
+            )
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_anchor_entities_argmax_and_counts(spark):
+    from cartography_spark.functions.weblinks import anchor_entities
+
+    rows = [
+        ("s1", "T", "Spark"),
+        ("s2", "T", "Spark"),
+        ("s3", "T", "Flink"),
+        ("s4", "U", "Beam"),
+        ("s5", "U", "Arrow"),  # tie at 1 -> 'Arrow' wins asc
+    ]
+    df = spark.createDataFrame(
+        rows, "src_url string, dst_url string, anchor string"
+    )
+    got = {r["dst_url"]: r for r in anchor_entities(df).collect()}
+    assert got["T"]["top_anchor"] == "Spark"
+    assert got["T"]["n_top"] == 2
+    assert got["T"]["n_inlinks"] == 3 and got["T"]["n_anchors"] == 2
+    assert got["U"]["top_anchor"] == "Arrow" and got["U"]["n_top"] == 1
+
+
+def test_anchor_entities_partition_invariance(spark):
+    from cartography_spark.functions.weblinks import (
+        anchor_entities,
+        extract_anchors,
+    )
+
+    pages = synthesize_pages(spark, 200, seed=5)
+    a = {
+        tuple(r)
+        for r in anchor_entities(
+            extract_anchors(pages.repartition(1))
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in anchor_entities(
+            extract_anchors(pages.repartition(11))
+        ).collect()
+    }
+    assert a == b
